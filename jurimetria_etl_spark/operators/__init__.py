@@ -1,0 +1,16 @@
+"""Operator library: reference-parity relational operators (SURVEY §2) plus
+the large-scale training-data extensions (dedup, similarity, text analysis,
+multimodal).  Everything is a pure DataFrame→DataFrame function so Catalyst
+sees one logical plan end-to-end.
+"""
+
+from jurimetria_etl_spark.operators.flatten import (  # noqa: F401
+    flatten_hits,
+    movimentos_sorted,
+    nomes_assuntos,
+)
+from jurimetria_etl_spark.operators.filters import (  # noqa: F401
+    date_range_null_pass,
+)
+from jurimetria_etl_spark.operators.joins import enrich_municipio  # noqa: F401
+from jurimetria_etl_spark.operators.setops import union_all_by_name  # noqa: F401

@@ -1,0 +1,626 @@
+"""Correctness-query corpus (FIXTURES.md §C, Q01–Q24) — the t2 gate.
+
+Each entry pairs an idiomatic-Spark DataFrame implementation with an ANSI-SQL
+oracle that DuckDB runs over the same parquet tables.  Conventions that make
+the hash-compare deterministic across engines:
+
+- **Aggregated doubles go through exact decimal arithmetic** and are cast to
+  double at the end: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+  Summation order of IEEE doubles is engine/partition dependent; decimal
+  sums are exact, and the final decimal→double cast is deterministic.
+- **Every window/top-k ORDER BY carries a unique tiebreaker column.**
+- **Integer widths are aligned** (DuckDB ``hour()``/``length()`` return
+  BIGINT, Spark returns INT — the wider side is pinned with CASTs).
+- **Column aliases match exactly** between the Spark plan and the oracle.
+
+Scale notes are on each query: the Spark plan is written the way it should
+run on 100 TB (broadcast the dims, partial aggregation, top-k as
+TakeOrderedAndProject), not just the way that passes at sf0.01.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.functions.temporal import SP_TZ
+from jurimetria_etl_spark.operators.filters import date_range_null_pass
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    return load_fixture(spark, sf_dir, name)
+
+
+def dsum(col: str | Column, alias: str, prec: int = 18, scale: int = 2) -> Column:
+    """Deterministic double sum: exact decimal accumulate → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double").alias(alias)
+
+
+@dataclass(frozen=True)
+class Q:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+
+
+# ───────────────────────── scans / projections ─────────────────────────────
+def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q01 — projection with per-row arithmetic (P1 shape).  Narrow op; the
+    column selection prunes the parquet scan to 4 columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+
+
+Q01_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net
+FROM lineitem
+"""
+
+
+# ───────────────────────────── filters ─────────────────────────────────────
+def q02_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q02 — equality filter (W2) + global count.  Filter reaches the scan
+    as a parquet PushedFilter."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+Q02_SQL = "SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'F'"
+
+
+def q03_filter_range_nullpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q03 — the reference's NULL-passes date-range filter (W1,
+    ``/root/reference/src/jurimetria_pipeline.py:208-215``)."""
+    orders = _t(spark, sf_dir, "orders")
+    pred = date_range_null_pass(
+        "o_orderdate",
+        F.lit("1996-01-01").cast("timestamp"),
+        F.lit("1997-12-31").cast("timestamp"),
+    )
+    return orders.where(pred).agg(F.count("*").alias("cnt"))
+
+
+Q03_SQL = """
+SELECT count(*) AS cnt FROM orders
+WHERE o_orderdate IS NULL
+   OR (o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1997-12-31')
+"""
+
+
+# ────────────────────────────── joins ──────────────────────────────────────
+def q04_join_dim_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q04 — broadcast dim join with coalesce fallback (J1 semantics,
+    ``/root/reference/src/jurimetria_pipeline.py:236-237``).  The dim is
+    broadcast: the fact side never shuffles, which is the whole point at
+    100 TB."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("n_name"), F.col("c_nationkey").cast("string")).alias(
+            "nation_name"
+        ),
+    )
+
+
+Q04_SQL = """
+SELECT c_custkey, coalesce(n_name, CAST(c_nationkey AS VARCHAR)) AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q05 — inner equi-join fact⋈dim.  customer is small → broadcast; at
+    scale both sides large would be a shuffled hash join on the key."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    return orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+
+
+Q05_SQL = """
+SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q06_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q06 — star join (orders⋈customer⋈nation⋈region), revenue per region.
+    All three dims broadcast → single shuffle-free map phase + one partial/
+    final agg shuffle on 5 groups."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+
+
+Q06_SQL = """
+SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q07_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q07a — customers with no orders (left anti)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count("*").alias("cnt"))
+
+
+Q07_ANTI_SQL = """
+SELECT count(*) AS cnt FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q07_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q07b — customers with ≥1 order (left semi)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).agg(F.count("*").alias("cnt"))
+
+
+Q07_SEMI_SQL = """
+SELECT count(*) AS cnt FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ─────────────────────────── aggregations ──────────────────────────────────
+def q08_agg_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q08 — the A1 histogram shape (hour-of-day count,
+    ``/root/reference/src/jurimetria_pipeline.py:274-286``): hash aggregate
+    with map-side partial agg, 24 groups."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.hour("ts").cast("bigint").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("h")
+    )
+
+
+Q08_SQL = """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h, count(*) AS cnt
+FROM events WHERE ts IS NOT NULL GROUP BY h ORDER BY h
+"""
+
+
+def q09_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q09 — global count (A2)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+Q09_SQL = "SELECT count(*) AS cnt FROM lineitem"
+
+
+def q10_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 — multi-agg + conditional percentage (A4 shape: the legacy
+    tempo-medio / taxa-provimento metrics rebuilt natively,
+    ``/root/reference/legacy/legacy_datajud_connector.py:128-146``)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("o_totalprice")
+        ).alias("avg_price"),
+        (
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("double")
+            * 100
+            / F.count("*")
+        ).alias("pct_f"),
+    )
+
+
+Q10_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) * 100 / COUNT(*) AS pct_f
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 — exact distinct count.  Spark plans this as a two-stage
+    partial-distinct aggregate (expand + two shuffles on the key)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count_distinct("l_partkey").alias("cnt")
+    )
+
+
+Q11_SQL = "SELECT count(DISTINCT l_partkey) AS cnt FROM lineitem"
+
+
+def q11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11b — HyperLogLog++ distinct (no oracle: approximate by design;
+    bounds asserted in tests).  This is the 100 TB-scale path — one pass,
+    no distinct shuffle."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_cnt")
+    )
+
+
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 — ROLLUP over (returnflag, linestatus): Expand + single hash agg."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"))
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ────────────────────────────── windows ────────────────────────────────────
+def q13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 — top-3 per group via row_number.  Unique tiebreaker
+    (o_orderkey) makes ranks deterministic; one shuffle on the partition
+    key, sort within partitions."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+Q13_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 — running sum per user (frame ROWS UNBOUNDED PRECEDING).  Decimal
+    accumulator keeps the running values exact → engine-independent."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running"
+        ),
+    )
+
+
+Q14_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+FROM events
+"""
+
+
+# ─────────────────────────── sort / limit ──────────────────────────────────
+def q15_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 — global top-k (O1+O3): Catalyst plans orderBy+limit as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q15_SQL = """
+SELECT * FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 100
+"""
+
+
+# ───────────────────────────── set ops ─────────────────────────────────────
+def q16_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 — union-all (U1) + checksum aggregate."""
+    supplier = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    customer = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return supplier.unionByName(customer).agg(
+        F.count("*").alias("cnt"), F.sum("k").alias("total")
+    )
+
+
+Q16_SQL = """
+SELECT count(*) AS cnt, CAST(SUM(k) AS BIGINT) AS total FROM (
+  SELECT s_suppkey AS k FROM supplier
+  UNION ALL
+  SELECT c_custkey AS k FROM customer) t
+"""
+
+
+def q17_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17a — nation keys that appear among customers (INTERSECT = distinct
+    semi-join shuffle)."""
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return nation.intersect(cust)
+
+
+Q17_INTERSECT_SQL = """
+SELECT n_nationkey AS k FROM nation INTERSECT SELECT c_nationkey AS k FROM customer
+"""
+
+
+def q17_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17b — nation keys with no customers (EXCEPT = distinct anti-join)."""
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return nation.exceptAll(cust.distinct())
+
+
+Q17_EXCEPT_SQL = """
+SELECT n_nationkey AS k FROM nation EXCEPT SELECT c_nationkey AS k FROM customer
+"""
+
+
+# ─────────────────────────── scalar functions ──────────────────────────────
+def q18_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 — string functions (F9/F10 family)."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lc"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.substring("p_brand", 1, 5).alias("brand5"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+Q18_SQL = """
+SELECT p_partkey, lower(p_type) AS type_lc, trim(p_name) AS name_trim,
+       substr(p_brand, 1, 5) AS brand5, CAST(length(p_name) AS BIGINT) AS name_len
+FROM part
+"""
+
+
+def q19_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19a — date render/extract (F4/F5 family)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_str"),
+        F.year("o_orderdate").cast("bigint").alias("od_year"),
+        F.month("o_orderdate").cast("bigint").alias("od_month"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("od_dow"),
+    )
+
+
+# DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 → +1 aligns.
+Q19_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od_str,
+       CAST(year(o_orderdate) AS BIGINT) AS od_year,
+       CAST(month(o_orderdate) AS BIGINT) AS od_month,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS od_dow
+FROM orders
+"""
+
+
+def q19_hour_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19b — hour-of-day in America/Sao_Paulo of a UTC instant (F1/F2, the
+    reference's tz semantics).  Oracle uses the fixed -03:00 offset valid
+    for the 2024 fixture data (SP abolished DST in 2019); the DST-era parity
+    is pinned in unit tests instead."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.hour(F.from_utc_timestamp("ts", SP_TZ)).cast("bigint").alias("h_sp")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("h_sp")
+    )
+
+
+Q19_HOUR_SP_SQL = """
+SELECT CAST(EXTRACT(hour FROM ts - INTERVAL 3 HOUR) AS BIGINT) AS h_sp, count(*) AS cnt
+FROM events GROUP BY h_sp ORDER BY h_sp
+"""
+
+
+def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 — ordered array_agg (P3 shape: sort-by-key inside an array).
+    Spark has no ordered collect_list; sort an array of (key, value) structs
+    then project — exactly the movimentos array_sort pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.collect_list(F.struct("l_shipdate", "l_linenumber")).alias("pairs")
+        )
+        .select(
+            "l_orderkey",
+            F.transform(
+                F.array_sort("pairs"), lambda p: p["l_linenumber"]
+            ).alias("lines"),
+        )
+    )
+
+
+Q20_SQL = """
+SELECT l_orderkey,
+       list(l_linenumber ORDER BY l_shipdate, l_linenumber) AS lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q21_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 — JSON extraction (F8 family) from the events.props payload."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+Q21_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+# ───────────────────────────── extensions ──────────────────────────────────
+def q22_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 — exact dedup count (E1): distinct = hash-groupBy on the keys."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+Q22_SQL = """
+SELECT count(*) AS cnt
+FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem) t
+"""
+
+
+def q23_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23 — brute-force cosine top-k (E3 baseline): broadcast the probe,
+    fold the dot product JVM-side with aggregate/zip_with (no Python UDF),
+    TakeOrderedAndProject for the top-5.  The scale path (LSH buckets) lives
+    in operators/similarity.py."""
+    from jurimetria_etl_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, probe_id=1, k=5)
+
+
+Q23_SQL = """
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(p AS DOUBLE[]), CAST(p AS DOUBLE[])))), 6) AS cos_sim
+FROM embeddings e, probe
+WHERE e.vec_id <> 1
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q24a — per-document text stats (E4): char/token counts, JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("tokens"),
+    )
+
+
+Q24_SQL = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+       CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS tokens
+FROM documents
+"""
+
+
+def q24_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q24b — top-20 terms: explode + hash agg + top-k with term tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(20)
+    )
+
+
+Q24_TOP_TERMS_SQL = """
+SELECT term, count(*) AS cnt
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents) t
+WHERE term <> ''
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20
+"""
+
+
+# ───────────────────────────── registry ────────────────────────────────────
+CORPUS: dict[str, Q] = {
+    "q01_scan_project": Q(q01_scan_project, Q01_SQL),
+    "q02_filter_eq": Q(q02_filter_eq, Q02_SQL),
+    "q03_filter_range_nullpass": Q(q03_filter_range_nullpass, Q03_SQL),
+    "q04_join_dim_coalesce": Q(q04_join_dim_coalesce, Q04_SQL),
+    "q05_join_inner": Q(q05_join_inner, Q05_SQL),
+    "q06_join_star": Q(q06_join_star, Q06_SQL),
+    "q07_join_anti": Q(q07_join_anti, Q07_ANTI_SQL),
+    "q07_join_semi": Q(q07_join_semi, Q07_SEMI_SQL),
+    "q08_agg_hour": Q(q08_agg_hour, Q08_SQL),
+    "q09_count": Q(q09_count, Q09_SQL),
+    "q10_agg_conditional": Q(q10_agg_conditional, Q10_SQL),
+    "q11_count_distinct": Q(q11_count_distinct, Q11_SQL),
+    "q11_approx_distinct": Q(q11_approx_distinct, None),
+    "q12_rollup": Q(q12_rollup, Q12_SQL),
+    "q13_window_rank": Q(q13_window_rank, Q13_SQL),
+    "q14_window_running": Q(q14_window_running, Q14_SQL),
+    "q15_topk": Q(q15_topk, Q15_SQL),
+    "q16_union_all": Q(q16_union_all, Q16_SQL),
+    "q17_intersect": Q(q17_intersect, Q17_INTERSECT_SQL),
+    "q17_except": Q(q17_except, Q17_EXCEPT_SQL),
+    "q18_string_fns": Q(q18_string_fns, Q18_SQL),
+    "q19_date_fns": Q(q19_date_fns, Q19_SQL),
+    "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
+    "q20_array_agg": Q(q20_array_agg, Q20_SQL),
+    "q21_json": Q(q21_json, Q21_SQL),
+    "q22_dedup_exact": Q(q22_dedup_exact, Q22_SQL),
+    "q23_similarity_topk": Q(q23_similarity_topk, Q23_SQL),
+    "q24_text_stats": Q(q24_text_stats, Q24_SQL),
+    "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
+}
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark for name, q in CORPUS.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: q.oracle for name, q in CORPUS.items() if q.oracle is not None}

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-aware defaults.
+
+Design notes (SURVEY.md §4, §7):
+- Session timezone pinned to UTC: timestamps are stored as UTC instants and
+  America/Sao_Paulo is applied only at derivation points via
+  ``from_utc_timestamp`` (reference carries per-value tz —
+  ``/root/reference/src/jurimetria_pipeline.py:51-58``).
+- AQE on: runtime skew-join handling + dynamic coalescing of shuffle
+  partitions, which is what makes one config serve sf0.001 tests and a
+  1000-executor 100 TB run.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count (the
+  driver harness runs local[N]); on a real cluster this is overridden by AQE's
+  coalescing with ``initialPartitionNum`` headroom.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "jurimetria-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Local test/bench mode: ``local[$SPARK_GRAFT_CPUS]``.  On a cluster, pass
+    ``master=None`` with an externally-submitted application; only the SQL
+    confs below matter there.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Arrow for the (few) pandas_udf paths — vectorized transfer.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Nested-schema pruning so struct projections reach the parquet scan.
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Driver fixtures carry TIMESTAMP(NANOS) parquet columns; read them
+        # as epoch-nanos longs (normalized in sources/fixtures.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,106 @@
+"""Batch sinks (SURVEY §2.2).
+
+K1 parquet-zstd, K2 csv, K3 empty-input guard, K4 JPEG histogram chart —
+mirroring ``/root/reference/src/jurimetria_pipeline.py:260-296`` with Spark
+writers.  pandas writes one file; Spark writes a directory — ``single_file``
+coalesces to 1 part for artifact-compatible layouts (SURVEY §7 hard-part 7).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.functions.temporal import hour_in_sp, iso_render_sp
+
+
+def write_parquet(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """K1 — Parquet, zstd (reference ``:266``)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("compression", "zstd").parquet(path)
+
+
+def _csv_ready(df: DataFrame) -> DataFrame:
+    """Spark CSV can't carry arrays/structs: serialize them to JSON at the
+    CSV boundary only (the reference serializes movimentos for pyarrow at
+    ``:239-255``; the engine keeps nested types native in Parquet)."""
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("array", "struct", "map"):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(cols)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """K2 — header CSV (reference ``:267``)."""
+    out = _csv_ready(df)
+    out = out.coalesce(1) if single_file else out
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def persist(df: DataFrame, out_dir: str, single_file: bool = True) -> bool:
+    """K1+K2+K3 — skip with a message on empty input (reference
+    ``:261-263``); returns True if data was written."""
+    if df.isEmpty():
+        print("Nenhum dado para persistir.")
+        return False
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    write_parquet(df, str(out / "jurimetria.parquet"), single_file)
+    write_csv(df, str(out / "jurimetria.csv"), single_file)
+    return True
+
+
+def render_movimentos_json(df: DataFrame, col: str = "movimentos") -> DataFrame:
+    """F7+F8 — movimentos array<struct> → JSON string with SP-rendered ISO
+    timestamps (the reference's serialize step ``:239-255``).  Canonical form
+    is Spark ``to_json``; oracle comparisons parse, not byte-compare."""
+    rendered = F.transform(
+        F.col(col),
+        lambda m: F.struct(
+            m["codigo"].alias("codigo"),
+            m["nome"].alias("nome"),
+            iso_render_sp(m["data_hora"]).alias("data_hora"),
+        ),
+    )
+    return df.withColumn(col, F.to_json(rendered))
+
+
+def plot_horario(df: DataFrame, out_path: str, ts_col: str = "data_ajuizamento") -> bool:
+    """K4 + A1 — hour-of-ajuizamento histogram to JPEG (reference
+    ``:271-296``).  The aggregate (≤24 rows) is collected to the driver and
+    rendered with matplotlib; the groupBy runs distributed."""
+    if ts_col not in df.columns:
+        return False
+    hist = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(hour_in_sp(ts_col).alias("hora"))
+        .count()
+        .orderBy("hora")
+        .collect()
+    )
+    if not hist:
+        return False
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping chart")
+        return False
+    horas = [r["hora"] for r in hist]
+    counts = [r["count"] for r in hist]
+    plt.figure(figsize=(12, 6))
+    plt.bar([str(h) for h in horas], counts)
+    plt.title("Horário de ajuizamento")
+    plt.xlabel("Hora do dia")
+    plt.ylabel("Processos")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=150)
+    plt.close()
+    return True

@@ -1,0 +1,126 @@
+"""Legacy connectors — SURVEY §2.1 S6 (e-SAJ HTML scrape) and S7 (DataJud
+aggregate-stats REST).
+
+Reimplements the observable behavior of
+``/root/reference/legacy/legacy_datajud_connector.py``:
+- S6: parse the ``tabelaResultados`` table, skip the header row, drop rows
+  with <6 cells (W3 guard, ``:62-63``), project 5 columns with the date
+  reformatted ``dd/mm/yyyy`` → ``yyyy-mm-dd`` (F4, ``:65-72``), paginate
+  ``paginaConsulta`` pages until non-200 / empty page / max_pages
+  (``:102-116``).
+- S7: GET ``/estatisticas`` and project ``tempo_medio_dias`` +
+  ``taxa_provimento_percent`` (``:128-146``).
+
+Transports are injectable; parsing is regex-based (bs4 not assumed).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jurimetria_etl_spark.schemas import ESAJ_ROW_SCHEMA
+
+# transport(url, params) -> (status_code, text_or_json)
+HtmlTransport = Callable[[str, dict[str, Any]], tuple[int, str]]
+JsonTransport = Callable[[str, dict[str, Any]], tuple[int, dict[str, Any]]]
+
+_TABLE_RE = re.compile(
+    r'<table[^>]*id=["\']tabelaResultados["\'][^>]*>(.*?)</table>', re.S | re.I
+)
+_ROW_RE = re.compile(r"<tr[^>]*>(.*?)</tr>", re.S | re.I)
+_CELL_RE = re.compile(r"<t[dh][^>]*>(.*?)</t[dh]>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _cell_text(cell_html: str) -> str:
+    """F9 — strip tags and whitespace (the reference's
+    ``get_text(strip=True)``)."""
+    return _TAG_RE.sub(" ", cell_html).strip()
+
+
+def _reformat_date(br_date: str) -> str:
+    """F4 — ``dd/mm/yyyy`` → ``yyyy-mm-dd``; pass through otherwise."""
+    m = re.match(r"^(\d{2})/(\d{2})/(\d{4})$", br_date.strip())
+    return f"{m.group(3)}-{m.group(2)}-{m.group(1)}" if m else br_date.strip()
+
+
+def parse_esaj_table(html: str) -> list[dict[str, str]]:
+    """S6 parse: header row skipped, <6-cell rows dropped (W3), 6th cell
+    discarded (P4)."""
+    m = _TABLE_RE.search(html)
+    if not m:
+        return []
+    rows = _ROW_RE.findall(m.group(1))
+    out: list[dict[str, str]] = []
+    for row_html in rows[1:]:  # skip header
+        cells = [_cell_text(c) for c in _CELL_RE.findall(row_html)]
+        if len(cells) < 6:
+            continue
+        out.append(
+            {
+                "processo": cells[0],
+                "classe": cells[1],
+                "assunto": cells[2],
+                "orgao": cells[3],
+                "data": _reformat_date(cells[4]),
+            }
+        )
+    return out
+
+
+def fetch_esaj_rows(
+    transport: HtmlTransport,
+    base_url: str = "https://esaj.tjce.jus.br/cpopg/search.do",
+    max_pages: int | None = None,
+) -> list[dict[str, str]]:
+    """S6 pagination: stop on non-200, empty page, or max_pages."""
+    out: list[dict[str, str]] = []
+    page = 1
+    while True:
+        if max_pages is not None and page > max_pages:
+            break
+        status, html = transport(base_url, {"paginaConsulta": page})
+        if status != 200:
+            break
+        rows = parse_esaj_table(html)
+        if not rows:
+            break
+        out.extend(rows)
+        page += 1
+    return out
+
+
+def esaj_scan(
+    spark: SparkSession,
+    transport: HtmlTransport,
+    base_url: str = "https://esaj.tjce.jus.br/cpopg/search.do",
+    max_pages: int | None = None,
+) -> DataFrame:
+    rows = fetch_esaj_rows(transport, base_url, max_pages)
+    return spark.createDataFrame(rows or [], ESAJ_ROW_SCHEMA)
+
+
+def fetch_datajud_stats(
+    transport: JsonTransport,
+    classe: str,
+    ano: int,
+    metrica: str = "tempo_medio",
+    base_url: str = "https://api-publica.datajud.cnj.jus.br/estatisticas",
+) -> dict[str, Any]:
+    """S7 — single stats record projection (P5)."""
+    status, body = transport(
+        base_url,
+        {"siglaTribunal": "TJCE", "classe": classe, "ano": ano, "metrica": metrica},
+    )
+    if status != 200:
+        return {}
+    return {
+        "classe": classe,
+        "ano": ano,
+        "tempo_medio_dias": body.get("tempo_medio_dias"),
+        "taxa_provimento_percent": body.get("taxa_provimento_percent"),
+    }

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from jurimetria_etl_spark.session import get_spark
+
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s

@@ -1,0 +1,123 @@
+"""Injected-transport tests for the ingest adapters (S1/S2/S6/S7) — the
+pagination stop guards from SURVEY §2.1, no network involved."""
+
+from __future__ import annotations
+
+from jurimetria_etl_spark.sources.datajud import fetch_raw_hits
+from jurimetria_etl_spark.sources.esaj import (
+    fetch_datajud_stats,
+    fetch_esaj_rows,
+    parse_esaj_table,
+)
+
+
+def _hit(i, cursor):
+    return {"_source": {"numeroProcesso": f"p{i}"}, "sort": [cursor]}
+
+
+def _paged_transport(pages):
+    """Transport yielding canned pages keyed by search_after cursor."""
+    calls = []
+
+    def transport(url, headers, payload):
+        calls.append(payload)
+        key = tuple(payload.get("search_after", ()))
+        return 200, {"hits": {"hits": pages.get(key, [])}}
+
+    transport.calls = calls
+    return transport
+
+
+def test_pagination_follows_cursor_and_stops_on_empty():
+    pages = {
+        (): [_hit(1, 10), _hit(2, 20)],
+        (20,): [_hit(3, 30)],
+        (30,): [],
+    }
+    hits = list(fetch_raw_hits("TJCE", transport=_paged_transport(pages)))
+    assert [h["_source"]["numeroProcesso"] for h in hits] == ["p1", "p2", "p3"]
+
+
+def test_pagination_stops_on_repeated_cursor():
+    pages = {(): [_hit(1, 10)], (10,): [_hit(2, 10)], (99,): [_hit(9, 99)]}
+    hits = list(fetch_raw_hits("TJCE", transport=_paged_transport(pages)))
+    # page 2's cursor repeats page 1's → stop after yielding page 2
+    assert len(hits) == 2
+
+
+def test_pagination_max_requests_guard():
+    def endless(url, headers, payload):
+        cur = (payload.get("search_after") or [0])[0]
+        return 200, {"hits": {"hits": [_hit(cur + 1, cur + 1)]}}
+
+    hits = list(fetch_raw_hits("TJCE", max_requests=5, transport=endless))
+    assert len(hits) == 5
+
+
+def test_http_400_404_skips_tribunal():
+    for code in (400, 404):
+        hits = list(
+            fetch_raw_hits("TJXX", transport=lambda u, h, p: (code, {}))
+        )
+        assert hits == []
+
+
+def test_transport_error_yields_empty():
+    def boom(url, headers, payload):
+        raise ConnectionError("down")
+
+    assert list(fetch_raw_hits("TJCE", transport=boom)) == []
+
+
+ESAJ_HTML = """
+<html><body><table id="tabelaResultados">
+<tr><th>Processo</th><th>Classe</th><th>Assunto</th><th>Órgão</th><th>Data</th><th>X</th></tr>
+<tr><td>0001</td><td>Apelação</td><td>Penal</td><td>1ª Vara</td><td>05/03/2023</td><td>-</td></tr>
+<tr><td>incomplete</td><td>row</td></tr>
+<tr><td>0002</td><td>Agravo</td><td>Cível</td><td>2ª Vara</td><td>10/04/2023</td><td>-</td></tr>
+</table></body></html>
+"""
+
+
+def test_esaj_parse_skips_header_and_malformed():
+    """S6/W3/P4/F4 — header skipped, <6-cell row dropped, date reformatted."""
+    rows = parse_esaj_table(ESAJ_HTML)
+    assert [r["processo"] for r in rows] == ["0001", "0002"]
+    assert rows[0]["data"] == "2023-03-05"
+    assert rows[1]["orgao"] == "2ª Vara"
+
+
+def test_esaj_pagination_stops_on_empty_and_non200():
+    pages = {1: (200, ESAJ_HTML), 2: (200, "<html>no table</html>")}
+
+    def transport(url, params):
+        return pages.get(params["paginaConsulta"], (500, ""))
+
+    assert len(fetch_esaj_rows(transport)) == 2
+
+    def bad(url, params):
+        return 500, ""
+
+    assert fetch_esaj_rows(bad) == []
+
+
+def test_esaj_max_pages():
+    def transport(url, params):
+        return 200, ESAJ_HTML
+
+    assert len(fetch_esaj_rows(transport, max_pages=3)) == 6
+
+
+def test_datajud_stats_projection():
+    """S7/P5 — two metrics projected from the stats response."""
+    def transport(url, params):
+        assert params["siglaTribunal"] == "TJCE"
+        return 200, {"tempo_medio_dias": 120.5, "taxa_provimento_percent": 33.0, "x": 1}
+
+    got = fetch_datajud_stats(transport, "Apelação", 2023)
+    assert got == {
+        "classe": "Apelação",
+        "ano": 2023,
+        "tempo_medio_dias": 120.5,
+        "taxa_provimento_percent": 33.0,
+    }
