@@ -1,0 +1,312 @@
+"""Deduplication operators (SURVEY §2.12 E1/E2) — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Design for 100 TB:
+- Signatures (minhash, simhash, fingerprints) are computed with **narrow
+  array expressions** (transform/aggregate folds over the token array) — no
+  explode, no Python, no shuffle; they whole-stage-codegen and can be
+  computed at ingest and stored.
+- Candidate generation is the only shuffle: a self-join keyed on (band,
+  band-hash) for MinHash or on signature bands for SimHash — the classic
+  LSH trick that turns O(N²) all-pairs into O(N²/buckets).
+- Verification (exact Jaccard / hamming) runs only on candidate pairs.
+
+All hashes derive from md5 (``hash60``) so results are deterministic across
+engines — the DuckDB oracles in plans/extensions.py compute the identical
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ───────────────────────── tokenize / shingle ──────────────────────────────
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(col), " ")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles: ['a b c', 'b c d', ...].
+
+    Narrow expression: sequence over positions + slice + concat_ws.  A
+    document shorter than n words yields an empty array.
+    """
+    toks = tokens(col)
+    count = F.size(toks) - (n - 1)
+    # Guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # short documents must produce an empty shingle array.
+    positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(positions, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def hash60(col: Column, salt: str | None = None) -> Column:
+    """Deterministic 60-bit hash: first 15 hex digits of md5, as bigint.
+
+    Engine-portable (DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``) —
+    used instead of Spark's murmur3 ``hash()`` precisely so oracles can
+    recompute it.
+    """
+    base = F.concat(F.lit(f"{salt}:"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("bigint")
+
+
+# ───────────────────────────── exact dedup ─────────────────────────────────
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """E1 — exact dedup = hash-groupBy on the key columns (one shuffle).
+    For long text keys prefer ``dedup_by_fingerprint`` (shuffles 8-byte
+    hashes, not documents)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def fingerprint(col: Column | str, normalize: bool = True) -> Column:
+    """Content fingerprint: 60-bit hash of (optionally normalized) text.
+    Normalization: lowercase + collapse whitespace runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return hash60(c)
+
+
+def dedup_by_fingerprint(
+    df: DataFrame, text_col: str, keep_col: str
+) -> DataFrame:
+    """Exact near-zero-cost text dedup at scale: shuffle only (fingerprint,
+    min-id), keep the first row per fingerprint via a semi-join back."""
+    fp = df.select(
+        fingerprint(text_col).alias("__fp"), F.col(keep_col).alias("__keep")
+    )
+    winners = fp.groupBy("__fp").agg(F.min("__keep").alias("__keep"))
+    return df.join(
+        winners, df[keep_col] == winners["__keep"], "left_semi"
+    )
+
+
+# ───────────────────────────── MinHash + LSH ───────────────────────────────
+def minhash_signature(col: Column | str, k: int = 8, n: int = 3) -> Column:
+    """MinHash signature: array of k minimums of independently-salted
+    60-bit shingle hashes.  Pure narrow expression (transform + array_min
+    per permutation)."""
+    sh = word_shingles(col, n)
+
+    # NB: closure factory, not a default arg — a 2-parameter lambda passed to
+    # transform() receives (element, position_index), which would silently
+    # replace the salt with the element position.
+    def salted(i: int):
+        return lambda s: hash60(s, str(i))
+
+    return F.array(*[F.array_min(F.transform(sh, salted(i))) for i in range(k)])
+
+
+def add_minhash(
+    df: DataFrame, text_col: str, k: int = 8, n: int = 3, sig_col: str = "minhash"
+) -> DataFrame:
+    return df.withColumn(sig_col, minhash_signature(text_col, k, n))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the k-length signature into ``bands`` bands of
+    k/bands rows; docs sharing any band hash become a candidate pair.
+
+    Plan: signature (narrow) → explode bands (k/bands longs per row) →
+    self-join shuffled on (band_idx, band_key).  At 100 TB the band table is
+    the only shuffled data: two longs + an id per band.
+    """
+    rows_per_band = k // bands
+    sig = add_minhash(df, text_col, k, n, "__sig").select(id_col, "__sig")
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            hash60(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bkey"),
+        ),
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_arr).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two (distinct-element) arrays, as double."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """E2 — MinHash LSH candidates, then exact-Jaccard verification on the
+    candidate pairs only (the standard two-phase near-dup pipeline)."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, k, bands, n)
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, n).alias("__sh")
+    )
+    lsh_ = sh.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
+    rsh = sh.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
+    return (
+        cands.join(lsh_, "left_id")
+        .join(rsh, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ─────────────────────────── n-gram Jaccard ────────────────────────────────
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """E2 variant — exact all-candidate n-gram Jaccard join: explode
+    shingles, self-join on shingle (candidates share ≥1 shingle), count
+    shared, compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    Unlike MinHash this is exact, but the shingle join can explode on hot
+    shingles — at scale, cap shingle document-frequency (drop shingles in
+    >df_cap docs) before the join; the cap column is exposed for that.
+    """
+    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("__sh"))
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    l, r = ex.alias("l"), ex.alias("r")
+    shared = (
+        l.join(
+            r,
+            (F.col("l.__s") == F.col("r.__s"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .agg(F.count("*").alias("__shared"))
+    )
+    ls = sizes.select(F.col(id_col).alias("left_id"), F.col("__n").alias("__ln"))
+    rs = sizes.select(F.col(id_col).alias("right_id"), F.col("__n").alias("__rn"))
+    jac = F.col("__shared").cast("double") / (
+        F.col("__ln") + F.col("__rn") - F.col("__shared")
+    ).cast("double")
+    return (
+        shared.join(ls, "left_id")
+        .join(rs, "right_id")
+        .select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ─────────────────────────────── SimHash ───────────────────────────────────
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash signature over whitespace tokens: per-bit majority vote of
+    60-bit token hashes, packed into a long.  Narrow fold — one aggregate
+    per bit over the token-hash array."""
+    h = F.transform(tokens(col), lambda t: hash60(t))
+
+    def bit_vote(b: int):
+        # closure factory: aggregate()'s merge lambda must be exactly 2-ary
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(h, F.lit(0).cast("long"), bit_vote(b))
+        sig = sig + F.when(vote >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    band_bits: int = 4,
+) -> DataFrame:
+    """E2 variant — SimHash near-dup: band the signature into
+    bits/band_bits chunks; by pigeonhole, pairs within ``max_hamming``
+    (< number of bands) share at least one exact band → candidate join on
+    (band_idx, band_value), verified with bit_count(xor) ≤ max_hamming."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = df.select(F.col(id_col), simhash(text_col, bits).alias("__sig"))
+    # static unroll — shiftright takes a literal shift amount
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("__sig"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("__sig"), F.explode(band_arr).alias("b")
+    ).select(id_col, "__sig", F.col("b.band").alias("band"), F.col("b.bval").alias("bval"))
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

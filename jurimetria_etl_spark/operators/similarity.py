@@ -77,23 +77,42 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
-def add_lsh_signature(
-    df: DataFrame,
-    dim: int,
-    n_planes: int = 16,
-    seed: int = 42,
-    vec_col: str = "embedding",
-    sig_col: str = "lsh_bucket",
-) -> DataFrame:
-    """Random-hyperplane (SimHash-for-vectors) signature: one sign bit per
-    plane, packed into a long.  Pure Catalyst expressions — the planes are
-    literal arrays folded against the vector."""
-    planes = _hyperplanes(dim, n_planes, seed)
+def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for one hash table (n_planes bits in a long)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.withColumn(sig_col, bucket)
+    return bucket
+
+
+def add_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sig_col: str = "lsh_buckets",
+) -> DataFrame:
+    """Random-hyperplane LSH with OR-amplification: ``n_tables`` independent
+    hash tables of ``n_planes`` sign bits each; a pair is a candidate if it
+    collides in ANY table (recall ≈ 1-(1-p^b)^L for match prob p per plane).
+
+    The signature is an array<struct<table, bucket>> computed with pure
+    Catalyst expressions (literal plane arrays folded against the vector) —
+    at 100 TB compute it once at ingest and store/bucket by it.
+    """
+    entries = [
+        F.struct(
+            F.lit(t).alias("table"),
+            _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + 1000 * t)).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
+    ]
+    return df.withColumn(sig_col, F.array(*entries))
 
 
 def lsh_bucket_topk(
@@ -101,28 +120,44 @@ def lsh_bucket_topk(
     probe_id: int,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the probe's LSH bucket.
+    """Approximate top-k: exactly re-score only the vectors colliding with
+    the probe in at least one hash table.
 
-    At 100 TB the signature is computed once at ingest and the table is
-    bucketed/partitioned by ``lsh_bucket``, so a probe reads one partition.
-    Recall-vs-speed is tuned via ``n_planes`` (fewer planes → bigger buckets
-    → higher recall, more compute).
+    Plan: signatures (narrow) → explode (table,bucket) → join against the
+    probe's L broadcast buckets → distinct candidate ids → exact cosine →
+    TakeOrderedAndProject.  Candidate set size (and thus cost) is tuned by
+    n_planes (bucket granularity) × n_tables (recall amplification).
     """
-    with_sig = add_lsh_signature(embeddings, dim, n_planes, seed, vec_col)
-    probe = F.broadcast(
-        with_sig.where(F.col(id_col) == probe_id).select(
-            F.col(vec_col).alias("__p"), F.col("lsh_bucket").alias("__pb")
+    with_sig = add_lsh_signature(
+        embeddings, dim, n_planes, n_tables, seed, vec_col
+    )
+    exploded = with_sig.select(
+        F.col(id_col), F.col(vec_col), F.explode("lsh_buckets").alias("b")
+    ).select(id_col, vec_col, F.col("b.table").alias("t"), F.col("b.bucket").alias("bk"))
+    probe_buckets = F.broadcast(
+        exploded.where(F.col(id_col) == probe_id).select(
+            F.col("t").alias("__pt"),
+            F.col("bk").alias("__pbk"),
+            F.col(vec_col).alias("__p"),
         )
     )
+    candidates = (
+        exploded.where(F.col(id_col) != probe_id)
+        .join(
+            probe_buckets,
+            (F.col("t") == F.col("__pt")) & (F.col("bk") == F.col("__pbk")),
+        )
+        .select(id_col, vec_col, "__p")
+        .dropDuplicates([id_col])
+    )
     return (
-        with_sig.where(F.col(id_col) != probe_id)
-        .join(probe, F.col("lsh_bucket") == F.col("__pb"))
-        .select(
+        candidates.select(
             F.col(id_col),
             F.round(cosine_sim(F.col(vec_col), F.col("__p")), 6).alias("cos_sim"),
         )
@@ -136,28 +171,40 @@ def cosine_similarity_join(
     right: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs similarity join above a cosine threshold, bucket-pruned by
-    shared LSH bucket (candidate generation) then exactly re-scored.  The
-    join shuffles on the bucket key — at scale this is the difference
-    between O(N²) and O(N²/2^planes)."""
-    lsig = add_lsh_signature(left, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("left_id"),
-        F.col(vec_col).alias("__lv"),
-        F.col("lsh_bucket").alias("__lb"),
-    )
-    rsig = add_lsh_signature(right, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("right_id"),
-        F.col(vec_col).alias("__rv"),
-        F.col("lsh_bucket").alias("__rb"),
+    """All-pairs similarity join above a cosine threshold: candidates =
+    pairs colliding in ≥1 LSH table (shuffle keyed on (table, bucket)),
+    then exact re-score.  At scale this is the difference between O(N²)
+    and O(N²/2^planes · L)."""
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        sig = add_lsh_signature(df, dim, n_planes, n_tables, seed, vec_col)
+        return sig.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode("lsh_buckets").alias("b"),
+        ).select(
+            id_alias, vec_alias, F.col("b.table").alias("t"), F.col("b.bucket").alias("bk")
+        )
+
+    lsig = banded(left, "left_id", "__lv")
+    rsig = banded(right, "right_id", "__rv")
+    pairs = (
+        lsig.join(
+            rsig,
+            (lsig["t"] == rsig["t"])
+            & (lsig["bk"] == rsig["bk"])
+            & (F.col("left_id") < F.col("right_id")),
+        )
+        .select("left_id", "right_id", "__lv", "__rv")
+        .dropDuplicates(["left_id", "right_id"])
     )
     sim = cosine_sim(F.col("__lv"), F.col("__rv"))
-    return (
-        lsig.join(rsig, (F.col("__lb") == F.col("__rb")) & (F.col("left_id") < F.col("right_id")))
-        .select("left_id", "right_id", F.round(sim, 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
-    )
+    return pairs.select(
+        "left_id", "right_id", F.round(sim, 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

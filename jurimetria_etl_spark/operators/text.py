@@ -1,0 +1,124 @@
+"""Text-analysis operators (SURVEY §2.12 E4): language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is a narrow JVM-side expression (split/filter/aggregate over the
+token array) — at 100 TB these run at parquet-scan speed with zero Python
+and zero shuffle.  Heuristics are deliberately engine-portable (the DuckDB
+oracles recompute them exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.dedup import tokens
+
+# Stopword marker sets per language — tiny by design (heuristic lang-ID, not
+# a model); CJK detected by codepoint range.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est"),
+    "es": ("el", "los", "las", "una", "es", "y", "en"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht"),
+}
+CJK_PATTERN = "[一-鿿]"
+
+
+def _stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    toks = tokens(F.lower(col) if isinstance(col, str) else F.lower(col))
+    return {lang: _stopword_count(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language-ID: CJK presence → zh; otherwise the language with
+    the highest stopword hit-count, fixed precedence en>fr>es>de on ties,
+    'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(col)
+    en, fr, es, de = scores["en"], scores["fr"], scores["es"], scores["de"]
+    best = F.greatest(en, fr, es, de)
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(F.regexp_count(c, F.lit(CJK_PATTERN)) > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(fr == best, F.lit("fr"))
+        .when(es == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+WORDLIKE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count of lowercase word/number/symbol chunks
+    via regexp extraction (a cheap proxy for subword tokenizers; the common
+    ~4-chars-per-token heuristic is exposed separately)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(WORDLIKE_PATTERN), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def chars_per_token_estimate(col: Column | str) -> Column:
+    """~len/4 token estimate used for quick corpus sizing."""
+    return F.ceil(F.length(col) / 4).cast("bigint")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0,1]:
+    0.4·min(n_tokens/100, 1)  — enough content
+    0.4·(distinct/total)      — lexical diversity (spam/boilerplate ↓)
+    0.2·min(5·stopword_ratio, 1) — natural-language-ness
+    NULL for empty documents (NULL-propagating division)."""
+    # drop empty tokens: split("") yields [""], which must count as 0
+    toks = F.filter(
+        tokens(F.lower(col) if isinstance(col, str) else F.lower(col)),
+        lambda t: t != "",
+    )
+    n_tok = F.size(toks)
+    n_tok_d = F.nullif(n_tok, F.lit(0)).cast("double")
+    n_uniq = F.size(F.array_distinct(toks))
+    stop = _stopword_count(toks, LANG_STOPWORDS["en"])
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (n_uniq / n_tok_d) * 0.4
+        + F.least(stop / n_tok_d * 5, F.lit(1.0)) * 0.2
+    )
+    return F.round(score, 6)
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full text-analysis column family."""
+    from jurimetria_etl_spark.operators.dedup import fingerprint
+
+    return (
+        df.withColumn("lang_pred", lang_id(text_col))
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
+
+
+def top_terms(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-level term frequencies: explode + hash agg + deterministic
+    top-k (count desc, term asc)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(k)
+    )

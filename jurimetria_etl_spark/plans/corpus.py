@@ -618,9 +618,18 @@ CORPUS: dict[str, Q] = {
 }
 
 
+def full_registry() -> dict[str, Q]:
+    """Core corpus + extension queries (dedup/similarity/text)."""
+    from jurimetria_etl_spark.plans.extensions import EXTENSIONS
+
+    return {**CORPUS, **EXTENSIONS}
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark for name, q in CORPUS.items()}
+    return {name: q.spark for name, q in full_registry().items()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {name: q.oracle for name, q in CORPUS.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in full_registry().items() if q.oracle is not None
+    }

@@ -1,0 +1,346 @@
+"""Extension-query corpus: the LLM-training-data pipeline operators
+(SURVEY §2.12 / BASELINE.json north_star) with DuckDB oracles.
+
+Oracles recompute the SAME signatures/heuristics in SQL — portability is
+why every hash in operators/dedup.py is md5-derived (``hash60``) rather
+than Spark's murmur3.  Long repetitive oracle SQL (per-bit simhash votes,
+per-permutation minhash) is generated programmatically below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators import dedup as D
+from jurimetria_etl_spark.operators import similarity as S
+from jurimetria_etl_spark.operators import text as X
+from jurimetria_etl_spark.plans.corpus import Q, _t
+
+# ── SQL fragment builders (DuckDB dialect) ─────────────────────────────────
+TOKS = "string_split(trim(text), ' ')"
+TOKS_LC = "string_split(trim(lower(text)), ' ')"
+
+
+def h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def shingles_sql(n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({TOKS}) - {n - 1}), "
+        f"i -> array_to_string({TOKS}[i:i+{n - 1}], ' ')))"
+    )
+
+
+# ───────────────────────────── queries ─────────────────────────────────────
+def x01_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup over documents (E1): distinct fingerprint count."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(D.fingerprint("text").alias("fp")).distinct().agg(
+        F.count("*").alias("cnt")
+    )
+
+
+_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+X01_SQL = f"""
+SELECT count(*) AS cnt FROM (
+  SELECT DISTINCT {h60(_NORM_TEXT)} AS fp
+  FROM documents) t
+"""
+
+
+def x02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit content fingerprint."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", D.fingerprint("text").alias("fp")
+    )
+
+
+X02_SQL = f"""
+SELECT doc_id, {h60(_NORM_TEXT)} AS fp
+FROM documents
+"""
+
+
+def x03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, 3-gram shingles) — narrow, no shuffle."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", D.minhash_signature("text", k=8, n=3).alias("minhash")
+    )
+
+
+def _x03_sql(k: int = 8) -> str:
+    sigs = ", ".join(
+        "list_aggregate(list_transform(shingles, s -> "
+        + h60(f"'{i}:' || s")
+        + "), 'min')"
+        for i in range(k)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM documents)
+SELECT doc_id, [{sigs}] AS minhash FROM sh
+"""
+
+
+def x04_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs (bands=4×2) — the one shuffle of the
+    near-dup pipeline."""
+    return D.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=4, n=3
+    )
+
+
+def _x04_sql(k: int = 8, bands: int = 4) -> str:
+    rpb = k // bands
+    sigs = ", ".join(
+        "list_aggregate(list_transform(shingles, s -> "
+        + h60(f"'{i}:' || s")
+        + "), 'min')"
+        for i in range(k)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM documents),
+sig AS (SELECT doc_id, [{sigs}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b,
+         {h60(f"array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')")} AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) bs
+)
+SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+FROM banded l JOIN banded r
+  ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+"""
+
+
+def x05_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash near-dup pipeline: LSH candidates + exact-Jaccard
+    verification at 0.5."""
+    return D.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+X05_SQL = f"""
+WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM documents),
+sig AS (SELECT doc_id, [{", ".join("list_aggregate(list_transform(shingles, s -> " + h60(f"'{i}:' || s") + "), 'min')" for i in range(8))}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b, {h60("array_to_string(sig[b*2+1 : b*2+2], ',')")} AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM banded l JOIN banded r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT c.left_id, c.right_id,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM cand c JOIN sh a ON c.left_id = a.doc_id JOIN sh b ON c.right_id = b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.5
+"""
+
+
+def x06_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (threshold 0.2 → the 25
+    planted near-dup pairs at sf0.01)."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    )
+
+
+X06_SQL = f"""
+WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS s FROM documents),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+shared AS (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS c
+  FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT left_id, right_id, round(c * 1.0 / (la.n + lb.n - c), 6) AS jaccard
+FROM shared JOIN sz la ON left_id = la.doc_id JOIN sz lb ON right_id = lb.doc_id
+WHERE round(c * 1.0 / (la.n + lb.n - c), 6) >= 0.2
+"""
+
+
+def x07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 48-bit SimHash signature (48 bits keeps random-pair
+    hamming distances far from the near-dup threshold even on a small
+    vocabulary corpus)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", D.simhash("text", bits=48).alias("simhash")
+    )
+
+
+def _x07_sql(bits: int = 16) -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH th AS (SELECT doc_id, list_transform({TOKS}, t -> {h60("t")}) AS hs FROM documents)
+SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM th
+"""
+
+
+def x08_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates + hamming ≤ 3 verify."""
+    return D.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bits=48,
+        max_hamming=3,
+        band_bits=12,
+    )
+
+
+def _x08_sql(bits: int = 16, band_bits: int = 4, max_hamming: int = 3) -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH th AS (SELECT doc_id, list_transform({TOKS}, t -> {h60("t")}) AS hs FROM documents),
+sig AS (SELECT doc_id, CAST({votes} AS BIGINT) AS sig FROM th),
+banded AS (
+  SELECT doc_id, sig, b, (sig >> (b * {band_bits})) & {mask} AS bval
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS b) bs
+)
+SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+       bit_count(xor(l.sig, r.sig)) AS hamming
+FROM banded l JOIN banded r
+  ON l.b = r.b AND l.bval = r.bval AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sig, r.sig)) <= {max_hamming}
+"""
+
+
+def x09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID over documents."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", X.lang_id("text").alias("lang_pred")
+    )
+
+
+def _lang_filter_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x IN ({inlist})))"
+
+
+X09_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_LC} AS toks FROM documents),
+s AS (SELECT doc_id, text,
+  {_lang_filter_sql(X.LANG_STOPWORDS["en"])} AS en,
+  {_lang_filter_sql(X.LANG_STOPWORDS["fr"])} AS fr,
+  {_lang_filter_sql(X.LANG_STOPWORDS["es"])} AS es,
+  {_lang_filter_sql(X.LANG_STOPWORDS["de"])} AS de
+  FROM t)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '{X.CJK_PATTERN}') THEN 'zh'
+       WHEN greatest(en, fr, es, de) = 0 THEN 'und'
+       WHEN en = greatest(en, fr, es, de) THEN 'en'
+       WHEN fr = greatest(en, fr, es, de) THEN 'fr'
+       WHEN es = greatest(en, fr, es, de) THEN 'es'
+       ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
+def x10_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", X.quality_score("text").alias("quality")
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])
+X10_SQL = f"""
+WITH t AS (SELECT doc_id, list_filter({TOKS_LC}, x -> x <> '') AS toks FROM documents),
+s AS (SELECT doc_id,
+        len(toks) AS n_tok,
+        len(list_distinct(toks)) AS n_uniq,
+        len(list_filter(toks, x -> x IN ({_EN}))) AS stop
+      FROM t)
+SELECT doc_id,
+  round( least(n_tok / 100.0, 1.0) * 0.4
+       + (n_uniq / CAST(nullif(n_tok, 0) AS DOUBLE)) * 0.4
+       + least(stop / CAST(nullif(n_tok, 0) AS DOUBLE) * 5, 1.0) * 0.2, 6) AS quality
+FROM s
+"""
+
+
+def x11_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace, BPE-ish regex chunks, len/4 estimate."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.token_count("text").alias("ws_tokens"),
+        X.bpe_ish_token_count("text").alias("bpe_tokens"),
+        X.chars_per_token_estimate("text").alias("est_tokens"),
+    )
+
+
+X11_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{X.WORDLIKE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       CAST(ceil(length(text) / 4) AS BIGINT) AS est_tokens
+FROM documents
+"""
+
+
+def x12_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: brute-force all-pairs cosine ≥ 0.45 (exact
+    baseline; the LSH-pruned variant is x13)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("__a"))
+    b = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("__b"))
+    sim = F.round(S.cosine_sim(F.col("__a"), F.col("__b")), 6)
+    return (
+        a.join(b, F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.45)
+    )
+
+
+X12_SQL = """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.45
+"""
+
+
+def x13_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via LSH buckets (no oracle — approximation quality
+    is asserted as recall-vs-brute-force in tests)."""
+    return S.lsh_bucket_topk(
+        _t(spark, sf_dir, "embeddings"), probe_id=1, k=5, dim=64, n_planes=4, n_tables=8
+    )
+
+
+EXTENSIONS: dict[str, Q] = {
+    "x01_dedup_docs": Q(x01_dedup_docs, X01_SQL),
+    "x02_fingerprint": Q(x02_fingerprint, X02_SQL),
+    "x03_minhash": Q(x03_minhash, _x03_sql(8)),
+    "x04_minhash_candidates": Q(x04_minhash_candidates, _x04_sql(8, 4)),
+    "x05_minhash_near_dups": Q(x05_minhash_near_dups, X05_SQL),
+    "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),
+    "x07_simhash": Q(x07_simhash, _x07_sql(48)),
+    "x08_simhash_near_dups": Q(x08_simhash_near_dups, _x08_sql(48, 12, 3)),
+    "x09_lang_id": Q(x09_lang_id, X09_SQL),
+    "x10_quality": Q(x10_quality, X10_SQL),
+    "x11_token_stats": Q(x11_token_stats, X11_SQL),
+    "x12_cosine_pairs": Q(x12_cosine_pairs, X12_SQL),
+    "x13_ann_lsh": Q(x13_ann_lsh, None),
+}

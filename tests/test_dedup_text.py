@@ -1,0 +1,137 @@
+"""Unit tests for the dedup / text-analysis / similarity extension operators
+(E1–E4): semantic properties, not just smoke — LSH recall, jaccard symmetry,
+signature determinism, and the planted near-dups in the fixture corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators import dedup as D
+from jurimetria_etl_spark.operators import similarity as S
+from jurimetria_etl_spark.operators import text as X
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "only two"), (2, "a b c d")])
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", D.word_shingles("text", 3).alias("sh")).collect()}
+    assert got[1] == []
+    assert got[2] == ["a b c", "b c d"]
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = _docs(spark, [(1, "Hello  World"), (2, "hello world"), (3, "different")])
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", D.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_dedup_by_fingerprint_keeps_min_id(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same  TEXT"), (3, "other")])
+    kept = sorted(r["doc_id"] for r in D.dedup_by_fingerprint(df, "text", "doc_id").collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_identical_texts_identical_sigs(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(1, t), (2, t), (3, "completely unrelated words here of many kinds")])
+    sigs = {r["doc_id"]: r["m"] for r in D.add_minhash(df, "text", sig_col="m").collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert len(sigs[1]) == 8
+    # independent permutations: salts must differ
+    assert len(set(sigs[1])) > 1
+
+
+def test_minhash_near_duplicates_finds_planted_pair(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near = base + " nu"
+    df = _docs(spark, [(1, base), (2, near), (3, "totally different content with other words entirely")])
+    pairs = D.minhash_near_duplicates(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(p["left_id"], p["right_id"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # shingle sets: {a b c, b c d} vs {a b c}; jaccard = 1/2
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c")])
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    assert len(pairs) == 1 and abs(pairs[0]["jaccard"] - 0.5) < 1e-9
+
+
+def test_simhash_near_dup_and_hamming(spark):
+    t = "spark engine table scan filter join aggregate window sort merge"
+    df = _docs(spark, [(1, t), (2, t), (3, "x y z entirely different tokens")])
+    pairs = D.simhash_near_duplicates(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p["left_id"], p["right_id"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_lang_id_heuristics(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat is on the roof of the house and it is happy"),
+            (2, "le chat est sur le toit de la maison et les oiseaux"),
+            (3, "el gato y los perros en la casa una vez"),
+            (4, "der hund und die katze das ist ein haus nicht"),
+            (5, "这是一个中文文档"),
+            (6, "zzz qqq www"),
+        ],
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", X.lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "zh", 6: "und"}
+
+
+def test_quality_score_bounds_and_null(spark):
+    df = _docs(spark, [(1, "the of and is a to in word " * 10), (2, "")])
+    got = {r["doc_id"]: r["q"] for r in df.select(
+        "doc_id", X.quality_score("text").alias("q")).collect()}
+    assert got[1] is not None and 0.0 <= got[1] <= 1.0
+    assert got[2] is None  # empty doc → NULL, not a crash
+
+
+def test_token_counts(spark):
+    df = _docs(spark, [(1, "Hello, world! 42 times")])
+    r = df.select(
+        X.token_count("text").alias("ws"),
+        X.bpe_ish_token_count("text").alias("bpe"),
+        X.chars_per_token_estimate("text").alias("est"),
+    ).first()
+    assert r["ws"] == 4
+    # hello , world ! 42 times → 6 chunks
+    assert r["bpe"] == 6
+    assert r["est"] == 6  # ceil(22/4)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """x13's approximation quality: LSH top-5 must recover ≥3 of the exact
+    brute-force top-5 for a fixed probe/seed (deterministic given both)."""
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    emb = load_fixture(spark, SF, "embeddings")
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, probe_id=1, k=5).collect()}
+    approx = {
+        r["vec_id"]
+        for r in S.lsh_bucket_topk(
+            emb, probe_id=1, k=5, dim=64, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert len(exact) == 5
+    assert len(exact & approx) >= 3
+
+
+def test_cosine_similarity_join_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = S.cosine_similarity_join(df, df, threshold=0.9, dim=3, n_planes=2).collect()
+    assert {(p["left_id"], p["right_id"]) for p in pairs} == {(1, 2)}
