@@ -584,6 +584,50 @@ GROUP BY term ORDER BY cnt DESC, term LIMIT 20
 """
 
 
+def q25_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q25 — tumbling time-window aggregation (the streaming operator's
+    batch-equivalent form; streaming equivalence is pinned in
+    tests/test_streaming.py)."""
+    from jurimetria_etl_spark.streaming.windows import tumbling_window_agg
+
+    return tumbling_window_agg(_t(spark, sf_dir, "events"), window="1 hour")
+
+
+Q25_SQL = """
+SELECT date_trunc('hour', ts) AS w_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+       event_type, count(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q26_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q26 — session windows (10-minute gap) per user; the oracle is the
+    classic gaps-and-islands SQL (lag + cumulative break-count)."""
+    from jurimetria_etl_spark.streaming.windows import session_window_counts
+
+    return session_window_counts(_t(spark, sf_dir, "events"), gap="10 minutes")
+
+
+Q26_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o)
+SELECT min(ts) AS w_start, max(ts) + INTERVAL 10 MINUTE AS w_end,
+       user_id, count(*) AS cnt
+FROM s GROUP BY user_id, sess
+"""
+
+
 # ───────────────────────────── registry ────────────────────────────────────
 CORPUS: dict[str, Q] = {
     "q01_scan_project": Q(q01_scan_project, Q01_SQL),
@@ -615,6 +659,8 @@ CORPUS: dict[str, Q] = {
     "q23_similarity_topk": Q(q23_similarity_topk, Q23_SQL),
     "q24_text_stats": Q(q24_text_stats, Q24_SQL),
     "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
+    "q25_window_tumbling": Q(q25_window_tumbling, Q25_SQL),
+    "q26_session_window": Q(q26_session_window, Q26_SQL),
 }
 
 

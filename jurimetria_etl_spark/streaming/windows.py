@@ -1,0 +1,127 @@
+"""Structured Streaming operators over the ``events`` stream (SURVEY §2.10).
+
+The reference is strictly batch; its ``search_after`` cursor generator is a
+natural resumable micro-batch source, which maps to Structured Streaming:
+``readStream`` → ``withWatermark`` → windowed aggregation → sink.  Every
+aggregation here is defined once and works in BOTH batch and streaming mode
+(the batch-equivalence property the tests assert): pass any DataFrame —
+static or streaming — and get the same logical plan.
+
+Scale notes: watermarks bound state (late data beyond the delay is
+dropped); windowed aggs shuffle on (window, keys); ``foreachBatch`` gives
+exactly-once parquet appends with the checkpoint directory as the ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-based micro-batch source over events parquet/json drops."""
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if path.endswith(".json") or path.rstrip("/").endswith("json"):
+        return reader.json(path)
+    return reader.parquet(path)
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window event counts + value sum per event_type.
+
+    Works identically on batch and streaming inputs; on streaming, the
+    watermark bounds state and admits late data up to the delay.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "cnt",
+            "total",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts per user (overlapping windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "user_id",
+            "cnt",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows: activity sessions per user separated by ≥gap idle."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "user_id",
+            "cnt",
+        )
+    )
+
+
+def stream_to_parquet(
+    agg: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    once: bool = True,
+):
+    """foreachBatch parquet sink (complete-mode aggregates written as
+    overwrite-per-batch snapshots; checkpoint dir makes restarts
+    exactly-once)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
