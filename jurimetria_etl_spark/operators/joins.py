@@ -8,7 +8,7 @@ every executor once, the 100 TB fact side never shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,3 +38,169 @@ def enrich_municipio(
     return joined.withColumn(
         code_col, F.coalesce(F.col("__nm_mun"), F.col(code_col))
     ).drop("__cd_mun", "__nm_mun")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of (point-in-time) join: for each left row, attach the latest right
+    row with the same key whose ``right_ts`` ≤ ``left_ts``.
+
+    The reference has no such operator; this is the generalized-library
+    member that Spark itself lacks as a built-in.  Implemented as the
+    single-shuffle union+window pattern rather than an inequality join:
+
+      1. tag both sides and union them (right rows carry their payload as a
+         struct, left rows carry NULL),
+      2. one shuffle: window partitioned by the key, ordered by
+         (ts, side, payload) — right rows sort *before* left rows at equal
+         timestamps so ties match inclusively,
+      3. forward-fill the payload with ``last(ignorenulls)`` over an
+         unbounded-preceding row frame (runs inside the sorted window — no
+         second shuffle),
+      4. keep left rows; explode the struct back into columns.
+
+    Scale: exactly ONE Exchange (hashpartitioning on the key); a naive
+    ``l.ts >= r.ts`` theta-join would plan as a BroadcastNestedLoop /
+    cartesian O(N·M).  Skewed keys can be pre-salted upstream.
+
+    If several right rows share (key, ts), the one with the greatest payload
+    struct (field order = right_ts, *right_cols) wins — deterministically.
+    ``tolerance`` (an SQL interval string, e.g. ``'10 minutes'``) drops
+    matches older than ``left_ts - tolerance``, leaving NULLs (left-outer
+    semantics either way).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        payload.alias("__asof_rv"),
+    )
+    rv_type = r2.schema["__asof_rv"].dataType
+    l2 = left.select(
+        "*",
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(rv_type).alias("__asof_rv"),
+    )
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__asof_ts", "__asof_side", "__asof_rv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "__asof_match", F.last("__asof_rv", ignorenulls=True).over(w)
+    ).where(F.col("__asof_side") == 1)
+
+    if tolerance is not None:
+        in_range = F.col("__asof_match.__rts") >= (
+            F.col("__asof_ts") - F.expr(f"INTERVAL {tolerance}")
+        )
+        filled = filled.withColumn(
+            "__asof_match", F.when(in_range, F.col("__asof_match"))
+        )
+
+    taken = set(left.columns)
+    out_ts = right_ts + suffix if right_ts in taken else right_ts
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.col("__asof_match.__rts").alias(out_ts))
+    for c in right_cols:
+        proj.append(
+            F.col(f"__asof_match.{c}").alias(c + suffix if c in taken else c)
+        )
+    return filled.select(*proj)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: Column,
+    lo: Column,
+    hi: Column,
+    extra_cond: Column | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join via coarse time-bucket blocking.
+
+    A raw ``p.ts >= i.lo AND p.ts < i.hi`` join has no equi-key, so Spark
+    plans BroadcastNestedLoopJoin — O(N·M), dead at scale.  Blocking
+    restores an equi-key: each interval is exploded to every
+    ``bucket_seconds``-wide epoch bucket it overlaps, each point hashes to
+    exactly one bucket, the join runs as a shuffle/broadcast HASH join on
+    the bucket id (plus any caller-supplied equi-conditions in
+    ``extra_cond``), and the exact half-open predicate filters survivors.
+    No dedup needed: an interval appears once per bucket and a point
+    belongs to one bucket, so each qualifying pair meets exactly once.
+
+    Cost: |intervals| × ceil(span/bucket) exploded rows.  Pick
+    ``bucket_seconds`` ≈ the typical interval span — at 100 TB this is the
+    difference between a hash join and a cartesian product.
+
+    ``point_ts``/``lo``/``hi`` are Column refs built from the two frames
+    (e.g. ``points["ts"]``), so self-joins stay unambiguous.
+    """
+    us = bucket_seconds * 1_000_000
+    pts = points.withColumn("__rjb_p", F.floor(F.unix_micros(point_ts) / us))
+    ivs = intervals.withColumn(
+        "__rjb_i",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(lo) / us), F.floor(F.unix_micros(hi) / us)
+            )
+        ),
+    )
+    cond = (
+        (pts["__rjb_p"] == ivs["__rjb_i"])
+        & (point_ts >= lo)
+        & (point_ts < hi)
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return pts.join(ivs, cond, how).drop("__rjb_p", "__rjb_i")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: hot keys on the (large, skewed) left side are
+    spread over ``n_salts`` shuffle partitions; the right side is replicated
+    ``n_salts``× so every (key, salt) pair still meets.
+
+    The left salt is derived from a hash of the whole row, so one hot key
+    fans out evenly and deterministically; the right explode is a narrow op
+    before the shuffle.  Result is row-for-row identical to the plain join
+    (oracle-checked) — only the physical partitioning changes.  AQE's skew
+    handling (``spark.sql.adaptive.skewJoin``) covers moderate skew at
+    runtime; explicit salting is for the pathological key that exceeds a
+    single executor's memory even after AQE splits.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l2 = left.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+    )
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l2.join(r2, keys + ["__salt"], how).drop("__salt")

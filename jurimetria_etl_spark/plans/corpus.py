@@ -628,6 +628,188 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27 — as-of join: each error event picks up the latest same-user
+    click at-or-before it.  Spark side is the single-shuffle union+window
+    operator (``operators.joins.asof_join``); the oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from jurimetria_etl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id"],
+    ).withColumnRenamed("ts_r", "click_ts")
+
+
+Q27_SQL = """
+SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts, c.click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id
+                FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def q28_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28 — point-in-interval range join: events counted into the 10-minute
+    window after each same-user error.  Bucketed blocking keeps it a hash
+    join (see ``operators.joins.range_join_bucketed``); the oracle is the
+    naive inequality join."""
+    from jurimetria_etl_spark.operators.joins import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    ivs = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        "ts",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        pts,
+        ivs,
+        pts["l_ts"],
+        ivs["ts"],
+        ivs["hi"],
+        extra_cond=pts["l_user"] == ivs["user_id"],
+        bucket_seconds=600,
+    )
+    return joined.groupBy("err_id").agg(F.count("*").alias("cnt"))
+
+
+Q28_SQL = """
+SELECT r.event_id AS err_id, count(*) AS cnt
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') r
+JOIN events l
+  ON l.user_id = r.user_id AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 10 MINUTE
+GROUP BY err_id
+"""
+
+
+def q29_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29 — skew-salted fact-fact join; must be row-identical to the plain
+    join (the oracle IS the plain join) — only the shuffle layout differs."""
+    from jurimetria_etl_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        salted_join(li, orders, on="o_orderkey", n_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+Q29_SQL = """
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q30 — CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (partial-aggregated before the shuffle, same as a plain
+    groupBy)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+Q30_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q31_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q31 — explicit GROUPING SETS ((flag), (status), ()) — the general
+    form behind rollup/cube."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.count("*").alias("cnt"), dsum("l_extendedprice", "sum_price"))
+    )
+
+
+Q31_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q32_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q32 — exact percentiles (linear interpolation — ``percentile_cont``
+    semantics) per group.  Exact, not ``approx_percentile``: the sort is
+    per-group inside the aggregate; at 100 TB prefer the approx variant
+    (q11's sketch pattern) unless exactness is contractual."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.9).alias("q90"),
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+    )
+
+
+Q32_SQL = """
+SELECT l_returnflag,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q50,
+       percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS q90,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS median_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q33_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q33 — sliding windows (1 h long, 15 min slide): every event lands in
+    exactly 4 overlapping windows.  Same operator serves batch and
+    streaming (``streaming.windows.sliding_window_agg``)."""
+    from jurimetria_etl_spark.streaming.windows import sliding_window_agg
+
+    return sliding_window_agg(
+        _t(spark, sf_dir, "events"), window="1 hour", slide="15 minutes"
+    )
+
+
+# Oracle: rebuild the 4 epoch-aligned window starts per event with
+# generate_series; make_timestamp keeps everything tz-naive.
+Q33_SQL = """
+WITH w AS (
+  SELECT user_id,
+         make_timestamp(s * 1000000) AS w_start
+  FROM events,
+       UNNEST(generate_series(
+         CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - 2700,
+         CAST(floor(epoch(ts) / 900) AS BIGINT) * 900,
+         900)) AS t(s))
+SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, user_id, count(*) AS cnt
+FROM w GROUP BY 1, 2, 3
+"""
+
+
 # ───────────────────────────── registry ────────────────────────────────────
 CORPUS: dict[str, Q] = {
     "q01_scan_project": Q(q01_scan_project, Q01_SQL),
@@ -661,6 +843,13 @@ CORPUS: dict[str, Q] = {
     "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
     "q25_window_tumbling": Q(q25_window_tumbling, Q25_SQL),
     "q26_session_window": Q(q26_session_window, Q26_SQL),
+    "q27_asof_join": Q(q27_asof_join, Q27_SQL),
+    "q28_range_join": Q(q28_range_join, Q28_SQL),
+    "q29_salted_join": Q(q29_salted_join, Q29_SQL),
+    "q30_cube": Q(q30_cube, Q30_SQL),
+    "q31_grouping_sets": Q(q31_grouping_sets, Q31_SQL),
+    "q32_percentile": Q(q32_percentile, Q32_SQL),
+    "q33_sliding_window": Q(q33_sliding_window, Q33_SQL),
 }
 
 

@@ -329,7 +329,17 @@ def x13_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x14_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF cell pruning: probe scans only the 4 of 16
+    nearest cells (no oracle — exactness at full probe and recall at
+    partial probe are pinned in tests)."""
+    return S.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), probe_id=1, k=5, n_cells=16, n_probe=4
+    )
+
+
 EXTENSIONS: dict[str, Q] = {
+    "x14_ann_ivf": Q(x14_ann_ivf, None),
     "x01_dedup_docs": Q(x01_dedup_docs, X01_SQL),
     "x02_fingerprint": Q(x02_fingerprint, X02_SQL),
     "x03_minhash": Q(x03_minhash, _x03_sql(8)),

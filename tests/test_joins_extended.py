@@ -1,0 +1,136 @@
+"""As-of / range / salted join semantics + plan-shape guarantees.
+
+These operators are the generalized-library members Spark lacks as
+built-ins (SURVEY §2.6 note); their scale contracts (single shuffle for
+as-of, hash join for range) are asserted against the physical plan, not
+just trusted from the docstring.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+    salted_join,
+)
+
+TS = dt.datetime
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", TS(2024, 1, 1, 10, 0, 0), 100.0),
+            ("A", TS(2024, 1, 1, 10, 5, 0), 101.0),
+            ("A", TS(2024, 1, 1, 10, 5, 0), 102.0),  # tie on (key, ts)
+            ("B", TS(2024, 1, 1, 9, 0, 0), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", TS(2024, 1, 1, 10, 3, 0), 1),   # matches 10:00 quote
+            ("A", TS(2024, 1, 1, 10, 5, 0), 2),   # tie ts → inclusive match
+            ("A", TS(2024, 1, 1, 9, 59, 0), 3),   # before any quote → NULL
+            ("B", TS(2024, 1, 1, 12, 0, 0), 4),   # stale match (3 h old)
+            ("C", TS(2024, 1, 1, 10, 0, 0), 5),   # key never quoted → NULL
+        ],
+        "sym string, ts timestamp, qty int",
+    )
+
+
+def test_asof_basic_semantics(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on="sym", right_cols=["px"]
+    )
+    got = {r["qty"]: r["px"] for r in out.collect()}
+    assert got[1] == 100.0
+    assert got[2] == 102.0  # inclusive at equal ts; max payload wins the tie
+    assert got[3] is None
+    assert got[4] == 50.0
+    assert got[5] is None
+    # matched right timestamp is exposed (suffixed, 'ts' clashes with left)
+    assert "ts_r" in out.columns
+
+
+def test_asof_tolerance(spark):
+    out = asof_join(
+        _trades(spark),
+        _quotes(spark),
+        on="sym",
+        right_cols=["px"],
+        tolerance="30 minutes",
+    )
+    got = {r["qty"]: r["px"] for r in out.collect()}
+    assert got[1] == 100.0  # 3 min old: in tolerance
+    assert got[4] is None   # 3 h old: dropped, row kept (left-outer)
+
+
+def test_asof_single_shuffle(spark):
+    plan = asof_join(
+        _trades(spark), _quotes(spark), on="sym", right_cols=["px"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_matches_naive_and_stays_hash(spark, sf_dir):
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    ev = load_fixture(spark, sf_dir, "events")
+    pts = ev.select(F.col("user_id").alias("lu"), F.col("ts").alias("lts"))
+    ivs = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        "ts",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    bucketed = (
+        range_join_bucketed(
+            pts, ivs, pts["lts"], ivs["ts"], ivs["hi"],
+            extra_cond=pts["lu"] == ivs["user_id"], bucket_seconds=600,
+        )
+        .groupBy("err_id").count()
+    )
+    naive = (
+        pts.join(
+            ivs,
+            (pts["lu"] == ivs["user_id"])
+            & (pts["lts"] >= ivs["ts"])
+            & (pts["lts"] < ivs["hi"]),
+        )
+        .groupBy("err_id").count()
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    salted = salted_join(li, orders, on="o_orderkey", n_salts=8)
+    plain = li.join(orders, "o_orderkey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("o_orderstatus").count().collect()
+    b = plain.groupBy("o_orderstatus").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"

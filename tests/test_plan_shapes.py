@@ -1,0 +1,67 @@
+"""Physical-plan regression tests (SURVEY §4): the optimizations the engine
+relies on at 100 TB must be visible in the plan at any scale — pushdown,
+pruning, broadcast, partial aggregation, top-k as TakeOrderedAndProject.
+A green corpus with a regressed plan is a silent 100× at the target scale,
+so the plan shape is part of the contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jurimetria_etl_spark.plans.corpus import CORPUS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushed_to_parquet(spark):
+    plan = _physical(CORPUS["q02_filter_eq"].spark(spark, SF))
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+
+
+def test_projection_prunes_scan(spark):
+    # q01 projects 4 of 11 lineitem columns; the scan must not read the rest
+    plan = _physical(CORPUS["q01_scan_project"].spark(spark, SF))
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_extendedprice" in scan and "l_discount" in scan
+    assert "l_shipdate" not in scan and "l_comment" not in scan
+
+
+def test_topk_is_take_ordered(spark):
+    # orderBy(desc).limit(k) must NOT materialize a global sort
+    plan = _physical(CORPUS["q15_topk"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    # map-side combine: two HashAggregates around one exchange
+    plan = _physical(CORPUS["q08_agg_hour"].spark(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _physical(CORPUS["q04_join_dim_coalesce"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_udfs_in_corpus(spark):
+    # every corpus query is whole-stage-codegen-able: no BatchEvalPython
+    # (row-at-a-time UDF) or ArrowEvalPython nodes anywhere
+    for name, q in CORPUS.items():
+        plan = _optimized(q.spark(spark, SF))
+        assert "PythonUDF" not in plan, f"{name} fell off the JVM fast path"
+
+
+@pytest.mark.parametrize("name", ["q05_join_inner", "q06_join_star"])
+def test_fact_joins_avoid_nested_loop(spark, name):
+    plan = _physical(CORPUS[name].spark(spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -64,7 +64,7 @@ def hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as entrymod
     from jurimetria_etl_spark.session import get_spark
 
@@ -78,6 +78,8 @@ def main(sf_dir: str) -> int:
         )
 
     queries = entrymod.queries()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
@@ -129,4 +131,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
