@@ -30,14 +30,26 @@ HEADLINE = [
     "q22_dedup_exact",
     "q23_similarity_topk",
     "q24_top_terms",
+    "q27_asof_join",
+    "q28_range_join",
+    "q30_cube",
+    "q32_percentile",
+    "t01_pricing_summary",
+    "t02_shipping_priority",
+    "t03_local_supplier_volume",
+    "t04_returned_items",
+    "x05_minhash_near_dups",
+    "x15_media_metadata",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    from jurimetria_etl_spark.plans.corpus import CORPUS
+    from jurimetria_etl_spark.plans.corpus import full_registry
     from jurimetria_etl_spark.session import get_spark
+
+    registry = full_registry()
 
     spark = get_spark("bench")
     # Warm the JVM + parquet footers so the first timed query isn't charged
@@ -47,7 +59,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = CORPUS[name].spark
+        fn = registry[name].spark
         t0 = time.time()
         df = fn(spark, sf_dir)
         # noop sink: computes every output column/row, writes nothing —

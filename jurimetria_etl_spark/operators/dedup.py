@@ -22,6 +22,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def widen_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to cluster width before a CPU-dense narrow stage.
+
+    Signature computation (minhash/simhash/LSH) costs far more CPU per byte
+    than the scan, so partitioning by input *bytes* under-parallelizes it
+    badly: a 5 MB single-file corpus plans as ONE task and serializes 2M
+    md5 calls on one core.  One cheap shuffle of the raw text buys
+    cluster-wide fan-out.  No-op when the input is already wide (the 100 TB
+    case, where file count ≥ cores).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ───────────────────────── tokenize / shingle ──────────────────────────────
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of trimmed text."""
@@ -89,25 +105,64 @@ def dedup_by_fingerprint(
 
 
 # ───────────────────────────── MinHash + LSH ───────────────────────────────
+# Universal-hash permutation family h_i(x) = (a_i·x + b_i) mod P over the
+# Mersenne prime P = 2³¹−1: ONE md5 per shingle, then k multiply-adds —
+# ~k× cheaper than k salted md5 passes, identical collision statistics.
+# Operands stay < 2⁶² so the arithmetic is overflow-safe in any engine that
+# errors on bigint overflow (DuckDB) as well as ones that wrap (JVM).
+# Coefficients come from a fixed LCG so both engines embed the same
+# literals.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    return [
+        (
+            (1103515245 * (i + 1) + 12345) % MINHASH_PRIME or 1,
+            (1103515245 * (i + 101) + 54321) % MINHASH_PRIME,
+        )
+        for i in range(k)
+    ]
+
+
+def _minhash_from_base(base: Column, k: int) -> Column:
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+                )
+            )
+            for a, b in minhash_coeffs(k)
+        ]
+    )
+
+
 def minhash_signature(col: Column | str, k: int = 8, n: int = 3) -> Column:
-    """MinHash signature: array of k minimums of independently-salted
-    60-bit shingle hashes.  Pure narrow expression (transform + array_min
-    per permutation)."""
-    sh = word_shingles(col, n)
-
-    # NB: closure factory, not a default arg — a 2-parameter lambda passed to
-    # transform() receives (element, position_index), which would silently
-    # replace the salt with the element position.
-    def salted(i: int):
-        return lambda s: hash60(s, str(i))
-
-    return F.array(*[F.array_min(F.transform(sh, salted(i))) for i in range(k)])
+    """MinHash signature as a single Column expression.  Prefer
+    ``add_minhash`` in pipelines: it stages the shingle-hash array in its
+    own projection so the md5 pass runs once, not once per permutation
+    (higher-order functions sit outside whole-stage codegen's
+    common-subexpression elimination)."""
+    base = F.transform(word_shingles(col, n), lambda s: hash60(s) % MINHASH_PRIME)
+    return _minhash_from_base(base, k)
 
 
 def add_minhash(
     df: DataFrame, text_col: str, k: int = 8, n: int = 3, sig_col: str = "minhash"
 ) -> DataFrame:
-    return df.withColumn(sig_col, minhash_signature(text_col, k, n))
+    """Narrow minhash stage: one md5 pass over shingles (staged column —
+    CollapseProject keeps multi-referenced non-cheap aliases staged), k
+    multiply-add folds, input widened to cluster parallelism first."""
+    staged = widen_partitions(df).withColumn(
+        "__mh_base",
+        F.transform(
+            word_shingles(text_col, n), lambda s: hash60(s) % MINHASH_PRIME
+        ),
+    )
+    return staged.withColumn(
+        sig_col, _minhash_from_base(F.col("__mh_base"), k)
+    ).drop("__mh_base")
 
 
 def minhash_candidate_pairs(
@@ -180,6 +235,7 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """E2 — MinHash LSH candidates, then exact-Jaccard verification on the
     candidate pairs only (the standard two-phase near-dup pipeline)."""
+    df = widen_partitions(df)  # shingle both branches at cluster width
     cands = minhash_candidate_pairs(df, id_col, text_col, k, bands, n)
     sh = df.select(
         F.col(id_col), word_shingles(text_col, n).alias("__sh")
@@ -214,7 +270,9 @@ def ngram_jaccard_pairs(
     shingles — at scale, cap shingle document-frequency (drop shingles in
     >df_cap docs) before the join; the cap column is exposed for that.
     """
-    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("__sh"))
+    sh = widen_partitions(df).select(
+        F.col(id_col), word_shingles(text_col, n).alias("__sh")
+    )
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
     l, r = ex.alias("l"), ex.alias("r")
@@ -244,12 +302,7 @@ def ngram_jaccard_pairs(
 
 
 # ─────────────────────────────── SimHash ───────────────────────────────────
-def simhash(col: Column | str, bits: int = 16) -> Column:
-    """SimHash signature over whitespace tokens: per-bit majority vote of
-    60-bit token hashes, packed into a long.  Narrow fold — one aggregate
-    per bit over the token-hash array."""
-    h = F.transform(tokens(col), lambda t: hash60(t))
-
+def _simhash_from_hashes(h: Column, bits: int) -> Column:
     def bit_vote(b: int):
         # closure factory: aggregate()'s merge lambda must be exactly 2-ary
         return lambda acc, x: acc + F.when(
@@ -261,6 +314,30 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
         vote = F.aggregate(h, F.lit(0).cast("long"), bit_vote(b))
         sig = sig + F.when(vote >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sig
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash signature over whitespace tokens: per-bit majority vote of
+    60-bit token hashes, packed into a long.  Prefer ``add_simhash`` in
+    pipelines — it stages the token-hash array so md5 runs once, not once
+    per bit."""
+    return _simhash_from_hashes(
+        F.transform(tokens(col), lambda t: hash60(t)), bits
+    )
+
+
+def add_simhash(
+    df: DataFrame, text_col: str, bits: int = 16, sig_col: str = "simhash"
+) -> DataFrame:
+    """Narrow simhash stage: one md5 pass per token (staged column), then
+    ``bits`` fold votes over the hash array; input widened to cluster
+    parallelism first."""
+    staged = widen_partitions(df).withColumn(
+        "__sh_h", F.transform(tokens(text_col), lambda t: hash60(t))
+    )
+    return staged.withColumn(
+        sig_col, _simhash_from_hashes(F.col("__sh_h"), bits)
+    ).drop("__sh_h")
 
 
 def simhash_near_duplicates(
@@ -277,7 +354,7 @@ def simhash_near_duplicates(
     (band_idx, band_value), verified with bit_count(xor) ≤ max_hamming."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sig = df.select(F.col(id_col), simhash(text_col, bits).alias("__sig"))
+    sig = add_simhash(df, text_col, bits, "__sig").select(id_col, "__sig")
     # static unroll — shiftright takes a literal shift amount
     band_arr = F.array(
         *[

@@ -854,10 +854,12 @@ CORPUS: dict[str, Q] = {
 
 
 def full_registry() -> dict[str, Q]:
-    """Core corpus + extension queries (dedup/similarity/text)."""
+    """Core corpus + extensions (dedup/similarity/text/multimodal) + TPC-H
+    composites."""
     from jurimetria_etl_spark.plans.extensions import EXTENSIONS
+    from jurimetria_etl_spark.plans.tpch import TPCH
 
-    return {**CORPUS, **EXTENSIONS}
+    return {**CORPUS, **EXTENSIONS, **TPCH}
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

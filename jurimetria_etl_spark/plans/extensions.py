@@ -65,22 +65,33 @@ FROM documents
 
 
 def x03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8, 3-gram shingles) — narrow, no shuffle."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", D.minhash_signature("text", k=8, n=3).alias("minhash")
+    """MinHash signatures (k=8, 3-gram shingles) — narrow, no shuffle; one
+    md5 pass + k affine permutations (see operators/dedup.py)."""
+    return D.add_minhash(
+        _t(spark, sf_dir, "documents"), "text", k=8, n=3, sig_col="minhash"
+    ).select("doc_id", "minhash")
+
+
+def _minhash_sigs_sql(k: int) -> str:
+    """The k per-permutation minima over the staged ``base`` hash array —
+    same (a_i, b_i) literals as operators/dedup.py."""
+    return ", ".join(
+        f"list_aggregate(list_transform(base, h -> "
+        f"({a} * h + {b}) % {D.MINHASH_PRIME}), 'min')"
+        for a, b in D.minhash_coeffs(k)
     )
+
+
+_BASE_HASHES = (
+    f"list_transform(shingles, s -> {h60('s')} % {D.MINHASH_PRIME})"
+)
 
 
 def _x03_sql(k: int = 8) -> str:
-    sigs = ", ".join(
-        "list_aggregate(list_transform(shingles, s -> "
-        + h60(f"'{i}:' || s")
-        + "), 'min')"
-        for i in range(k)
-    )
     return f"""
-WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM documents)
-SELECT doc_id, [{sigs}] AS minhash FROM sh
+WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM documents),
+hs AS (SELECT doc_id, {_BASE_HASHES} AS base FROM sh)
+SELECT doc_id, [{_minhash_sigs_sql(k)}] AS minhash FROM hs
 """
 
 
@@ -94,15 +105,10 @@ def x04_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x04_sql(k: int = 8, bands: int = 4) -> str:
     rpb = k // bands
-    sigs = ", ".join(
-        "list_aggregate(list_transform(shingles, s -> "
-        + h60(f"'{i}:' || s")
-        + "), 'min')"
-        for i in range(k)
-    )
     return f"""
 WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM documents),
-sig AS (SELECT doc_id, [{sigs}] AS sig FROM sh),
+hs AS (SELECT doc_id, {_BASE_HASHES} AS base FROM sh),
+sig AS (SELECT doc_id, [{_minhash_sigs_sql(k)}] AS sig FROM hs),
 banded AS (
   SELECT doc_id, b,
          {h60(f"array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')")} AS bkey
@@ -124,7 +130,8 @@ def x05_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X05_SQL = f"""
 WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM documents),
-sig AS (SELECT doc_id, [{", ".join("list_aggregate(list_transform(shingles, s -> " + h60(f"'{i}:' || s") + "), 'min')" for i in range(8))}] AS sig FROM sh),
+hs AS (SELECT doc_id, shingles, {_BASE_HASHES} AS base FROM sh),
+sig AS (SELECT doc_id, [{_minhash_sigs_sql(8)}] AS sig FROM hs),
 banded AS (
   SELECT doc_id, b, {h60("array_to_string(sig[b*2+1 : b*2+2], ',')")} AS bkey
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
@@ -168,9 +175,9 @@ def x07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 48-bit SimHash signature (48 bits keeps random-pair
     hamming distances far from the near-dup threshold even on a small
     vocabulary corpus)."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", D.simhash("text", bits=48).alias("simhash")
-    )
+    return D.add_simhash(
+        _t(spark, sf_dir, "documents"), "text", bits=48, sig_col="simhash"
+    ).select("doc_id", "simhash")
 
 
 def _x07_sql(bits: int = 16) -> str:
@@ -338,8 +345,68 @@ def x14_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x15_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction end-to-end: documents → binary blobs →
+    Arrow-batched ``mapInPandas`` decode (deterministic fake decoder) →
+    typed metadata.  The oracle recomputes the fake decoder's arithmetic on
+    UTF-8 byte lengths in SQL, so the whole mapInPandas plumbing — schema,
+    batching, struct assembly — is value-checked, not just smoke-tested."""
+    from jurimetria_etl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = M.attach_text_as_binary(docs)
+    meta = M.extract_media_metadata(
+        blobs, decode_fn=M.fake_image_decoder, batch_cols=("doc_id", "length")
+    )
+    return meta.select(
+        "doc_id",
+        F.col("length").alias("n_bytes"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_channels").alias("n_channels"),
+    )
+
+
+X15_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'image' AS media_type,
+       CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
+       CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels
+FROM documents
+"""
+
+
+def x16_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (one blob → N frame rows): byte-slice frames
+    via mapInPandas; the oracle slices the same UTF-8 blobs with substring
+    arithmetic.  Frame payloads hash-compare as hex bytes."""
+    from jurimetria_etl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = M.attach_text_as_binary(docs)
+    return M.sample_frames(blobs, every_n_bytes=256, max_frames=4)
+
+
+# DuckDB 1.0 has no BLOB substring; the fixture docs are pure ASCII
+# (octet_length == length, asserted in tests), so char slicing before
+# encode() is byte-exact.
+X16_SQL = """
+SELECT 'mem://doc/' || doc_id AS src,
+       CAST(i AS INT) AS frame_idx,
+       encode(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame
+FROM documents,
+     UNNEST(generate_series(
+       0, least(4, greatest(1, octet_length(encode(text)) // 256)) - 1)) AS t(i)
+"""
+
+
 EXTENSIONS: dict[str, Q] = {
     "x14_ann_ivf": Q(x14_ann_ivf, None),
+    "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
+    "x16_frame_sample": Q(x16_frame_sample, X16_SQL),
     "x01_dedup_docs": Q(x01_dedup_docs, X01_SQL),
     "x02_fingerprint": Q(x02_fingerprint, X02_SQL),
     "x03_minhash": Q(x03_minhash, _x03_sql(8)),
