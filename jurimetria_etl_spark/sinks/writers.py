@@ -104,3 +104,43 @@ def plot_horario(df: DataFrame, out_path: str, ts_col: str = "data_ajuizamento")
     plt.savefig(out_path, dpi=150)
     plt.close()
     return True
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    compression: str = "zstd",
+) -> None:
+    """Hive-style partitioned parquet layout: one directory per partition
+    value.  At 100 TB this is what turns ``WHERE date = X`` into partition
+    pruning (the scan lists one directory instead of reading footers for
+    the whole table).  Partition on low-cardinality, always-filtered
+    columns — a high-cardinality partition column produces millions of tiny
+    files and kills the namenode/listing instead."""
+    df.write.mode("overwrite").option("compression", compression).partitionBy(
+        *partition_cols
+    ).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (``bucketBy`` requires ``saveAsTable``).
+
+    Bucketing pre-shuffles ONCE at write time: rows are hash-placed into
+    ``n_buckets`` files per partition by the bucket key.  Two tables
+    bucketed the same way join with ZERO exchange — the per-bucket files
+    are already co-located — which is the right amortization when a fact
+    table is joined on the same key by many downstream queries.
+    ``sort_cols`` additionally pre-sorts within buckets, upgrading the join
+    to a merge join with no sort either.  Pick n_buckets ≈ cluster cores ×
+    small integer; too few buckets caps join parallelism."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

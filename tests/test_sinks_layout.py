@@ -1,0 +1,64 @@
+"""Storage-layout sinks: partition pruning and bucketed co-located joins —
+the write-side half of the 100 TB story, asserted against the physical plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.sinks.writers import (
+    write_bucketed_table,
+    write_partitioned,
+)
+from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    orders = load_fixture(spark, SF, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, path, ["o_orderstatus"])
+
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = _physical(back)
+    # partition filter, not a data filter: pruning happens at file listing
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0]
+    expected = orders.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # managed tables land in the session warehouse dir (gitignored);
+    # DROP TABLE below removes the files
+    orders = load_fixture(spark, SF, "orders")
+    li = load_fixture(spark, SF, "lineitem")
+    write_bucketed_table(
+        orders, "b_orders", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"]
+    )
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        n_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        # force SMJ so broadcast doesn't mask the bucketing effect
+        joined = a.hint("merge").join(b, "o_orderkey")
+        plan = _physical(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
