@@ -75,6 +75,26 @@ def chars_per_token_estimate(col: Column | str) -> Column:
     return F.ceil(F.length(col) / 4).cast("bigint")
 
 
+ROLL_BASE = 1_000_003  # prime base; acc·B + h stays < 2⁵² (overflow-safe)
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Karp-Rabin-style rolling document fingerprint: left fold of
+    ``acc·B + hash(token) (mod P)`` over the token stream (P = 2³¹−1).
+
+    Order-sensitive (unlike a bag-of-words hash) and incrementally
+    updatable — the property that lets a streaming ingest maintain it
+    per-append.  Narrow fold, one md5 per token, no shuffle."""
+    from jurimetria_etl_spark.operators.dedup import MINHASH_PRIME, hash60
+
+    hs = F.transform(tokens(col), lambda t: hash60(t) % MINHASH_PRIME)
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_BASE + h) % MINHASH_PRIME,
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite document-quality score in [0,1]:
     0.4·min(n_tokens/100, 1)  — enough content

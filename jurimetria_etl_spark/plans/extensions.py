@@ -403,10 +403,29 @@ FROM documents,
 """
 
 
+def x17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Karp-Rabin rolling fingerprint per document."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", X.rolling_fingerprint("text").alias("roll_fp")
+    )
+
+
+X17_SQL = f"""
+WITH th AS (SELECT doc_id,
+  list_transform({TOKS}, t -> {h60("t")} % {D.MINHASH_PRIME}) AS hs
+  FROM documents)
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+              (acc, h) -> (acc * {X.ROLL_BASE} + h) % {D.MINHASH_PRIME}) AS roll_fp
+FROM th
+"""
+
+
 EXTENSIONS: dict[str, Q] = {
     "x14_ann_ivf": Q(x14_ann_ivf, None),
     "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
     "x16_frame_sample": Q(x16_frame_sample, X16_SQL),
+    "x17_rolling_fingerprint": Q(x17_rolling_fingerprint, X17_SQL),
     "x01_dedup_docs": Q(x01_dedup_docs, X01_SQL),
     "x02_fingerprint": Q(x02_fingerprint, X02_SQL),
     "x03_minhash": Q(x03_minhash, _x03_sql(8)),

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the semantics that are easiest to
+silently get wrong (SURVEY §7 hard parts): the NULL-passing date filter,
+as-of join vs a pure-Python reference model, and shingle arithmetic.
+
+Examples are kept small and few — each example round-trips through Spark.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.dedup import word_shingles
+from jurimetria_etl_spark.operators.filters import date_range_null_pass
+from jurimetria_etl_spark.operators.joins import asof_join
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_TS = st.one_of(
+    st.none(),
+    st.datetimes(
+        min_value=dt.datetime(2000, 1, 1), max_value=dt.datetime(2030, 1, 1)
+    ),
+)
+
+
+@SETTINGS
+@given(st.lists(_TS, min_size=0, max_size=12))
+def test_null_rows_always_pass_date_filter(spark, values):
+    # W1 (reference jurimetria_pipeline.py:208-215): NULL dates survive ANY
+    # bounds — the opposite of SQL comparison semantics.
+    df = spark.createDataFrame([(v,) for v in values], "d timestamp")
+    pred = date_range_null_pass(
+        "d",
+        F.lit("2010-01-01").cast("timestamp"),
+        F.lit("2020-01-01").cast("timestamp"),
+    )
+    kept = [r["d"] for r in df.where(pred).collect()]
+    assert kept.count(None) == values.count(None)
+    lo, hi = dt.datetime(2010, 1, 1), dt.datetime(2020, 1, 1)
+    assert sorted(k for k in kept if k is not None) == sorted(
+        v for v in values if v is not None and lo <= v <= hi
+    )
+
+
+_KEY = st.integers(min_value=0, max_value=2)
+_T = st.integers(min_value=0, max_value=50)
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(_KEY, _T), min_size=1, max_size=10),
+    st.lists(st.tuples(_KEY, _T, st.integers(0, 99)), min_size=0, max_size=10),
+)
+def test_asof_join_matches_reference_model(spark, left_rows, right_rows):
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=t), i) for i, (k, t) in enumerate(left_rows)],
+        "k int, ts timestamp, row_id int",
+    )
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=t), v) for k, t, v in right_rows],
+        "k int, ts timestamp, v int",
+    ) if right_rows else spark.createDataFrame([], "k int, ts timestamp, v int")
+
+    got = {
+        r["row_id"]: r["v"]
+        for r in asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+
+    # reference model: latest right (k, t') with t' <= t; ties on t' → max v
+    # (the operator's documented max-payload tiebreak)
+    for i, (k, t) in enumerate(left_rows):
+        matches = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+        expected = max(matches)[1] if matches else None
+        assert got[i] == expected, (i, k, t, matches)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=12
+    )
+)
+def test_shingle_count_bound(spark, words):
+    # |distinct n-shingles| ∈ [min(1, max_windows), max_windows] where
+    # max_windows = max(0, n_words - 2) for trigrams; and short docs yield []
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    sh = df.select(word_shingles("text", 3).alias("s")).first()["s"]
+    n_words = len(text.split(" ")) if text else 1  # split("") → [""]
+    max_windows = max(0, n_words - 2)
+    assert len(sh) <= max_windows
+    if max_windows > 0:
+        assert len(sh) >= 1
+    assert len(sh) == len(set(sh))
