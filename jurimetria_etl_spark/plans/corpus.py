@@ -810,6 +810,34 @@ FROM w GROUP BY 1, 2, 3
 """
 
 
+def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q34 — pivot (long→wide reshape): revenue per priority × status.
+    The pivot value list is EXPLICIT — without it Spark runs an extra
+    collect-distinct job over the pivot column, and output columns become
+    data-dependent (a schema-stability hazard at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+Q34_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ───────────────────────────── registry ────────────────────────────────────
 CORPUS: dict[str, Q] = {
     "q01_scan_project": Q(q01_scan_project, Q01_SQL),
@@ -850,6 +878,7 @@ CORPUS: dict[str, Q] = {
     "q31_grouping_sets": Q(q31_grouping_sets, Q31_SQL),
     "q32_percentile": Q(q32_percentile, Q32_SQL),
     "q33_sliding_window": Q(q33_sliding_window, Q33_SQL),
+    "q34_pivot": Q(q34_pivot, Q34_SQL),
 }
 
 
