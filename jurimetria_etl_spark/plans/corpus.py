@@ -469,7 +469,9 @@ FROM events GROUP BY h_sp ORDER BY h_sp
 def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 — ordered array_agg (P3 shape: sort-by-key inside an array).
     Spark has no ordered collect_list; sort an array of (key, value) structs
-    then project — exactly the movimentos array_sort pattern."""
+    then project — exactly the movimentos array_sort pattern.  The array is
+    serialized with ``to_json`` at the output boundary so the driver's
+    pandas canonicalizer can sort/hash it (lists are unhashable)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
@@ -478,8 +480,8 @@ def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_orderkey",
-            F.transform(
-                F.array_sort("pairs"), lambda p: p["l_linenumber"]
+            F.to_json(
+                F.transform(F.array_sort("pairs"), lambda p: p["l_linenumber"])
             ).alias("lines"),
         )
     )
@@ -487,7 +489,7 @@ def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q20_SQL = """
 SELECT l_orderkey,
-       list(l_linenumber ORDER BY l_shipdate, l_linenumber) AS lines
+       CAST(to_json(list(l_linenumber ORDER BY l_shipdate, l_linenumber)) AS VARCHAR) AS lines
 FROM lineitem GROUP BY l_orderkey
 """
 

@@ -66,10 +66,13 @@ FROM documents
 
 def x03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8, 3-gram shingles) — narrow, no shuffle; one
-    md5 pass + k affine permutations (see operators/dedup.py)."""
-    return D.add_minhash(
-        _t(spark, sf_dir, "documents"), "text", k=8, n=3, sig_col="minhash"
-    ).select("doc_id", "minhash")
+    md5 pass + k affine permutations (see operators/dedup.py).  The
+    signature array is serialized with ``to_json`` at the output boundary so
+    the driver's pandas canonicalizer can sort/hash it."""
+    sigs = D.add_minhash(
+        _t(spark, sf_dir, "documents"), "text", k=8, n=3, sig_col="__mh"
+    )
+    return sigs.select("doc_id", F.to_json(F.col("__mh")).alias("minhash"))
 
 
 def _minhash_sigs_sql(k: int) -> str:
@@ -91,7 +94,7 @@ def _x03_sql(k: int = 8) -> str:
     return f"""
 WITH sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM documents),
 hs AS (SELECT doc_id, {_BASE_HASHES} AS base FROM sh)
-SELECT doc_id, [{_minhash_sigs_sql(k)}] AS minhash FROM hs
+SELECT doc_id, CAST(to_json([{_minhash_sigs_sql(k)}]) AS VARCHAR) AS minhash FROM hs
 """
 
 
@@ -382,21 +385,25 @@ FROM documents
 def x16_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (one blob → N frame rows): byte-slice frames
     via mapInPandas; the oracle slices the same UTF-8 blobs with substring
-    arithmetic.  Frame payloads hash-compare as hex bytes."""
+    arithmetic.  Frame payloads surface as hex strings so the driver's
+    pandas canonicalizer can sort/hash them (bytearrays are unhashable)."""
     from jurimetria_etl_spark.operators import multimodal as M
 
     docs = _t(spark, sf_dir, "documents")
     blobs = M.attach_text_as_binary(docs)
-    return M.sample_frames(blobs, every_n_bytes=256, max_frames=4)
+    frames = M.sample_frames(blobs, every_n_bytes=256, max_frames=4)
+    return frames.select(
+        "src", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
 
 
 # DuckDB 1.0 has no BLOB substring; the fixture docs are pure ASCII
 # (octet_length == length, asserted in tests), so char slicing before
-# encode() is byte-exact.
+# encode() is byte-exact.  Both engines' hex() emit uppercase.
 X16_SQL = """
 SELECT 'mem://doc/' || doc_id AS src,
        CAST(i AS INT) AS frame_idx,
-       encode(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame
+       hex(encode(substring(text, CAST(i * 256 + 1 AS BIGINT), 256))) AS frame_hex
 FROM documents,
      UNNEST(generate_series(
        0, least(4, greatest(1, octet_length(encode(text)) // 256)) - 1)) AS t(i)
