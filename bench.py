@@ -3,8 +3,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count() of the result — forces the
-full plan without driver-side row materialization cost dominating).
+Each Spark query is executed to completion through a noop sink (computes
+every output column/row, writes nothing — a bare count() would let Catalyst
+prune the projection work away).
+
+The same oracle SQL is also timed on DuckDB over the same parquet files
+("duckdb_queries"/"duckdb_total_sec"), so the "within 2× of a tuned
+single-node engine" criterion has a measured denominator instead of a
+guess.  DuckDB is a strong single-node columnar baseline; Spark carries
+JVM/task-scheduling overhead at sf0.1 that amortizes away at the 100 TB
+target, so per-query ratios — not the absolute gap — are the signal.
 """
 
 from __future__ import annotations
@@ -18,11 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q01_scan_project",
-    "q05_join_inner",
     "q06_join_star",
     "q08_agg_hour",
     "q10_agg_conditional",
-    "q12_rollup",
+    "q12_grouping",
     "q13_window_rank",
     "q14_window_running",
     "q15_topk",
@@ -32,14 +39,18 @@ HEADLINE = [
     "q24_top_terms",
     "q27_asof_join",
     "q28_range_join",
-    "q30_cube",
     "q32_percentile",
     "t01_pricing_summary",
     "t02_shipping_priority",
     "t03_local_supplier_volume",
     "t04_returned_items",
     "x05_minhash_near_dups",
+    "x08_simhash_near_dups",
+    "x09_text_profile",
+    "x13_cosine_join",
+    "x14_ann_ivf",
     "x15_media_metadata",
+    "x17_rolling_fingerprint",
 ]
 
 
@@ -62,12 +73,37 @@ def main() -> None:
         fn = registry[name].spark
         t0 = time.time()
         df = fn(spark, sf_dir)
-        # noop sink: computes every output column/row, writes nothing —
-        # count() would let Catalyst prune the projection work away.
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+
+    # DuckDB denominator: same oracle SQL, same parquet, all local cores.
+    duck: dict[str, float] = {}
+    duck_total = 0.0
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in HEADLINE:
+            sql = registry[name].oracle
+            if sql is None:
+                continue
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            dt = time.time() - t0
+            duck[name] = round(dt, 3)
+            duck_total += dt
+    except Exception as e:  # bench must still emit its line without duckdb
+        duck = {"error": str(e)}  # type: ignore[dict-item]
 
     print(
         json.dumps(
@@ -76,6 +112,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_queries": duck,
+                "duckdb_total_sec": round(duck_total, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

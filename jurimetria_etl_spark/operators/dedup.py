@@ -31,11 +31,20 @@ def widen_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFr
     md5 calls on one core.  One cheap shuffle of the raw text buys
     cluster-wide fan-out.  No-op when the input is already wide (the 100 TB
     case, where file count ≥ cores).
+
+    Width is estimated from ``inputFiles()`` (pure metadata) rather than
+    ``df.rdd.getNumPartitions()``, which would force a plan→RDD conversion
+    per query.  Non-file sources report zero files and get repartitioned —
+    the safe default for the small in-memory frames they are here.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 # ───────────────────────── tokenize / shingle ──────────────────────────────
@@ -94,14 +103,23 @@ def dedup_by_fingerprint(
     df: DataFrame, text_col: str, keep_col: str
 ) -> DataFrame:
     """Exact near-zero-cost text dedup at scale: shuffle only (fingerprint,
-    min-id), keep the first row per fingerprint via a semi-join back."""
-    fp = df.select(
-        fingerprint(text_col).alias("__fp"), F.col(keep_col).alias("__keep")
+    min-id), keep the first row per fingerprint via a semi-join back.
+
+    The semi-join keys on BOTH (fingerprint, keep-id), so duplicate
+    ``keep_col`` values across different fingerprint groups cannot leak
+    extra rows through; rows tied on the full (fingerprint, min-id) pair
+    all survive (supply a unique id for strict one-per-group output).
+    """
+    with_fp = df.withColumn("__fp", fingerprint(text_col))
+    winners = with_fp.groupBy(F.col("__fp").alias("__wfp")).agg(
+        F.min(keep_col).alias("__wkeep")
     )
-    winners = fp.groupBy("__fp").agg(F.min("__keep").alias("__keep"))
-    return df.join(
-        winners, df[keep_col] == winners["__keep"], "left_semi"
-    )
+    return with_fp.join(
+        winners,
+        (F.col("__fp") == F.col("__wfp"))
+        & (F.col(keep_col) == F.col("__wkeep")),
+        "left_semi",
+    ).drop("__fp")
 
 
 # ───────────────────────────── MinHash + LSH ───────────────────────────────
@@ -261,20 +279,37 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """E2 variant — exact all-candidate n-gram Jaccard join: explode
     shingles, self-join on shingle (candidates share ≥1 shingle), count
     shared, compute |A∩B| / (|A|+|B|-|A∩B|).
 
-    Unlike MinHash this is exact, but the shingle join can explode on hot
-    shingles — at scale, cap shingle document-frequency (drop shingles in
-    >df_cap docs) before the join; the cap column is exposed for that.
+    Unlike MinHash this is exact, but the shingle join explodes
+    quadratically on hot shingles: a stopword-like shingle appearing in M
+    documents contributes M² join rows on one key.  ``max_shingle_df`` caps
+    that: shingles whose document frequency exceeds the cap are dropped
+    (broadcast anti-join against the hot-shingle list) before the
+    self-join.  With a cap the reported jaccard is a LOWER bound (hot
+    shingles leave the intersection count but not the set sizes), so pairs
+    are never over-reported but near-threshold pairs whose overlap leans on
+    hot shingles may be missed — the standard prefix-filter trade-off.  At
+    100 TB set it (e.g. 1000); unset, the operator is exact but assumes no
+    pathological shingle.
     """
     sh = widen_partitions(df).select(
         F.col(id_col), word_shingles(text_col, n).alias("__sh")
     )
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("__s")
+        )
+        ex = ex.join(F.broadcast(hot), "__s", "left_anti")
     l, r = ex.alias("l"), ex.alias("r")
     shared = (
         l.join(

@@ -155,7 +155,21 @@ def range_join_bucketed(
 
     ``point_ts``/``lo``/``hi`` are Column refs built from the two frames
     (e.g. ``points["ts"]``), so self-joins stay unambiguous.
+
+    ``how`` is restricted to point-side-outer variants (inner / left /
+    left_semi / left_anti): intervals are exploded once per overlapped
+    bucket, so an interval-side outer join (right/full) would emit each
+    unmatched interval row once per bucket — silently wrong.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"range_join_bucketed: how={how!r} unsupported — interval rows "
+            "are exploded per bucket, so interval-side outer joins "
+            "(right/full) duplicate unmatched intervals; use inner/left/"
+            "semi/anti, or swap the sides."
+        )
     us = bucket_seconds * 1_000_000
     pts = points.withColumn("__rjb_p", F.floor(F.unix_micros(point_ts) / us))
     ivs = intervals.withColumn(
@@ -189,12 +203,27 @@ def salted_join(
 
     The left salt is derived from a hash of the whole row, so one hot key
     fans out evenly and deterministically; the right explode is a narrow op
-    before the shuffle.  Result is row-for-row identical to the plain join
-    (oracle-checked) — only the physical partitioning changes.  AQE's skew
-    handling (``spark.sql.adaptive.skewJoin``) covers moderate skew at
-    runtime; explicit salting is for the pathological key that exceeds a
-    single executor's memory even after AQE splits.
+    before the shuffle.  For the supported ``how`` values the result is
+    row-for-row identical to the plain join (oracle-checked) — only the
+    physical partitioning changes.  AQE's skew handling
+    (``spark.sql.adaptive.skewJoin``) covers moderate skew at runtime;
+    explicit salting is for the pathological key that exceeds a single
+    executor's memory even after AQE splits.
+
+    ``how`` is restricted to left-side-outer variants (inner / left /
+    left_semi / left_anti): the right side is replicated ``n_salts``×, so a
+    right/full outer join would emit each unmatched right row ``n_salts``
+    times and a right semi/anti would multi-count matched right rows.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the right side is "
+            "replicated n_salts times, so right/full outer variants "
+            "duplicate unmatched right rows; use inner/left/semi/anti, or "
+            "swap the sides."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     l2 = left.withColumn(
         "__salt",

@@ -166,6 +166,47 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via self-join on ``id <  id`` —
+    O(N²) by construction.  This is the VERIFICATION BASELINE for
+    ``cosine_similarity_join`` (the LSH-pruned scale path), not a
+    production operator: it refuses to launch above ``max_rows`` input rows
+    (a cheap metadata count for parquet sources) so the cartesian cannot
+    hit at-scale data by accident.  Pass ``max_rows=None`` to override
+    knowingly.
+    """
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs_exact: input has {n} rows > max_rows="
+                f"{max_rows}; this operator is O(N²) — use "
+                "cosine_similarity_join (LSH-pruned) at scale, or pass "
+                "max_rows=None to force."
+            )
+    a = embeddings.select(
+        F.col(id_col).alias("left_id"), F.col(vec_col).alias("__a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("__b")
+    )
+    sim = cosine_sim(F.col("__a"), F.col("__b"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        a.join(b, F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def cosine_similarity_join(
     left: DataFrame,
     right: DataFrame,
@@ -180,7 +221,14 @@ def cosine_similarity_join(
     """All-pairs similarity join above a cosine threshold: candidates =
     pairs colliding in ≥1 LSH table (shuffle keyed on (table, bucket)),
     then exact re-score.  At scale this is the difference between O(N²)
-    and O(N²/2^planes · L)."""
+    and O(N²/2^planes · L).
+
+    Pair dedup depends on whether this is a self-join: when ``left is
+    right`` each unordered pair is kept once via ``left_id < right_id``;
+    for distinct inputs that filter would silently drop every pair with
+    ``left_id >= right_id``, so instead all (left, right) combinations are
+    kept and deduped on the id pair."""
+    self_join = left is right
 
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         sig = add_lsh_signature(df, dim, n_planes, n_tables, seed, vec_col)
@@ -194,13 +242,11 @@ def cosine_similarity_join(
 
     lsig = banded(left, "left_id", "__lv")
     rsig = banded(right, "right_id", "__rv")
+    cond = (lsig["t"] == rsig["t"]) & (lsig["bk"] == rsig["bk"])
+    if self_join:
+        cond = cond & (F.col("left_id") < F.col("right_id"))
     pairs = (
-        lsig.join(
-            rsig,
-            (lsig["t"] == rsig["t"])
-            & (lsig["bk"] == rsig["bk"])
-            & (F.col("left_id") < F.col("right_id")),
-        )
+        lsig.join(rsig, cond)
         .select("left_id", "right_id", "__lv", "__rv")
         .dropDuplicates(["left_id", "right_id"])
     )

@@ -840,28 +840,137 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ─────────────────────── merged registry entries ───────────────────────────
+# The driver's correctness gate checks at most ~50 registry entries; round 1
+# registered 60 and starved x08–x13/t01–t04 of CORRECTNESS rows.  Closely
+# related single-operator queries are therefore merged into tagged unions —
+# every underlying operator still runs and is value-checked, but the
+# registry stays within the driver's window.  The standalone functions
+# remain above for tests and direct use.
+
+
+def q02_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q02+Q03 merged — equality filter (W2) and the reference's NULL-passes
+    date-range filter (W1) as one tagged union; both predicates still reach
+    the parquet scan as PushedFilters."""
+    eq = q02_filter_eq(spark, sf_dir).select(F.lit("eq").alias("which"), "cnt")
+    rng = q03_filter_range_nullpass(spark, sf_dir).select(
+        F.lit("range_nullpass").alias("which"), "cnt"
+    )
+    return eq.unionByName(rng)
+
+
+Q02_FILTERS_SQL = f"""
+SELECT 'eq' AS which, cnt FROM ({Q02_SQL}) a
+UNION ALL
+SELECT 'range_nullpass' AS which, cnt FROM ({Q03_SQL}) b
+"""
+
+
+def q07_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q07 merged — left-semi and left-anti joins as one tagged union."""
+    semi = q07_join_semi(spark, sf_dir).select(
+        F.lit("semi").alias("which"), "cnt"
+    )
+    anti = q07_join_anti(spark, sf_dir).select(
+        F.lit("anti").alias("which"), "cnt"
+    )
+    return semi.unionByName(anti)
+
+
+Q07_SEMI_ANTI_SQL = f"""
+SELECT 'semi' AS which, cnt FROM ({Q07_SEMI_SQL}) s
+UNION ALL
+SELECT 'anti' AS which, cnt FROM ({Q07_ANTI_SQL}) a
+"""
+
+
+def q17_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 merged — INTERSECT and EXCEPT as one tagged union."""
+    i = q17_intersect(spark, sf_dir).select(
+        F.lit("intersect").alias("which"), "k"
+    )
+    e = q17_except(spark, sf_dir).select(F.lit("except").alias("which"), "k")
+    return i.unionByName(e)
+
+
+Q17_SETOPS_SQL = f"""
+SELECT 'intersect' AS which, k FROM ({Q17_INTERSECT_SQL}) i
+UNION ALL
+SELECT 'except' AS which, k FROM ({Q17_EXCEPT_SQL}) e
+"""
+
+
+def q12_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12+Q30+Q31 merged — ROLLUP, CUBE, and explicit GROUPING SETS over
+    the same (returnflag, linestatus) keys with a uniform aggregate set,
+    tagged by variant.  Each variant is still one Expand + hash-agg pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.count("*").alias("cnt"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    ]
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("variant"), "*")
+    )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("variant"), "*")
+    )
+    gsets = (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(*aggs)
+        .select(F.lit("grouping_sets").alias("variant"), "*")
+    )
+    return roll.unionByName(cube).unionByName(gsets)
+
+
+_GROUPING_AGGS_SQL = """count(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"""
+
+Q12_GROUPING_SQL = f"""
+SELECT 'rollup' AS variant, l_returnflag, l_linestatus, {_GROUPING_AGGS_SQL}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS variant, l_returnflag, l_linestatus, {_GROUPING_AGGS_SQL}
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'grouping_sets' AS variant, l_returnflag, l_linestatus, {_GROUPING_AGGS_SQL}
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 # ───────────────────────────── registry ────────────────────────────────────
+# Exactly 50 oracle-carrying entries (the driver's check window).  Dropped
+# from the registry but kept as functions + pytest coverage: q05 (inner
+# equi-join — subsumed by q06's star join), q11_approx / x13_ann_lsh
+# (approximate by design, bounds pinned in tests), q24_text_stats (merged
+# into extensions x09_text_profile).
 CORPUS: dict[str, Q] = {
     "q01_scan_project": Q(q01_scan_project, Q01_SQL),
-    "q02_filter_eq": Q(q02_filter_eq, Q02_SQL),
-    "q03_filter_range_nullpass": Q(q03_filter_range_nullpass, Q03_SQL),
+    "q02_filters": Q(q02_filters, Q02_FILTERS_SQL),
     "q04_join_dim_coalesce": Q(q04_join_dim_coalesce, Q04_SQL),
-    "q05_join_inner": Q(q05_join_inner, Q05_SQL),
     "q06_join_star": Q(q06_join_star, Q06_SQL),
-    "q07_join_anti": Q(q07_join_anti, Q07_ANTI_SQL),
-    "q07_join_semi": Q(q07_join_semi, Q07_SEMI_SQL),
+    "q07_join_semi_anti": Q(q07_join_semi_anti, Q07_SEMI_ANTI_SQL),
     "q08_agg_hour": Q(q08_agg_hour, Q08_SQL),
     "q09_count": Q(q09_count, Q09_SQL),
     "q10_agg_conditional": Q(q10_agg_conditional, Q10_SQL),
     "q11_count_distinct": Q(q11_count_distinct, Q11_SQL),
-    "q11_approx_distinct": Q(q11_approx_distinct, None),
-    "q12_rollup": Q(q12_rollup, Q12_SQL),
+    "q12_grouping": Q(q12_grouping, Q12_GROUPING_SQL),
     "q13_window_rank": Q(q13_window_rank, Q13_SQL),
     "q14_window_running": Q(q14_window_running, Q14_SQL),
     "q15_topk": Q(q15_topk, Q15_SQL),
     "q16_union_all": Q(q16_union_all, Q16_SQL),
-    "q17_intersect": Q(q17_intersect, Q17_INTERSECT_SQL),
-    "q17_except": Q(q17_except, Q17_EXCEPT_SQL),
+    "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
     "q18_string_fns": Q(q18_string_fns, Q18_SQL),
     "q19_date_fns": Q(q19_date_fns, Q19_SQL),
     "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
@@ -869,15 +978,12 @@ CORPUS: dict[str, Q] = {
     "q21_json": Q(q21_json, Q21_SQL),
     "q22_dedup_exact": Q(q22_dedup_exact, Q22_SQL),
     "q23_similarity_topk": Q(q23_similarity_topk, Q23_SQL),
-    "q24_text_stats": Q(q24_text_stats, Q24_SQL),
     "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
     "q25_window_tumbling": Q(q25_window_tumbling, Q25_SQL),
     "q26_session_window": Q(q26_session_window, Q26_SQL),
     "q27_asof_join": Q(q27_asof_join, Q27_SQL),
     "q28_range_join": Q(q28_range_join, Q28_SQL),
     "q29_salted_join": Q(q29_salted_join, Q29_SQL),
-    "q30_cube": Q(q30_cube, Q30_SQL),
-    "q31_grouping_sets": Q(q31_grouping_sets, Q31_SQL),
     "q32_percentile": Q(q32_percentile, Q32_SQL),
     "q33_sliding_window": Q(q33_sliding_window, Q33_SQL),
     "q34_pivot": Q(q34_pivot, Q34_SQL),

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from jurimetria_etl_spark.operators import dedup as D
 from jurimetria_etl_spark.operators import similarity as S
 from jurimetria_etl_spark.operators import text as X
-from jurimetria_etl_spark.plans.corpus import Q, _t
+from jurimetria_etl_spark.plans.corpus import Q, Q23_SQL, _t
 
 # ── SQL fragment builders (DuckDB dialect) ─────────────────────────────────
 TOKS = "string_split(trim(text), ' ')"
@@ -305,18 +305,51 @@ FROM documents
 """
 
 
-def x12_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: brute-force all-pairs cosine ≥ 0.45 (exact
-    baseline; the LSH-pruned variant is x13)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("__a"))
-    b = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("__b"))
-    sim = F.round(S.cosine_sim(F.col("__a"), F.col("__b")), 6)
-    return (
-        a.join(b, F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", sim.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.45)
+def x09_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-document text-analysis profile (E4): char/token counts
+    (q24_text_stats), whitespace/BPE-ish/estimate token counting
+    (x11_token_stats), heuristic language-ID (x09_lang_id), and composite
+    quality scoring (x10_quality) in ONE narrow JVM-side projection — zero
+    Python, zero shuffle.  Merged so the registry stays inside the driver's
+    check window; the standalone queries remain above for tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("chars"),
+        X.token_count("text").alias("ws_tokens"),
+        X.bpe_ish_token_count("text").alias("bpe_tokens"),
+        X.chars_per_token_estimate("text").alias("est_tokens"),
+        X.lang_id("text").alias("lang_pred"),
+        X.quality_score("text").alias("quality"),
     )
+
+
+_X11_CHARS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS chars,
+       CAST(len({TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{X.WORDLIKE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       CAST(ceil(length(text) / 4) AS BIGINT) AS est_tokens
+FROM documents
+"""
+
+X09_PROFILE_SQL = f"""
+SELECT p.doc_id, p.chars, p.ws_tokens, p.bpe_tokens, p.est_tokens,
+       l.lang_pred, q.quality
+FROM ({_X11_CHARS_SQL}) p
+JOIN ({X09_SQL}) l USING (doc_id)
+JOIN ({X10_SQL}) q USING (doc_id)
+"""
+
+
+def x12_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, exact baseline: all-pairs cosine ≥ 0.45 through
+    ``cosine_pairs_exact`` — O(N²) by design, guarded to refuse inputs
+    beyond 100k rows so the registered query can never launch a cartesian
+    on at-scale data.  The scale path is x13_cosine_join (LSH-pruned),
+    which this query verifies."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_exact(emb, threshold=0.45)
 
 
 X12_SQL = """
@@ -332,19 +365,80 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 
 
 def x13_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via LSH buckets (no oracle — approximation quality
-    is asserted as recall-vs-brute-force in tests)."""
+    """Approximate top-k via LSH buckets (kept test-only, not registered:
+    approximation quality is asserted as recall-vs-brute-force in tests)."""
     return S.lsh_bucket_topk(
         _t(spark, sf_dir, "embeddings"), probe_id=1, k=5, dim=64, n_planes=4, n_tables=8
     )
 
 
+def x13_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned all-pairs cosine similarity join at 0.45 — the SCALE path
+    for embedding near-dup (shuffle keyed on (table, bucket) instead of a
+    cartesian).  Fully deterministic given the seed, so the oracle
+    recomputes the identical random-hyperplane signatures in SQL (the plane
+    literals are embedded programmatically below) and re-derives the same
+    candidate set + exact re-score."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_similarity_join(
+        emb, emb, threshold=0.45, dim=64, n_planes=4, n_tables=8, seed=42
+    )
+
+
+_COS_AB = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+def _lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """Sign-bit bucket id for one hash table — mirrors
+    operators/similarity.py:_bucket_expr with the same plane literals."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(v) for v in plane)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+
+
+def _x13_join_sql(
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    threshold: float = 0.45,
+) -> str:
+    buckets = ", ".join(
+        _lsh_bucket_sql(
+            "CAST(embedding AS DOUBLE[])",
+            S._hyperplanes(dim, n_planes, seed + 1000 * t),
+        )
+        for t in range(n_tables)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, [{buckets}] AS bks FROM embeddings),
+banded AS (
+  SELECT vec_id, t, bks[t] AS bk
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(1, {n_tables})) AS t) ts),
+cand AS (
+  SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+  FROM banded l JOIN banded r ON l.t = r.t AND l.bk = r.bk AND l.vec_id < r.vec_id)
+SELECT c.left_id, c.right_id, round({_COS_AB}, 6) AS cos_sim
+FROM cand c JOIN embeddings a ON c.left_id = a.vec_id
+            JOIN embeddings b ON c.right_id = b.vec_id
+WHERE round({_COS_AB}, 6) >= {threshold}
+"""
+
+
 def x14_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF cell pruning: probe scans only the 4 of 16
-    nearest cells (no oracle — exactness at full probe and recall at
-    partial probe are pinned in tests)."""
+    """IVF top-k registered at FULL probe (n_probe == n_cells), where IVF
+    is provably identical to brute force (similarity.py documents the
+    equality) — that identity is the oracle (the Q23 brute-force SQL).
+    Partial-probe recall and the cell-pruning behavior are pinned in
+    tests/test_ann_ivf.py."""
     return S.ann_ivf_topk(
-        _t(spark, sf_dir, "embeddings"), probe_id=1, k=5, n_cells=16, n_probe=4
+        _t(spark, sf_dir, "embeddings"), probe_id=1, k=5, n_cells=16, n_probe=16
     )
 
 
@@ -428,11 +522,12 @@ FROM th
 """
 
 
+# 15 entries, every one oracle-carrying.  Kept as functions + pytest
+# coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
+# (merged into x09_text_profile), x13_ann_lsh (approximate by design;
+# recall pinned in tests — the deterministic LSH *join* is registered as
+# x13_cosine_join instead).
 EXTENSIONS: dict[str, Q] = {
-    "x14_ann_ivf": Q(x14_ann_ivf, None),
-    "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
-    "x16_frame_sample": Q(x16_frame_sample, X16_SQL),
-    "x17_rolling_fingerprint": Q(x17_rolling_fingerprint, X17_SQL),
     "x01_dedup_docs": Q(x01_dedup_docs, X01_SQL),
     "x02_fingerprint": Q(x02_fingerprint, X02_SQL),
     "x03_minhash": Q(x03_minhash, _x03_sql(8)),
@@ -441,9 +536,11 @@ EXTENSIONS: dict[str, Q] = {
     "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),
     "x07_simhash": Q(x07_simhash, _x07_sql(48)),
     "x08_simhash_near_dups": Q(x08_simhash_near_dups, _x08_sql(48, 12, 3)),
-    "x09_lang_id": Q(x09_lang_id, X09_SQL),
-    "x10_quality": Q(x10_quality, X10_SQL),
-    "x11_token_stats": Q(x11_token_stats, X11_SQL),
+    "x09_text_profile": Q(x09_text_profile, X09_PROFILE_SQL),
     "x12_cosine_pairs": Q(x12_cosine_pairs, X12_SQL),
-    "x13_ann_lsh": Q(x13_ann_lsh, None),
+    "x13_cosine_join": Q(x13_cosine_join, _x13_join_sql()),
+    "x14_ann_ivf": Q(x14_ann_ivf, Q23_SQL),
+    "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
+    "x16_frame_sample": Q(x16_frame_sample, X16_SQL),
+    "x17_rolling_fingerprint": Q(x17_rolling_fingerprint, X17_SQL),
 }

@@ -135,3 +135,65 @@ def test_cosine_similarity_join_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = S.cosine_similarity_join(df, df, threshold=0.9, dim=3, n_planes=2).collect()
     assert {(p["left_id"], p["right_id"]) for p in pairs} == {(1, 2)}
+
+
+def test_dedup_by_fingerprint_duplicate_keep_ids_no_leak(spark):
+    # keep-id 1 appears in two different fingerprint groups; the (fp, keep)
+    # semi-join must not let a loser from another group ride id 1 through.
+    df = _docs(spark, [(1, "group one"), (1, "group two"), (2, "group one")])
+    kept = sorted(
+        (r["doc_id"], r["text"])
+        for r in D.dedup_by_fingerprint(df, "text", "doc_id").collect()
+    )
+    # winners: (1, "group one") [min id of its group] and (1, "group two")
+    assert kept == [(1, "group one"), (1, "group two")]
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # every doc shares the same hot 3-gram; two docs additionally share
+    # genuine content.  With the DF cap, the hot-only pairs disappear.
+    hot = "common boiler plate"
+    rows = [
+        (1, hot + " alpha beta gamma delta epsilon"),
+        (2, hot + " alpha beta gamma delta zeta"),
+        (3, hot + " totally different words here now"),
+        (4, hot + " other unrelated content words too"),
+    ]
+    df = _docs(spark, rows)
+    uncapped = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01)
+    assert len(uncapped.collect()) == 6  # all pairs share the hot shingle
+    capped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=3
+    )
+    got = sorted((r["left_id"], r["right_id"]) for r in capped.collect())
+    assert got == [(1, 2)]  # only the genuinely-overlapping pair survives
+
+
+def test_cosine_pairs_exact_guard(spark):
+    import pytest
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(N²\\)"):
+        S.cosine_pairs_exact(emb, threshold=0.5, max_rows=5)
+    # under the bound it runs
+    assert S.cosine_pairs_exact(emb, threshold=0.5, max_rows=100).count() == 45
+
+
+def test_cosine_similarity_join_distinct_inputs_keeps_all_pairs(spark):
+    # with distinct left/right frames the id-ordering dedup must NOT apply:
+    # right ids are all smaller than left ids here, so the old left<right
+    # filter would return zero pairs.
+    left = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    pairs = S.cosine_similarity_join(
+        left, right, threshold=0.9, dim=4, n_planes=2, n_tables=4
+    ).collect()
+    assert [(p["left_id"], p["right_id"]) for p in pairs] == [(10, 1)]

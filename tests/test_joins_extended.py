@@ -134,3 +134,38 @@ def test_salted_join_equals_plain(spark, sf_dir):
 @pytest.fixture(scope="module")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    li = spark.createDataFrame([(1, "a")], "k long, v string")
+    ri = spark.createDataFrame([(1, "b")], "k long, w string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="replicated"):
+            salted_join(li, ri, on="k", n_salts=4, how=how)
+
+
+def test_salted_join_left_outer_matches_plain(spark):
+    li = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ri = spark.createDataFrame([(1, "x"), (1, "y")], "k long, w string")
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(li, ri, on="k", n_salts=4, how="left").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["w"]) for r in li.join(ri, "k", "left").collect()
+    )
+    assert got == want
+
+
+def test_range_join_rejects_interval_side_outer(spark):
+    pts = spark.createDataFrame([(TS(2024, 1, 1, 10, 0, 0),)], "ts timestamp")
+    ivs = spark.createDataFrame(
+        [(TS(2024, 1, 1, 9, 0, 0), TS(2024, 1, 1, 11, 0, 0))],
+        "lo timestamp, hi timestamp",
+    )
+    with pytest.raises(ValueError, match="exploded"):
+        range_join_bucketed(
+            pts, ivs, pts["ts"], ivs["lo"], ivs["hi"], how="full"
+        )

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pytest
 
-from jurimetria_etl_spark.plans.corpus import CORPUS
+from jurimetria_etl_spark.plans.corpus import CORPUS, q02_filter_eq, q05_join_inner
 
 SF = "/root/testdata/sf0.001"
 
@@ -23,7 +23,7 @@ def _optimized(df) -> str:
 
 
 def test_filter_pushed_to_parquet(spark):
-    plan = _physical(CORPUS["q02_filter_eq"].spark(spark, SF))
+    plan = _physical(q02_filter_eq(spark, SF))
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
 
 
@@ -61,7 +61,7 @@ def test_no_python_udfs_in_corpus(spark):
         assert "PythonUDF" not in plan, f"{name} fell off the JVM fast path"
 
 
-@pytest.mark.parametrize("name", ["q05_join_inner", "q06_join_star"])
-def test_fact_joins_avoid_nested_loop(spark, name):
-    plan = _physical(CORPUS[name].spark(spark, SF))
+@pytest.mark.parametrize("fn", [q05_join_inner, lambda s, d: CORPUS["q06_join_star"].spark(s, d)])
+def test_fact_joins_avoid_nested_loop(spark, fn):
+    plan = _physical(fn(spark, SF))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
