@@ -45,13 +45,27 @@ def build_dataframe(
     max_processos: int | None = None,
     municipios_path: str | None = None,
     source: DataJudSource | None = None,
+    parallel: bool = True,
 ) -> DataFrame:
-    """Reference EP2 contract; every stage is lazy Catalyst plan."""
-    source = source or DataJudSource(spark)
-    per_trib = source.scan(tribunais, classe_codigo, classe_nome)
+    """Reference EP2 contract; every stage is lazy Catalyst plan.
 
-    flat = [flatten_hits(hits, trib) for trib, hits in per_trib.items()]
-    df = union_all_by_name(flat, spark, PROCESSO_SCHEMA)
+    The multi-tribunal ingest defaults to ``parallel_scan`` — one Spark
+    partition per tribunal, so N tribunals page concurrently on executors
+    instead of looping on the driver (the scale path; the reference loops
+    sequentially at ``:217-232``).  ``parallel=False`` falls back to the
+    driver-side ``scan`` (useful when the transport cannot be pickled to
+    executors).
+    """
+    source = source or DataJudSource(spark)
+    if parallel and tribunais:
+        hits = source.parallel_scan(tribunais, classe_codigo, classe_nome)
+        df = flatten_hits(
+            hits.select("tribunal", "hit.*"), F.col("tribunal")
+        )
+    else:
+        per_trib = source.scan(tribunais, classe_codigo, classe_nome)
+        flat = [flatten_hits(h, trib) for trib, h in per_trib.items()]
+        df = union_all_by_name(flat, spark, PROCESSO_SCHEMA)
 
     lower = local_date_bound_to_utc(de) if de else None
     upper = local_date_bound_to_utc(ate) if ate else None

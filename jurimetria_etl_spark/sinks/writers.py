@@ -106,6 +106,24 @@ def plot_horario(df: DataFrame, out_path: str, ts_col: str = "data_ajuizamento")
     return True
 
 
+def write_json_stdout(df: DataFrame, limit: int | None = None) -> str:
+    """K5 — legacy JSON stdout sink: the DataFrame rendered as one pretty
+    JSON array (the reference's ``json.dumps(resultado, ensure_ascii=False,
+    indent=2)``, ``/root/reference/legacy/legacy_datajud_connector.py:190``).
+
+    Collects to the driver by definition (it is a stdout sink); ``limit``
+    bounds the collect for safety on large frames.  The list-of-dicts CLI
+    form lives in ``jurimetria_etl_spark.legacy_cli``.
+    """
+    import json
+
+    bounded = df.limit(limit) if limit is not None else df
+    rows = [r.asDict(recursive=True) for r in bounded.collect()]
+    text = json.dumps(rows, ensure_ascii=False, indent=2, default=str)
+    print(text)
+    return text
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -186,7 +186,9 @@ class DataJudSource:
             ):
                 yield json.dumps({"tribunal": trib, "hit": h})
 
-        rdd = self.spark.sparkContext.parallelize(tribunais, len(tribunais)).flatMap(fetch)
+        rdd = self.spark.sparkContext.parallelize(
+            tribunais, max(1, len(tribunais))
+        ).flatMap(fetch)
         from pyspark.sql import types as T
 
         wrapped = T.StructType(

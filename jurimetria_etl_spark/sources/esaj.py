@@ -72,18 +72,46 @@ def parse_esaj_table(html: str) -> list[dict[str, str]]:
     return out
 
 
+def esaj_query(
+    classe: str | None = None,
+    data_inicio: str = "2024-01-01",
+    data_fim: str | None = None,
+) -> dict[str, Any]:
+    """The e-SAJ search form parameters the reference sends with every page
+    (``/root/reference/legacy/legacy_datajud_connector.py:89-97``)."""
+    import datetime as _dt
+
+    return {
+        "conversationId": "",
+        "dadosConsulta.originados": "N",
+        "classe": classe or "",
+        "dataIni": data_inicio,
+        "dataFim": data_fim or _dt.date.today().isoformat(),
+        "paginaConsulta": 1,
+        "localPesquisa.cdLocal": 1,
+        "tipoNumero": "UNIFICADO",
+    }
+
+
 def fetch_esaj_rows(
     transport: HtmlTransport,
     base_url: str = "https://esaj.tjce.jus.br/cpopg/search.do",
     max_pages: int | None = None,
+    params: dict[str, Any] | None = None,
+    pause: float = 0.0,
 ) -> list[dict[str, str]]:
-    """S6 pagination: stop on non-200, empty page, or max_pages."""
+    """S6 pagination: stop on non-200, empty page, or max_pages; optional
+    politeness pause between pages (the reference sleeps 1 s, ``:116``)."""
+    import time as _time
+
     out: list[dict[str, str]] = []
+    query = dict(params or {})
     page = 1
     while True:
         if max_pages is not None and page > max_pages:
             break
-        status, html = transport(base_url, {"paginaConsulta": page})
+        query["paginaConsulta"] = page
+        status, html = transport(base_url, query)
         if status != 200:
             break
         rows = parse_esaj_table(html)
@@ -91,6 +119,8 @@ def fetch_esaj_rows(
             break
         out.extend(rows)
         page += 1
+        if pause:
+            _time.sleep(pause)
     return out
 
 
@@ -124,3 +154,23 @@ def fetch_datajud_stats(
         "tempo_medio_dias": body.get("tempo_medio_dias"),
         "taxa_provimento_percent": body.get("taxa_provimento_percent"),
     }
+
+
+def requests_html_transport(url: str, params: dict[str, Any]) -> tuple[int, str]:
+    """Live HTML transport (the reference's ``sess.get(..., timeout=30)``)."""
+    import requests  # lazy; absent in the test container
+
+    resp = requests.get(url, params=params, timeout=30)
+    return resp.status_code, resp.text
+
+
+def requests_json_transport(
+    url: str, params: dict[str, Any]
+) -> tuple[int, dict[str, Any]]:
+    """Live JSON transport for the stats endpoint (``:138``)."""
+    import requests  # lazy; absent in the test container
+
+    resp = requests.get(url, params=params, timeout=30)
+    if resp.status_code != 200:
+        return resp.status_code, {}
+    return resp.status_code, resp.json()

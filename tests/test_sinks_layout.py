@@ -62,3 +62,33 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_json_stdout_k5(spark, capsys):
+    """K5 DataFrame form — pretty JSON array, ensure_ascii off."""
+    import json
+
+    from jurimetria_etl_spark.sinks.writers import write_json_stdout
+
+    df = spark.createDataFrame(
+        [(1, "Apelação"), (2, "Agravo")], "id long, classe string"
+    )
+    text = write_json_stdout(df.orderBy("id"))
+    parsed = json.loads(text)
+    assert parsed == [
+        {"id": 1, "classe": "Apelação"},
+        {"id": 2, "classe": "Agravo"},
+    ]
+    assert "Apelação" in text  # ensure_ascii=False keeps the cedilla
+
+
+def test_basic_stats_a3(spark):
+    """A3 — summary() wrapper exposes count/mean/min/max rows."""
+    from jurimetria_etl_spark.operators.stats import basic_stats, row_count
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    stats = {r["summary"]: r["v"] for r in basic_stats(df).collect()}
+    assert stats["count"] == "3"
+    assert float(stats["mean"]) == 2.0
+    assert float(stats["min"]) == 1.0 and float(stats["max"]) == 3.0
+    assert row_count(df) == 3

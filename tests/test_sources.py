@@ -121,3 +121,129 @@ def test_datajud_stats_projection():
         "tempo_medio_dias": 120.5,
         "taxa_provimento_percent": 33.0,
     }
+
+
+# ───────────────────────── legacy CLI (K5 / EP3) ───────────────────────────
+def test_legacy_cli_esaj_with_compat_shim(capsys):
+    """K5 — no subcommand given: the argv shim inserts 'esaj'; output is
+    pretty JSON on stdout (reference :154-155, :190)."""
+    import json
+
+    from jurimetria_etl_spark.legacy_cli import main
+
+    pages = {1: (200, ESAJ_HTML)}
+
+    def transport(url, params):
+        assert params["classe"] == "Apelação"
+        assert params["dataIni"] == "2024-01-01"
+        assert params["tipoNumero"] == "UNIFICADO"
+        return pages.get(params["paginaConsulta"], (200, "<html></html>"))
+
+    result = main(
+        ["--classe", "Apelação"], html_transport=transport, pause=0.0
+    )
+    assert [r["processo"] for r in result] == ["0001", "0002"]
+    out = capsys.readouterr().out
+    assert json.loads(out) == result
+    assert '"processo": "0001"' in out  # indent=2 pretty form
+
+
+def test_legacy_cli_datajud_subcommand(capsys):
+    import json
+
+    from jurimetria_etl_spark.legacy_cli import main
+
+    def transport(url, params):
+        assert params["metrica"] == "taxa_provimento"
+        return 200, {"taxa_provimento_percent": 41.5}
+
+    result = main(
+        [
+            "datajud",
+            "--classe",
+            "Apelação",
+            "--ano",
+            "2023",
+            "--metrica",
+            "taxa_provimento",
+        ],
+        json_transport=transport,
+    )
+    assert result["taxa_provimento_percent"] == 41.5
+    assert json.loads(capsys.readouterr().out)["ano"] == 2023
+
+
+def test_legacy_cli_esaj_max_pages_and_dates():
+    from jurimetria_etl_spark.legacy_cli import main
+
+    def transport(url, params):
+        assert params["dataIni"] == "2023-01-01"
+        assert params["dataFim"] == "2023-06-30"
+        return 200, ESAJ_HTML
+
+    result = main(
+        [
+            "esaj",
+            "--classe",
+            "X",
+            "--data-inicio",
+            "2023-01-01",
+            "--data-fim",
+            "2023-06-30",
+            "--max-pages",
+            "2",
+        ],
+        html_transport=transport,
+        pause=0.0,
+    )
+    assert len(result) == 4  # 2 rows/page × 2 pages
+
+
+# ──────────────── executor-parallel scan through the pipeline ──────────────
+def _paged_hit_transport():
+    """Self-contained transport closure: everything it references is
+    defined inside, so cloudpickle ships it by value to executors (a
+    reference to this test module would not import there)."""
+
+    def transport(url, headers, payload):
+        if "search_after" in payload:
+            return 200, {"hits": {"hits": []}}
+        trib = url.split("api_publica_")[1].split("/")[0].upper()
+        hit = {
+            "_source": {
+                "numeroProcesso": trib + "-0001",
+                "classe": {"codigo": 12729, "nome": "ANPP"},
+                "dataAjuizamento": "2023-01-10T12:00:00Z",
+                "grau": "1º Grau",
+            },
+            "sort": [1673352000000],
+        }
+        return 200, {"hits": {"hits": [hit]}}
+
+    return transport
+
+
+def test_build_dataframe_parallel_scan_with_injected_transport(spark):
+    """The multi-tribunal pipeline path runs the keyset pagination on
+    EXECUTORS (one partition per tribunal); the injected transport is
+    cloudpickled out with the fetch closure.  Verifies both the plumbing
+    and that per-tribunal rows carry the right tribunal tag."""
+    from jurimetria_etl_spark.pipeline import build_dataframe
+    from jurimetria_etl_spark.sources.datajud import DataJudSource
+
+    src = DataJudSource(spark, transport=_paged_hit_transport())
+    df = build_dataframe(spark, ["TJCE", "TJSP"], source=src, parallel=True)
+    assert df.rdd.getNumPartitions() == 2  # one partition per tribunal
+    rows = {r["tribunal"]: r["numero_processo"] for r in df.collect()}
+    assert rows == {"TJCE": "TJCE-0001", "TJSP": "TJSP-0001"}
+
+
+def test_build_dataframe_driver_scan_fallback_matches(spark):
+    from jurimetria_etl_spark.pipeline import build_dataframe
+    from jurimetria_etl_spark.sources.datajud import DataJudSource
+
+    src = DataJudSource(spark, transport=_paged_hit_transport())
+    par = build_dataframe(spark, ["TJCE", "TJSP"], source=src, parallel=True)
+    seq = build_dataframe(spark, ["TJCE", "TJSP"], source=src, parallel=False)
+    key = lambda r: (r["tribunal"], r["numero_processo"])  # noqa: E731
+    assert sorted(map(key, par.collect())) == sorted(map(key, seq.collect()))
