@@ -200,6 +200,10 @@ def minhash_candidate_pairs(
     """
     rows_per_band = k // bands
     sig = add_minhash(df, text_col, k, n, "__sig").select(id_col, "__sig")
+    # Same materialization barrier as simhash_near_duplicates: signatures
+    # are multi-referenced (one slice per band) and the self-join would
+    # otherwise recompute the shingle+minhash folds on both sides.
+    sig = sig.repartition(sig.sparkSession.sparkContext.defaultParallelism)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -338,17 +342,45 @@ def ngram_jaccard_pairs(
 
 # ─────────────────────────────── SimHash ───────────────────────────────────
 def _simhash_from_hashes(h: Column, bits: int) -> Column:
-    def bit_vote(b: int):
-        # closure factory: aggregate()'s merge lambda must be exactly 2-ary
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    """Per-bit majority vote packed into a long, as ONE nested
+    higher-order expression: transform over the bit positions, aggregate
+    over the token hashes inside.  The shift amounts are lambda variables,
+    so the driver builds a constant number of lambdas instead of ``bits``
+    unrolled aggregates — the unrolled form cost ~1s of py4j chatter per
+    query at bits=48 (``shiftleft``/``shiftright`` go through
+    ``call_function`` because the typed Python wrappers only accept
+    literal shift amounts).
 
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(h, F.lit(0).cast("long"), bit_vote(b))
-        sig = sig + F.when(vote >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return sig
+    ``h`` is re-bound as a lambda variable (via a 1-element transform)
+    before the per-bit loop: the input hash array is referenced once
+    *textually* but evaluated once per bit at runtime, so if ``h`` were an
+    inlined expression (e.g. the staged md5 pass after CollapseProject
+    fuses it in), the whole token-hash computation would silently run
+    ``bits``× per row — an observed 10× wall-clock blow-up, the
+    evaluation-count hazard the reference-count-based inlining heuristic
+    cannot see."""
+
+    def packed(hv: Column) -> Column:
+        bit_vals = F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(
+                F.aggregate(
+                    hv,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc
+                    + F.when(
+                        F.call_function("shiftright", x, b).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                )
+                >= 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    return F.element_at(F.transform(F.array(h), packed), 1)
 
 
 def simhash(col: Column | str, bits: int = 16) -> Column:
@@ -390,6 +422,14 @@ def simhash_near_duplicates(
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     sig = add_simhash(df, text_col, bits, "__sig").select(id_col, "__sig")
+    # Materialization barrier: the banding references __sig several times
+    # and the self-join reads the subplan twice — without an exchange above
+    # the signature projection, Catalyst re-inlines the (expensive) per-bit
+    # fold into every reference.  A shuffle of (id, 8-byte sig) is near-free
+    # and ReusedExchange makes the join's second side read it back instead
+    # of recomputing (observed 13.3s → ~2s at sf0.1).  At 100 TB the same
+    # role is played by persisting signatures at ingest (SCALE.md).
+    sig = sig.repartition(sig.sparkSession.sparkContext.defaultParallelism)
     # static unroll — shiftright takes a literal shift amount
     band_arr = F.array(
         *[

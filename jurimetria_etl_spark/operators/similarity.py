@@ -21,6 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jurimetria_etl_spark.operators.dedup import widen_partitions
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential fold dot-product — deterministic order, whole-stage
@@ -77,13 +79,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _bucket_from_matrix(vec: Column, planes_mat: Column) -> Column:
+    """Sign-bit bucket id from an array<array<double>> of hyperplanes: bit i
+    set iff vec·planes[i] ≥ 0.  One transform + one aggregate lambda for
+    the WHOLE plane matrix — driver-side expression construction is O(1)
+    in n_planes instead of O(n_planes·dim) py4j calls (which measurably
+    dominated wall-clock for 64-dim × 32-plane signatures)."""
+    bits = F.transform(
+        planes_mat,
+        lambda p, i: F.when(
+            _dot(vec, p) >= 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
 def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id for one hash table (n_planes bits in a long)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    return _bucket_from_matrix(F.col(vec_col), F.lit(planes))
 
 
 def add_lsh_signature(
@@ -102,17 +116,26 @@ def add_lsh_signature(
     The signature is an array<struct<table, bucket>> computed with pure
     Catalyst expressions (literal plane arrays folded against the vector) —
     at 100 TB compute it once at ingest and store/bucket by it.
+
+    The input is widened to cluster parallelism first: signature folds are
+    CPU-dense relative to the scan, and a single-file corpus would
+    otherwise evaluate them all in ONE task (same rationale as the minhash
+    stage in operators/dedup.py).  All L plane matrices ride ONE 3-level
+    array literal, so the whole signature is a single transform lambda —
+    constant driver-side build cost regardless of n_tables × n_planes.
     """
-    entries = [
-        F.struct(
-            F.lit(t).alias("table"),
-            _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + 1000 * t)).alias(
-                "bucket"
-            ),
-        )
-        for t in range(n_tables)
-    ]
-    return df.withColumn(sig_col, F.array(*entries))
+    df = widen_partitions(df)
+    cube = F.lit(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    sig = F.transform(
+        cube,
+        lambda planes_t, t: F.struct(
+            t.cast("int").alias("table"),
+            _bucket_from_matrix(F.col(vec_col), planes_t).alias("bucket"),
+        ),
+    )
+    return df.withColumn(sig_col, sig)
 
 
 def lsh_bucket_topk(
@@ -262,18 +285,18 @@ def _nearest_cells(
     n: int,
 ) -> Column:
     """Array of the ``n`` centroid ids nearest (by cosine) to ``vec_col`` —
-    a pure Catalyst expression: score every centroid literal, sort the
-    (sim, id) structs, slice."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_sim(vec_col, F.array(*[F.lit(v) for v in vec])), 9
-                ).alias("s"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
+    a pure Catalyst expression: score every centroid against the vector,
+    sort the (sim, id) structs, slice.  The centroid matrix is ONE
+    array<array<double>> literal scored by a single transform lambda
+    (constant driver-side build cost in n_cells)."""
+    mat = F.lit([list(vec) for _, vec in centroids])
+    cids = F.lit([int(cid) for cid, _ in centroids])
+    scored = F.transform(
+        mat,
+        lambda c, i: F.struct(
+            F.round(cosine_sim(vec_col, c), 9).alias("s"),
+            F.element_at(cids, i + 1).alias("cid"),
+        ),
     )
     ranked = F.reverse(F.array_sort(scored))
     return F.slice(ranked, 1, n).cast("array<struct<s:double,cid:int>>")
@@ -296,8 +319,10 @@ def ivf_index(
     plan as literals — the assignment is a narrow map over the corpus, no
     shuffle, no UDF.  At 100 TB: compute once at ingest, then
     ``partitionBy(cell_col)`` on write so each probe reads only its cells'
-    files (partition pruning).
+    files (partition pruning).  The corpus is widened to cluster
+    parallelism before the (CPU-dense) centroid scoring.
     """
+    embeddings = widen_partitions(embeddings)
     seeds = (
         embeddings.select(id_col, vec_col)
         .orderBy(id_col)
