@@ -47,6 +47,12 @@ def get_spark(
         # Nested-schema pruning so struct projections reach the parquet scan.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Split-size floor when files are small: the default 4 MB open-cost
+        # floors a 10 MB table at ~3 splits, serializing CPU-dense aggs on
+        # 3 of 32 cores.  512 KB biases small tables toward full-width
+        # parallelism; big files are still governed by maxPartitionBytes
+        # (128 MB), so the 100 TB scan plan is unchanged.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # Driver fixtures carry TIMESTAMP(NANOS) parquet columns; read them
         # as epoch-nanos longs (normalized in sources/fixtures.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
