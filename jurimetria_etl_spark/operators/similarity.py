@@ -336,6 +336,74 @@ def ivf_index(
     return assigned, centroids
 
 
+def _nearest_cells_py(
+    vec: list[float], centroids: list[tuple[int, list[float]]], n: int
+) -> list[int]:
+    """Driver-side nearest-cell ranking for a single probe vector (mirrors
+    ``_nearest_cells``; n_cells × dim flops — trivial)."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    ranked = sorted(
+        ((round(cos(vec, c), 9), cid) for cid, c in centroids), reverse=True
+    )
+    return [cid for _, cid in ranked[:n]]
+
+
+def ivf_write_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index as a cell-partitioned parquet layout —
+    the 100 TB form of the index: one directory per cell, so a probe's
+    cell IN-filter becomes PARTITION PRUNING (the scan lists only
+    ``n_probe`` directories instead of reading any of the rest).
+
+    Returns the centroids (persist them alongside the layout in practice).
+    """
+    indexed, centroids = ivf_index(embeddings, n_cells, id_col, vec_col)
+    indexed.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    return centroids
+
+
+def ann_ivf_topk_pruned(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    probe_vec: list[float],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a cell-partitioned IVF layout: the ``ivf_cell IN (...)``
+    predicate is a partition filter — Spark never opens files outside the
+    probed cells (assert ``PartitionFilters`` in the scan; plan-tested).
+    Semantically identical to ``ann_ivf_topk`` at the same n_probe."""
+    cells = _nearest_cells_py(probe_vec, centroids, n_probe)
+    corpus = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
+    if exclude_id is not None:
+        corpus = corpus.where(F.col(id_col) != exclude_id)
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col), F.lit(probe_vec)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     probe_id: int,

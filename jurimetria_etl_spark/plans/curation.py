@@ -1,0 +1,81 @@
+"""End-to-end training-corpus curation — the composite the extension
+operators exist for (SURVEY §2.12 / BASELINE north_star), chained the way a
+real LLM-data pipeline runs them:
+
+    language gate → quality gate → exact dedup → near-dup removal
+    → per-document token accounting
+
+Every stage is one of the oracle-checked operators from
+``operators/{text,dedup}.py``; this module only composes them, so the
+whole pipeline is a single lazy Catalyst plan (one scan of the corpus for
+the gates, the two bounded dedup shuffles described in SCALE.md, and no
+Python anywhere).
+
+Scale shape at 100 TB:
+- gates are narrow JVM expressions fused into the scan;
+- exact dedup shuffles (fingerprint, id) — 16 bytes/row;
+- near-dup removal shuffles (band, band-key, id) triples, then anti-joins
+  the loser ids (broadcast when the near-dup set is small, as it is on a
+  mostly-clean corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators import dedup as D
+from jurimetria_etl_spark.operators import text as X
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """Curated corpus: documents that pass the language and quality gates,
+    with exact duplicates collapsed (lowest id wins) and MinHash near-dups
+    removed (the lower id of each near-dup pair survives).
+
+    Returns the surviving rows plus the audit columns the gates computed
+    (lang_pred, quality, token counts) — downstream sampling/packing needs
+    them anyway, and they are free (computed in the same projection).
+    """
+    profiled = docs.select(
+        "*",
+        X.lang_id(text_col).alias("lang_pred"),
+        X.quality_score(text_col).alias("quality"),
+        X.token_count(text_col).alias("ws_tokens"),
+        X.bpe_ish_token_count(text_col).alias("bpe_tokens"),
+    )
+    gated = profiled.where(
+        F.col("lang_pred").isin(list(languages))
+        & (F.col("quality") >= min_quality)
+    )
+
+    exact = D.dedup_by_fingerprint(gated, text_col, id_col)
+
+    near_pairs = D.minhash_near_duplicates(
+        exact, id_col, text_col, threshold=near_dup_threshold
+    )
+    losers = near_pairs.select(F.col("right_id").alias(id_col)).distinct()
+    return exact.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def curation_report(
+    docs: DataFrame,
+    curated: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row funnel report: input/output document and token counts —
+    the acceptance accounting every data pipeline publishes."""
+    total = docs.select(F.count("*").alias("docs_in"))
+    kept = curated.agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("ws_tokens").alias("tokens_kept"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+    return total.crossJoin(kept)

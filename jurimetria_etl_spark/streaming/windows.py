@@ -104,6 +104,33 @@ def session_window_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup — the E1 operator for continuous ingest.
+
+    On a stream, plain ``dropDuplicates`` would keep EVERY key in the state
+    store forever (unbounded state — dead at 100 TB/day).
+    ``dropDuplicatesWithinWatermark`` bounds state to the watermark delay:
+    a duplicate arriving within ``watermark`` of the first occurrence is
+    dropped, older state is evicted.  That is exactly the dedup contract a
+    training-data ingest needs — duplicates cluster in time (retries,
+    re-crawls); cross-epoch dedup belongs to the batch fingerprint pass
+    (operators/dedup.py).
+
+    On a batch input it degrades to plain ``dropDuplicates`` over the same
+    keys (one epoch = one batch, same semantics).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def stream_to_parquet(
     agg: DataFrame,
     out_dir: str,

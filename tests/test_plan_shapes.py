@@ -65,3 +65,70 @@ def test_no_python_udfs_in_corpus(spark):
 def test_fact_joins_avoid_nested_loop(spark, fn):
     plan = _physical(fn(spark, SF))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ─────────── extension-operator plan shapes (scale regressions) ────────────
+def _docs(spark):
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    return load_fixture(spark, SF, "documents")
+
+
+def _emb(spark):
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    return load_fixture(spark, SF, "embeddings")
+
+
+def test_simhash_near_dups_stages_signatures_once(spark):
+    """The banded self-join must read signatures from a materialization
+    barrier (round-robin exchange), not recompute the md5+fold per
+    reference — a reference-count-blind inline of the staged hash array
+    once cost a silent 10x (see dedup._simhash_from_hashes)."""
+    from jurimetria_etl_spark.operators.dedup import simhash_near_duplicates
+
+    plan = _physical(
+        simhash_near_duplicates(
+            _docs(spark), "doc_id", "text", bits=48, max_hamming=3, band_bits=12
+        )
+    )
+    assert "RoundRobinPartitioning" in plan  # the signature barrier
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # the md5 token-hash pass appears a bounded number of times (2 sides);
+    # a per-bit inline would show ~48x this
+    assert plan.count("md5") <= 8
+
+
+def test_minhash_candidates_stage_and_join_shape(spark):
+    from jurimetria_etl_spark.operators.dedup import minhash_candidate_pairs
+
+    plan = _physical(
+        minhash_candidate_pairs(_docs(spark), "doc_id", "text", 8, 4, 3)
+    )
+    assert "RoundRobinPartitioning" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("md5") <= 8
+
+
+def test_lsh_cosine_join_is_hash_join_on_buckets(spark):
+    """x13's scale claim: candidates come from an equi-join on
+    (table, bucket) — never a cartesian/nested-loop over the corpus."""
+    from jurimetria_etl_spark.operators.similarity import cosine_similarity_join
+
+    emb = _emb(spark)
+    plan = _physical(
+        cosine_similarity_join(emb, emb, threshold=0.45, dim=64, n_planes=4, n_tables=8)
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_ivf_probe_filters_cells_before_scoring(spark):
+    """x14: the cell IN-filter must appear below the final cosine scoring
+    (the pruning that maps to partition pruning on a cell-partitioned
+    layout)."""
+    from jurimetria_etl_spark.operators.similarity import ann_ivf_topk
+
+    plan = _physical(ann_ivf_topk(_emb(spark), probe_id=1, k=5, n_cells=4, n_probe=2))
+    assert "array_contains" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -148,3 +148,60 @@ def test_watermark_in_plan(spark, events_dir):
     assert agg.isStreaming
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same event_id arriving again in a
+    later micro-batch (within the watermark) is dropped; distinct ids all
+    survive; batch fallback equals dropDuplicates."""
+    import glob as globmod
+    import shutil as sh
+
+    import pandas as pd
+
+    from jurimetria_etl_spark.streaming.windows import dedup_stream
+
+    base = pd.Timestamp("2024-06-01 12:00:00")
+
+    def pdf(event_id, minutes):
+        return pd.DataFrame(
+            {"event_id": [event_id], "ts": [base + pd.Timedelta(minutes=minutes)],
+             "user_id": [1], "event_type": ["view"], "value": [1.0], "props": ["{}"]}
+        )
+
+    d = tmp_path / "dedup"
+    data = d / "data"
+    data.mkdir(parents=True)
+    # batch 0: ids 1, 2 — batch 1: id 1 again (dup) + id 3 (new)
+    drops = [pd.concat([pdf(1, 0), pdf(2, 1)]), pd.concat([pdf(1, 2), pdf(3, 3)])]
+    for i, frame in enumerate(drops):
+        stage = d / f"stage{i}"
+        spark.createDataFrame(frame).coalesce(1).write.parquet(str(stage))
+        part = globmod.glob(str(stage / "part-*.parquet"))[0]
+        sh.copy(part, str(data / f"{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data))
+    )
+    deduped = dedup_stream(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mem_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM mem_dedup").collect())
+    assert got == [1, 2, 3]
+
+    # batch fallback: same key set
+    batch = spark.createDataFrame(pd.concat(drops))
+    assert sorted(
+        r["event_id"] for r in dedup_stream(batch, ["event_id"]).collect()
+    ) == [1, 2, 3]
