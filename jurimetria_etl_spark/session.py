@@ -53,6 +53,9 @@ def get_spark(
         # parallelism; big files are still governed by maxPartitionBytes
         # (128 MB), so the 100 TB scan plan is unchanged.
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # Python Data Source filter pushdown (the datajud source prunes
+        # tribunal partitions from pushed filters).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Driver fixtures carry TIMESTAMP(NANOS) parquet columns; read them
         # as epoch-nanos longs (normalized in sources/fixtures.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

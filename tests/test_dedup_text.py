@@ -197,3 +197,22 @@ def test_cosine_similarity_join_distinct_inputs_keeps_all_pairs(spark):
         left, right, threshold=0.9, dim=4, n_planes=2, n_tables=4
     ).collect()
     assert [(p["left_id"], p["right_id"]) for p in pairs] == [(10, 1)]
+
+
+def test_lsh_join_is_sound_subset_of_exact_pairs(spark):
+    """Soundness of the LSH scale path: every pair x13 reports must appear
+    in the exact all-pairs output with the SAME similarity (candidates are
+    exactly re-scored, so LSH can miss pairs but never invent or inflate
+    them)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["left_id"], r["right_id"]): r["cos_sim"]
+        for r in S.cosine_pairs_exact(emb, threshold=0.4).collect()
+    }
+    lsh = S.cosine_similarity_join(
+        emb, emb, threshold=0.4, dim=64, n_planes=4, n_tables=8
+    ).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        key = (r["left_id"], r["right_id"])
+        assert key in exact and exact[key] == r["cos_sim"]
