@@ -141,6 +141,104 @@ def sample_frames(
     return df.mapInPandas(process, schema=out_schema)
 
 
+def fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: emits exactly
+    ``width*height`` bytes derived from the input by cyclic repetition
+    (stable, size-exact — the property a resize has).  Production swaps in
+    PIL ``Image.resize`` without touching the plan."""
+    blob = bytes(content or b"\x00")
+    n = width * height
+    reps = (n // len(blob)) + 1
+    return (blob * reps)[:n]
+
+
+def transform_media(
+    df: DataFrame,
+    transform_fn: Callable[[bytes], bytes] | None = None,
+    content_col: str = "content",
+    id_col: str = "path",
+    out_col: str = "content",
+) -> DataFrame:
+    """Blob→blob transform plumbing (the resize/transcode shape): Arrow
+    batches in, same-cardinality batches out, blobs never on the driver.
+    ``transform_fn`` is the per-blob operation — a real resize in
+    production, ``fake_resize`` in tests."""
+    import pandas as pd
+
+    if transform_fn is None:
+        def transform_fn(b: bytes) -> bytes:  # pragma: no cover - prod slot
+            raise NotImplementedError(
+                "media libraries unavailable; inject a transform_fn"
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField(out_col, T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [transform_fn(bytes(c or b"")) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "src": list(pdf[id_col]),
+                    out_col: blobs,
+                    "n_bytes": [len(b) for b in blobs],
+                }
+            )
+
+    return df.mapInPandas(process, schema=out_schema)
+
+
+def fake_featurizer(content: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for an embedding model: L1-normalized byte
+    histogram folded into ``dim`` buckets.  Real feature extraction (CLIP,
+    wav2vec, …) replaces this; the output contract — fixed-dim
+    array<float> per blob — is what the similarity operators consume."""
+    blob = bytes(content or b"\x00")
+    counts = [0] * dim
+    for b in blob:
+        counts[b % dim] += 1
+    total = float(len(blob))
+    return [c / total for c in counts]
+
+
+def extract_features(
+    df: DataFrame,
+    featurize_fn: Callable[[bytes], list[float]] | None = None,
+    dim: int = 16,
+    content_col: str = "content",
+    id_col: str = "path",
+) -> DataFrame:
+    """Blob→embedding plumbing (the feature-extract shape): each blob maps
+    to a fixed-dim ``array<float>`` ready for the E3 similarity operators
+    (``cosine_topk``, LSH/IVF ANN, ``cosine_similarity_join``) — the
+    multimodal near-dup path is feature-extract → embedding-cosine."""
+    import pandas as pd
+
+    fn = featurize_fn or (lambda b: fake_featurizer(b, dim))
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "src": list(pdf[id_col]),
+                    "embedding": [fn(bytes(c or b"")) for c in pdf[content_col]],
+                }
+            )
+
+    return df.mapInPandas(process, schema=out_schema)
+
+
 def attach_text_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Test helper: synthesize a binary column from text (the container has
     no media files); keeps the downstream plumbing identical."""

@@ -72,6 +72,60 @@ def cosine_topk(
     )
 
 
+def cosine_topk_pandas(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Arrow-vectorized alternative to ``cosine_topk`` for WIDE vectors.
+
+    The JVM fold (``cosine_topk``) is interpreted per element — at dim ≥
+    ~1k the per-element lambda overhead exceeds the Arrow transfer cost,
+    and a batched numpy matmul wins.  This is the sanctioned slow-path
+    escape hatch: ONE scalar ``pandas_udf`` (Arrow batches, ``m @ p`` per
+    batch), never a row-at-a-time Python UDF.  Results match the JVM path
+    up to float summation order (numpy sums pairwise, the fold sums
+    sequentially) — equality after rounding is pinned in tests.
+
+    The probe vector is collected to the driver (one row) and closed over
+    by the UDF; the corpus side stays distributed.
+    """
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    probe_row = (
+        embeddings.where(F.col(id_col) == probe_id).select(vec_col).first()
+    )
+    if probe_row is None:
+        raise ValueError(f"probe id {probe_id} not found in {id_col}")
+    import numpy as np
+
+    pv = np.asarray(list(probe_row[vec_col]), dtype="float64")
+    pv = pv / np.linalg.norm(pv)
+
+    def cos_sim_batch(vecs):
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        return pd.Series((m @ pv) / norms)
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints and pandas_udf could not resolve them
+    cos_sim_batch.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    sim = pandas_udf(cos_sim_batch, "double")(F.col(vec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        widen_partitions(embeddings)
+        .where(F.col(id_col) != probe_id)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [

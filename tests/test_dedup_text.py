@@ -216,3 +216,14 @@ def test_lsh_join_is_sound_subset_of_exact_pairs(spark):
     for r in lsh:
         key = (r["left_id"], r["right_id"])
         assert key in exact and exact[key] == r["cos_sim"]
+
+
+def test_cosine_topk_pandas_matches_jvm_fold(spark):
+    """The Arrow-vectorized path returns the same neighbors and (rounded)
+    similarities as the JVM fold baseline."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    jvm = S.cosine_topk(emb, probe_id=1, k=5, round_to=4).collect()
+    arrow = S.cosine_topk_pandas(emb, probe_id=1, k=5, round_to=4).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in arrow] == [
+        (r["vec_id"], r["cos_sim"]) for r in jvm
+    ]

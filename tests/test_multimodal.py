@@ -69,3 +69,57 @@ def test_read_binary_files(spark, tmp_path):
     df = read_binary_files(spark, str(tmp_path), glob="*.bin")
     got = {r["path"].split("/")[-1]: bytes(r["content"]) for r in df.collect()}
     assert got == {"a.bin": b"hello world", "b.bin": b"spark"}
+
+
+def test_transform_media_resize_shape(spark):
+    """Resize plumbing: size-exact output per blob, batch cardinality
+    preserved, blobs transformed executor-side."""
+    from jurimetria_etl_spark.operators.multimodal import (
+        attach_text_as_binary,
+        fake_resize,
+        transform_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer document body here")],
+        "doc_id long, text string",
+    )
+    blobs = attach_text_as_binary(docs)
+    out = transform_media(
+        blobs, lambda b: fake_resize(b, 8, 4)
+    ).collect()
+    assert len(out) == 2
+    assert all(r["n_bytes"] == 32 and len(r["content"]) == 32 for r in out)
+    # deterministic: cyclic repetition of the source bytes
+    row1 = next(r for r in out if r["src"] == "mem://doc/1")
+    assert bytes(row1["content"]) == (b"short" * 7)[:32]
+
+
+def test_extract_features_feeds_similarity(spark):
+    """Feature-extract plumbing: fixed-dim array<float> per blob that the
+    E3 similarity operators consume directly — two identical documents are
+    each other's nearest neighbors at cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.multimodal import (
+        attach_text_as_binary,
+        extract_features,
+    )
+    from jurimetria_etl_spark.operators.similarity import cosine_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "identical content here"),
+            (2, "identical content here"),
+            (3, "zzzz qqqq xxxx wwww kkkk"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = extract_features(attach_text_as_binary(docs), dim=16).select(
+        F.regexp_extract("src", r"(\d+)$", 1).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    assert emb.schema["embedding"].dataType.simpleString() == "array<float>"
+    top = cosine_topk(emb, probe_id=1, k=1).first()
+    assert top["vec_id"] == 2
+    assert top["cos_sim"] == 1.0
