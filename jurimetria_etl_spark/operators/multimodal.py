@@ -93,6 +93,10 @@ def extract_media_metadata(
         + [T.StructField("meta", MEDIA_META_SCHEMA)]
     )
     meta_fields = [f.name for f in MEDIA_META_SCHEMA.fields]
+    # Prune BEFORE the Python boundary: Arrow serializes every input
+    # column of mapInPandas, so an unneeded text/path column would ship to
+    # Python and back for nothing.
+    df = df.select(*[c for c in df.columns if c in batch_cols or c == content_col])
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,6 +130,7 @@ def sample_frames(
             T.StructField("frame", T.BinaryType()),
         ]
     )
+    df = df.select(id_col, content_col)  # prune the Arrow boundary
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,6 +184,8 @@ def transform_media(
         ]
     )
 
+    df = df.select(id_col, content_col)  # prune the Arrow boundary
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = [transform_fn(bytes(c or b"")) for c in pdf[content_col]]
@@ -226,6 +233,7 @@ def extract_features(
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     )
+    df = df.select(id_col, content_col)  # prune the Arrow boundary
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
