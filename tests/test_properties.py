@@ -101,3 +101,46 @@ def test_shingle_count_bound(spark, words):
     if max_windows > 0:
         assert len(sh) >= 1
     assert len(sh) == len(set(sh))
+
+
+_KV = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=12
+)
+
+
+@SETTINGS
+@given(_KV, _KV, st.sampled_from(["inner", "left", "left_semi", "left_anti"]))
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows, how):
+    """Salting is a physical-layout change only: for every supported `how`
+    and any (skewed, duplicated, empty) inputs, the salted join is
+    row-for-row identical to the plain join."""
+    from jurimetria_etl_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(left_rows or [(0, 0)], "k int, lv int")
+    right = spark.createDataFrame(right_rows or [(0, 0)], "k int, rv int")
+    if not left_rows:
+        left = left.limit(0)
+    if not right_rows:
+        right = right.limit(0)
+    got = salted_join(left, right, on="k", n_salts=3, how=how)
+    want = left.join(right, "k", how)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@SETTINGS
+@given(st.lists(st.sampled_from(["aa bb cc", "dd ee ff", "aa  bb  cc"]), min_size=1, max_size=8))
+def test_dedup_by_fingerprint_idempotent(spark, texts):
+    """dedup ∘ dedup == dedup, and survivors' normalized texts are unique."""
+    from jurimetria_etl_spark.operators.dedup import dedup_by_fingerprint, fingerprint
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = dedup_by_fingerprint(df, "text", "doc_id")
+    twice = dedup_by_fingerprint(once, "text", "doc_id")
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+    fps = [r["fp"] for r in once.select(fingerprint("text").alias("fp")).collect()]
+    assert len(fps) == len(set(fps))
