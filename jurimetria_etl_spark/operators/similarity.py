@@ -55,12 +55,17 @@ def cosine_topk(
     The probe row is broadcast (one vector), so the corpus side is a single
     narrow scan; top-k is a per-partition heap + driver merge.
     """
+    # The probe norm is staged in the 1-row broadcast frame — without it
+    # the |probe| fold would re-run for every corpus row (the norm is a
+    # per-VECTOR quantity; compute it per vector, never per comparison).
     probe = F.broadcast(
         embeddings.where(F.col(id_col) == probe_id).select(
-            F.col(vec_col).alias("__p")
+            F.col(vec_col).alias("__p"), _norm(F.col(vec_col)).alias("__pn")
         )
     )
-    sim = cosine_sim(F.col(vec_col), F.col("__p"))
+    sim = _dot(F.col(vec_col), F.col("__p")) / (
+        _norm(F.col(vec_col)) * F.col("__pn")
+    )
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
@@ -268,13 +273,19 @@ def cosine_pairs_exact(
                 "cosine_similarity_join (LSH-pruned) at scale, or pass "
                 "max_rows=None to force."
             )
+    # Norms are per-vector: stage them on each side once (N folds) instead
+    # of recomputing inside the pair predicate (N²/2 × 2 folds).
     a = embeddings.select(
-        F.col(id_col).alias("left_id"), F.col(vec_col).alias("__a")
-    )
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("__a"),
+        _norm(F.col(vec_col)).alias("__na"),
+    ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     b = embeddings.select(
-        F.col(id_col).alias("right_id"), F.col(vec_col).alias("__b")
-    )
-    sim = cosine_sim(F.col("__a"), F.col("__b"))
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("__b"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    sim = _dot(F.col("__a"), F.col("__b")) / (F.col("__na") * F.col("__nb"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
