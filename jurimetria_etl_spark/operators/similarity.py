@@ -9,8 +9,12 @@ Two paths:
   the corpus; probes only score their own bucket(s), turning the scan into a
   bucket-pruned join.  Hyperplanes are derived deterministically from a seed
   so signatures are reproducible across runs/executors.
-- ``cosine_topk_all`` — all-pairs k-NN via bucketed self-join (for batch
-  similarity-join workloads).
+- ``cosine_similarity_join`` — all-pairs similarity join via bucketed
+  (LSH-banded) join (for batch similarity-join workloads); verified by the
+  exact ``cosine_pairs_exact`` baseline.
+- ``ivf_index`` / ``ann_ivf_topk`` / ``ann_ivf_topk_pruned`` — IVF coarse
+  quantization; the partitioned layout turns cell pruning into partition
+  pruning.
 """
 
 from __future__ import annotations
@@ -138,6 +142,47 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+# Literal plane cubes are memoized per (SparkContext, params): building the
+# n_tables × n_planes × dim literal dominates driver-side query-build time
+# otherwise (~1 s per call for 8×4×64), and every query that computes
+# signatures needs the identical cube.
+_PLANE_CUBE_CACHE: dict[tuple, Column] = {}
+
+
+def _plane_cube_lit(dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """One array<array<array<double>>> literal holding all L plane matrices.
+
+    Each plane rides in as a 1-D numpy literal (one py4j conversion per
+    plane — Spark rejects ≥2-D ndarray literals — ~3× faster than the
+    per-element conversion a nested python-list literal costs) and the
+    result is cached keyed by the application id so a restarted session
+    cannot serve stale JVM references.
+    """
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    app = sess.sparkContext.applicationId if sess is not None else ""
+    key = (app, dim, n_planes, n_tables, seed)
+    if key not in _PLANE_CUBE_CACHE:
+        for stale in [k for k in _PLANE_CUBE_CACHE if k[0] != app]:
+            del _PLANE_CUBE_CACHE[stale]
+        _PLANE_CUBE_CACHE[key] = F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(np.asarray(plane))
+                        for plane in _hyperplanes(
+                            dim, n_planes, seed + 1000 * t
+                        )
+                    ]
+                )
+                for t in range(n_tables)
+            ]
+        )
+    return _PLANE_CUBE_CACHE[key]
+
+
 def _bucket_from_matrix(vec: Column, planes_mat: Column) -> Column:
     """Sign-bit bucket id from an array<array<double>> of hyperplanes: bit i
     set iff vec·planes[i] ≥ 0.  One transform + one aggregate lambda for
@@ -152,11 +197,6 @@ def _bucket_from_matrix(vec: Column, planes_mat: Column) -> Column:
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
-
-
-def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for one hash table (n_planes bits in a long)."""
-    return _bucket_from_matrix(F.col(vec_col), F.lit(planes))
 
 
 def add_lsh_signature(
@@ -184,9 +224,7 @@ def add_lsh_signature(
     constant driver-side build cost regardless of n_tables × n_planes.
     """
     df = widen_partitions(df)
-    cube = F.lit(
-        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    )
+    cube = _plane_cube_lit(dim, n_planes, n_tables, seed)
     sig = F.transform(
         cube,
         lambda planes_t, t: F.struct(
@@ -215,34 +253,44 @@ def lsh_bucket_topk(
     probe's L broadcast buckets → distinct candidate ids → exact cosine →
     TakeOrderedAndProject.  Candidate set size (and thus cost) is tuned by
     n_planes (bucket granularity) × n_tables (recall amplification).
+
+    Only ``(id, table, bucket)`` rows flow through the candidate join — the
+    exploded frame never carries the vectors (L copies each otherwise); the
+    survivors are semi-joined back to the corpus for the exact re-score,
+    with both norms staged per vector.
     """
     with_sig = add_lsh_signature(
         embeddings, dim, n_planes, n_tables, seed, vec_col
     )
     exploded = with_sig.select(
-        F.col(id_col), F.col(vec_col), F.explode("lsh_buckets").alias("b")
-    ).select(id_col, vec_col, F.col("b.table").alias("t"), F.col("b.bucket").alias("bk"))
+        F.col(id_col), F.explode("lsh_buckets").alias("b")
+    ).select(id_col, F.col("b.table").alias("t"), F.col("b.bucket").alias("bk"))
     probe_buckets = F.broadcast(
         exploded.where(F.col(id_col) == probe_id).select(
-            F.col("t").alias("__pt"),
-            F.col("bk").alias("__pbk"),
-            F.col(vec_col).alias("__p"),
+            F.col("t").alias("__pt"), F.col("bk").alias("__pbk")
         )
     )
-    candidates = (
+    candidate_ids = (
         exploded.where(F.col(id_col) != probe_id)
         .join(
             probe_buckets,
             (F.col("t") == F.col("__pt")) & (F.col("bk") == F.col("__pbk")),
         )
-        .select(id_col, vec_col, "__p")
-        .dropDuplicates([id_col])
+        .select(id_col)
+        .distinct()
+    )
+    probe = F.broadcast(
+        embeddings.where(F.col(id_col) == probe_id).select(
+            F.col(vec_col).alias("__p"), _norm(F.col(vec_col)).alias("__pn")
+        )
+    )
+    sim = _dot(F.col(vec_col), F.col("__p")) / (
+        _norm(F.col(vec_col)) * F.col("__pn")
     )
     return (
-        candidates.select(
-            F.col(id_col),
-            F.round(cosine_sim(F.col(vec_col), F.col("__p")), 6).alias("cos_sim"),
-        )
+        embeddings.join(candidate_ids, id_col, "left_semi")
+        .crossJoin(probe)
+        .select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -315,33 +363,54 @@ def cosine_similarity_join(
     right`` each unordered pair is kept once via ``left_id < right_id``;
     for distinct inputs that filter would silently drop every pair with
     ``left_id >= right_id``, so instead all (left, right) combinations are
-    kept and deduped on the id pair."""
+    kept and deduped on the id pair.
+
+    Shuffle discipline: the candidate join moves only ``(id, table,
+    bucket)`` rows — never the vectors, which would otherwise ride the
+    shuffle L times each.  Surviving id pairs join back to the inputs for
+    the exact re-score (AQE broadcasts those lookups when a side is small),
+    with norms staged once per vector.  For a self-join the two banded
+    subplans are identical, so Spark's ReuseExchange computes the
+    signatures once."""
     self_join = left is right
 
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def banded(df: DataFrame, id_alias: str) -> DataFrame:
         sig = add_lsh_signature(df, dim, n_planes, n_tables, seed, vec_col)
         return sig.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.explode("lsh_buckets").alias("b"),
+            F.col(id_col), F.explode("lsh_buckets").alias("b")
         ).select(
-            id_alias, vec_alias, F.col("b.table").alias("t"), F.col("b.bucket").alias("bk")
+            F.col(id_col).alias(id_alias),
+            F.col("b.table").alias("t"),
+            F.col("b.bucket").alias("bk"),
         )
 
-    lsig = banded(left, "left_id", "__lv")
-    rsig = banded(right, "right_id", "__rv")
+    lsig = banded(left, "left_id")
+    rsig = banded(right if not self_join else left, "right_id")
     cond = (lsig["t"] == rsig["t"]) & (lsig["bk"] == rsig["bk"])
     if self_join:
         cond = cond & (F.col("left_id") < F.col("right_id"))
     pairs = (
         lsig.join(rsig, cond)
-        .select("left_id", "right_id", "__lv", "__rv")
+        .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
-    sim = cosine_sim(F.col("__lv"), F.col("__rv"))
-    return pairs.select(
-        "left_id", "right_id", F.round(sim, 6).alias("cos_sim")
-    ).where(F.col("cos_sim") >= threshold)
+    lvec = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("__lv"),
+        _norm(F.col(vec_col)).alias("__ln"),
+    )
+    rvec = right.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("__rv"),
+        _norm(F.col(vec_col)).alias("__rn"),
+    )
+    sim = _dot(F.col("__lv"), F.col("__rv")) / (F.col("__ln") * F.col("__rn"))
+    return (
+        pairs.join(lvec, "left_id")
+        .join(rvec, "right_id")
+        .select("left_id", "right_id", F.round(sim, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
 
 
 def _nearest_cells(
@@ -354,7 +423,11 @@ def _nearest_cells(
     sort the (sim, id) structs, slice.  The centroid matrix is ONE
     array<array<double>> literal scored by a single transform lambda
     (constant driver-side build cost in n_cells)."""
-    mat = F.lit([list(vec) for _, vec in centroids])
+    import numpy as np
+
+    # 1-D numpy literals: one py4j conversion per centroid instead of one
+    # per element (Spark rejects ≥2-D ndarray literals).
+    mat = F.array(*[F.lit(np.asarray(vec, dtype="float64")) for _, vec in centroids])
     cids = F.lit([int(cid) for cid, _ in centroids])
     scored = F.transform(
         mat,
@@ -457,13 +530,17 @@ def ann_ivf_topk_pruned(
     corpus = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
     if exclude_id is not None:
         corpus = corpus.where(F.col(id_col) != exclude_id)
+    # The probe norm is a constant — computed driver-side (same sequential
+    # sum order as the JVM fold, so doubles match bit-for-bit) instead of
+    # re-folding |probe| for every corpus row.
+    import numpy as np
+
+    pn = math.sqrt(sum(x * x for x in probe_vec))
+    sim = _dot(F.col(vec_col), F.lit(np.asarray(probe_vec, dtype="float64"))) / (
+        _norm(F.col(vec_col)) * F.lit(pn)
+    )
     return (
-        corpus.select(
-            F.col(id_col),
-            F.round(cosine_sim(F.col(vec_col), F.lit(probe_vec)), 6).alias(
-                "cos_sim"
-            ),
-        )
+        corpus.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -493,19 +570,20 @@ def ann_ivf_topk(
     probe = F.broadcast(
         indexed.where(F.col(id_col) == probe_id).select(
             F.col(vec_col).alias("__p"),
+            _norm(F.col(vec_col)).alias("__pn"),
             _nearest_cells(F.col(vec_col), centroids, n_probe)
             .getField("cid")
             .alias("__pcells"),
         )
     )
+    sim = _dot(F.col(vec_col), F.col("__p")) / (
+        _norm(F.col(vec_col)) * F.col("__pn")
+    )
     return (
         indexed.where(F.col(id_col) != probe_id)
         .crossJoin(probe)
         .where(F.array_contains(F.col("__pcells"), F.col("ivf_cell")))
-        .select(
-            F.col(id_col),
-            F.round(cosine_sim(F.col(vec_col), F.col("__p")), 6).alias("cos_sim"),
-        )
+        .select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

@@ -394,7 +394,8 @@ _COS_AB = (
 
 def _lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     """Sign-bit bucket id for one hash table — mirrors
-    operators/similarity.py:_bucket_expr with the same plane literals."""
+    operators/similarity.py:_bucket_from_matrix with the same plane
+    literals."""
     return " + ".join(
         f"(CASE WHEN list_dot_product({vec_expr}, "
         f"[{', '.join(repr(v) for v in plane)}]) >= 0 THEN {1 << i} ELSE 0 END)"
