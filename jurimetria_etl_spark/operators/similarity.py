@@ -567,6 +567,23 @@ def ann_ivf_topk(
     proportional scan cut.
     """
     indexed, centroids = ivf_index(embeddings, n_cells, id_col, vec_col)
+    return ann_ivf_topk_indexed(
+        indexed, centroids, probe_id, k, n_probe, id_col, vec_col
+    )
+
+
+def ann_ivf_topk_indexed(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    probe_id: int,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a prebuilt IVF index (the output of ``ivf_index``): the
+    build-once / probe-many path — persist or materialize ``indexed`` at
+    ingest and amortize the centroid assignment across every probe."""
     probe = F.broadcast(
         indexed.where(F.col(id_col) == probe_id).select(
             F.col(vec_col).alias("__p"),

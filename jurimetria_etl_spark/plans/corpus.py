@@ -904,33 +904,75 @@ SELECT 'except' AS which, k FROM ({Q17_EXCEPT_SQL}) e
 def q12_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12+Q30+Q31 merged — ROLLUP, CUBE, and explicit GROUPING SETS over
     the same (returnflag, linestatus) keys with a uniform aggregate set,
-    tagged by variant.  Each variant is still one Expand + hash-agg pass."""
+    tagged by variant.
+
+    All the grouping sets involved are coarsenings of (rf, ls), and every
+    aggregate here is decomposable (count → sum, sum → sum), so the engine
+    aggregates lineitem ONCE at the finest (rf, ls) granularity, then
+    replays Spark's Expand trick on that ~10-row result: each base row
+    explodes into its 4 masked grouping-set keys and a second (tiny)
+    aggregation folds them.  Spark's native cube/rollup Expand would
+    multiply every INPUT row by the number of grouping sets before the
+    partial agg (4× the scan at 100 TB); here the multiplication happens
+    after the 600000:10 reduction, and the fact table is scanned exactly
+    once (plan-pinned in test_plan_shapes.py).  Decimal sums stay decimal
+    until one final double cast, so two-level summation is bit-exact with
+    the one-pass oracle."""
     li = _t(spark, sf_dir, "lineitem")
-    aggs = [
-        F.count("*").alias("cnt"),
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_price"),
-    ]
-    roll = (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(*aggs)
-        .select(F.lit("rollup").alias("variant"), "*")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("__cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__price"),
     )
-    cube = (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(*aggs)
-        .select(F.lit("cube").alias("variant"), "*")
+    null_s = F.lit(None).cast("string")
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
+    # grouping-set id: 0 = (rf, ls), 1 = (rf), 2 = (ls), 3 = ().
+    # rollup = {0, 1, 3}; cube = all; grouping_sets = {1, 2, 3}.
+    sets = F.array(
+        F.struct(F.lit(0).alias("gid"), rf.alias("rf"), ls.alias("ls")),
+        F.struct(F.lit(1).alias("gid"), rf.alias("rf"), null_s.alias("ls")),
+        F.struct(F.lit(2).alias("gid"), null_s.alias("rf"), ls.alias("ls")),
+        F.struct(
+            F.lit(3).alias("gid"), null_s.alias("rf"), null_s.alias("ls")
+        ),
     )
-    gsets = (
-        li.groupingSets(
-            [["l_returnflag"], ["l_linestatus"], []],
-            "l_returnflag",
-            "l_linestatus",
+    levels = (
+        base.select(
+            F.explode(sets).alias("g"), "__cnt", "__qty", "__price"
         )
-        .agg(*aggs)
-        .select(F.lit("grouping_sets").alias("variant"), "*")
+        .groupBy("g.gid", "g.rf", "g.ls")
+        .agg(
+            F.sum("__cnt").alias("cnt"),
+            F.sum("__qty").alias("__qty2"),
+            F.sum("__price").alias("__price2"),
+        )
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("ls").alias("l_linestatus"),
+            "cnt",
+            F.col("__qty2").cast("double").alias("sum_qty"),
+            F.col("__price2").cast("double").alias("sum_price"),
+            F.col("gid").alias("__gid"),
+        )
     )
-    return roll.unionByName(cube).unionByName(gsets)
+    variants = (
+        F.when(F.col("__gid") == 0, F.array(F.lit("rollup"), F.lit("cube")))
+        .when(
+            F.col("__gid") == 2,
+            F.array(F.lit("cube"), F.lit("grouping_sets")),
+        )
+        .otherwise(
+            F.array(F.lit("rollup"), F.lit("cube"), F.lit("grouping_sets"))
+        )
+    )
+    return levels.select(
+        F.explode(variants).alias("variant"),
+        "l_returnflag",
+        "l_linestatus",
+        "cnt",
+        "sum_qty",
+        "sum_price",
+    )
 
 
 _GROUPING_AGGS_SQL = """count(*) AS cnt,

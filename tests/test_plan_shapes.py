@@ -132,3 +132,12 @@ def test_ivf_probe_filters_cells_before_scoring(spark):
     plan = _physical(ann_ivf_topk(_emb(spark), probe_id=1, k=5, n_cells=4, n_probe=2))
     assert "array_contains" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_grouping_variants_scan_fact_once(spark):
+    # q12 derives rollup/cube/grouping-sets from ONE base aggregation:
+    # exactly one scan of lineitem and no Expand operator (which would
+    # multiply every input row by the number of grouping sets pre-agg)
+    plan = _physical(CORPUS["q12_grouping"].spark(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan
