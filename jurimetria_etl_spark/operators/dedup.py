@@ -462,3 +462,113 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ───────────────────── near-dup clustering (components) ────────────────────
+def near_dup_clusters(
+    pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    cluster_col: str = "cluster_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: every id that
+    appears in a pair, labeled with the MINIMUM id reachable from it
+    (deterministic canonical cluster id).
+
+    Pairwise keep-one (drop the higher id of each pair) under-deletes on
+    chains — A~B, B~C leaves {A, C} even though all three are one cluster.
+    Clustering first, then keeping one doc per cluster, is the transitive
+    fix real curation pipelines need.
+
+    Plan shape: iterative min-label propagation — labels start as the id;
+    each round every node takes the min of its own and its neighbours'
+    labels; converged when the (monotonically decreasing) label sum stops
+    changing.  O(cluster diameter) rounds — near-dup clusters are small
+    cliques, so 2-3 in practice.  Scale discipline:
+
+    - ONLY ids that occur in a pair enter the iteration; the (vast) corpus
+      remainder never shuffles.  Join the result back and ``coalesce`` to
+      the own id for a full assignment (``assign_near_dup_clusters``).
+    - Each round shuffles (id, label) pairs only — 16 bytes/row.
+    - ``localCheckpoint`` truncates the lineage each round so the plan
+      doesn't compound across iterations (swap for ``checkpoint(dir)``
+      when fault-tolerance across a long job matters).
+    """
+    edges = (
+        pairs.select(
+            F.col(left_col).alias("__src"), F.col(right_col).alias("__dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col(right_col).alias("__src"),
+                F.col(left_col).alias("__dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("__src").alias("__id"))
+        .distinct()
+        .withColumn("__label", F.col("__id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["__dst"] == labels["__id"])
+            .groupBy("__src")
+            .agg(F.min("__label").alias("__nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels["__id"] == neigh["__src"], "left")
+            .select(
+                F.col("__id"),
+                F.least(
+                    F.col("__label"),
+                    F.coalesce(F.col("__nlabel"), F.col("__label")),
+                ).alias("__label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("__label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("__id").alias("id"), F.col("__label").alias(cluster_col)
+    )
+
+
+def assign_near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Every document labeled with its near-dup cluster id (its own id when
+    it has no near-dup) — the pair graph is clustered first
+    (``near_dup_clusters``), then left-joined back, so only paired ids pay
+    the iteration."""
+    comp = near_dup_clusters(pairs, cluster_col=cluster_col)
+    return docs.join(
+        comp, docs[id_col] == comp["id"], "left"
+    ).select(
+        docs["*"],
+        F.coalesce(F.col(cluster_col), docs[id_col]).alias(cluster_col),
+    )
+
+
+def dedup_keep_one_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive near-dup dedup: one survivor (the minimum id) per
+    connected component of the pair graph; documents without near-dups all
+    survive."""
+    assigned = assign_near_dup_clusters(docs, pairs, id_col, "__cluster")
+    return assigned.where(F.col(id_col) == F.col("__cluster")).drop(
+        "__cluster"
+    )

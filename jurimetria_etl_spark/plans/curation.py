@@ -61,6 +61,11 @@ def curate_corpus(
     near_pairs = D.minhash_near_duplicates(
         exact, id_col, text_col, threshold=near_dup_threshold
     )
+    # Greedy pairwise removal (drop the greater id of every pair) keeps the
+    # whole pipeline one lazy plan.  For transitive cluster semantics
+    # (exactly one survivor per CONNECTED COMPONENT of the pair graph, at
+    # the price of a driver-side convergence loop) use
+    # ``D.dedup_keep_one_per_cluster(exact, near_pairs, id_col)``.
     losers = near_pairs.select(F.col("right_id").alias(id_col)).distinct()
     return exact.join(F.broadcast(losers), id_col, "left_anti")
 

@@ -527,6 +527,38 @@ FROM documents,
 """
 
 
+def x18_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash near-dup pairs (x05) →
+    connected components by min-label propagation → every document labeled
+    with its cluster id (own id when it has no near-dup).  Not registered
+    (the registry holds the driver's 50-entry window) — value-checked
+    against a recursive-CTE DuckDB oracle in
+    tests/test_deregistered_queries.py."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    return D.assign_near_dup_clusters(docs, pairs, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+
+
+# Transitive closure of the x05 pair graph: reach(id, r) enumerates every
+# id reachable from ``id``; min(r) is the deterministic cluster label.
+X18_SQL = f"""
+WITH RECURSIVE pairs AS ({X05_SQL}),
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM pairs
+  UNION
+  SELECT right_id, left_id FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def x17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive Karp-Rabin rolling fingerprint per document."""
     return _t(spark, sf_dir, "documents").select(

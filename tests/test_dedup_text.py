@@ -227,3 +227,27 @@ def test_cosine_topk_pandas_matches_jvm_fold(spark):
     assert [(r["vec_id"], r["cos_sim"]) for r in arrow] == [
         (r["vec_id"], r["cos_sim"]) for r in jvm
     ]
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    # A~B and B~C (but never A~C directly) must collapse to ONE cluster —
+    # the failure mode greedy pairwise keep-one cannot handle
+    from jurimetria_etl_spark.operators.dedup import (
+        dedup_keep_one_per_cluster,
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "left_id long, right_id long"
+    )
+    comp = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    survivors = sorted(
+        r["doc_id"] for r in dedup_keep_one_per_cluster(docs, pairs).collect()
+    )
+    assert survivors == [1, 10, 99]

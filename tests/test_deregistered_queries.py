@@ -58,6 +58,7 @@ PAIRS = [
     (E.x09_lang_id, E.X09_SQL),
     (E.x10_quality, E.X10_SQL),
     (E.x11_token_stats, E.X11_SQL),
+    (E.x18_near_dup_clusters, E.X18_SQL),
 ]
 
 
