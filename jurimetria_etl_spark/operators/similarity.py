@@ -446,11 +446,13 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF (inverted-file) coarse quantization: pick ``n_cells`` seed
     vectors deterministically (the lowest ids — a fixed sample in lieu of
-    k-means; swap in trained centroids without touching the query path),
-    then assign every vector to its nearest centroid.
+    k-means) unless trained ``centroids`` are passed (see
+    ``train_ivf_centroids``), then assign every vector to its nearest
+    centroid.
 
     Returns (indexed DataFrame with a ``cell_col`` int column, centroids).
     The centroid list is tiny (n_cells × dim floats) and folded into the
@@ -461,17 +463,75 @@ def ivf_index(
     parallelism before the (CPU-dense) centroid scoring.
     """
     embeddings = widen_partitions(embeddings)
-    seeds = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
+    if centroids is None:
+        seeds = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
     assigned = embeddings.withColumn(
         cell_col, _nearest_cells(F.col(vec_col), centroids, 1)[0]["cid"]
     )
     return assigned, centroids
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means for IVF centroids, DataFrame-native: start from the
+    deterministic lowest-id seeds, then iterate (assign → per-cell mean).
+
+    Per iteration: assignment is the same narrow literal-matrix scoring the
+    query path uses (no shuffle), and the recentering shuffles
+    (cell, position, component) triples — 3 small columns, never whole
+    vectors — then collects the n_cells × dim means to the driver (tiny).
+    Balanced against ``n_iters`` collects; at 100 TB train on a SAMPLE
+    (k-means on a 1% sample converges to near-identical cells) and assign
+    the full corpus once with the result.
+
+    Empty cells keep their previous centroid (the standard Lloyd
+    fallback).  Float means depend on partial-sum order, so two runs can
+    differ in the last ulp — treat trained centroids as an artifact to
+    persist alongside the layout, not as a reproducible pure function.
+    """
+    embeddings = widen_partitions(embeddings)
+    _, centroids = ivf_index(
+        embeddings.select(id_col, vec_col), n_cells, id_col, vec_col
+    )
+    for _ in range(n_iters):
+        assigned = embeddings.withColumn(
+            "__cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]["cid"]
+        )
+        means = (
+            assigned.select(
+                "__cell", F.posexplode(F.col(vec_col)).alias("__pos", "__v")
+            )
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__v").alias("__m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["__m"]
+        centroids = [
+            (
+                cid,
+                [
+                    by_cell[cid][p]
+                    for p in range(len(prev))
+                ]
+                if cid in by_cell
+                else prev,
+            )
+            for cid, prev in centroids
+        ]
+    return centroids
 
 
 def _nearest_cells_py(

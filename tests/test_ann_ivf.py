@@ -71,3 +71,44 @@ def test_partitioned_layout_prunes_and_matches(spark, emb, tmp_path):
     assert [tuple(r) for r in pruned.collect()] == [
         tuple(r) for r in in_memory.collect()
     ]
+
+
+def test_kmeans_trained_centroids_separate_planted_blobs(spark):
+    # three tight, well-separated direction blobs with one seed id in each
+    # (ids 0/1/2): after training, every blob owns one centroid, so a
+    # 1-probe search returns only (and all) same-blob neighbors
+    import random
+
+    from jurimetria_etl_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        ivf_index,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(7)
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for blob in range(3):
+        for j in range(20):
+            vec = [c + rng.uniform(-0.5, 0.5) for c in base[blob]]
+            rows.append((blob + 3 * j, vec))  # ids 0,1,2 seed distinct blobs
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    centroids = train_ivf_centroids(emb, n_cells=3, n_iters=4)
+    indexed, centroids = ivf_index(emb, 3, centroids=centroids)
+    got = ann_ivf_topk_indexed(indexed, centroids, probe_id=0, k=5, n_probe=1)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert len(ids) == 5
+    assert all(i % 3 == 0 for i in ids)  # same blob as probe id 0
+
+    # full probe is still exactly brute force regardless of training
+    from jurimetria_etl_spark.operators.similarity import cosine_topk
+
+    brute = [r["vec_id"] for r in cosine_topk(emb, 0, 5).collect()]
+    full = [
+        r["vec_id"]
+        for r in ann_ivf_topk_indexed(
+            indexed, centroids, probe_id=0, k=5, n_probe=3
+        ).collect()
+    ]
+    assert full == brute

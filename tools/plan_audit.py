@@ -23,7 +23,7 @@ AUDITED = [
     ("q04_join_dim_coalesce", "BroadcastHashJoin; fact side never shuffles"),
     ("q06_join_star", "3 broadcast joins; single agg shuffle"),
     ("q08_agg_hour", "partial+final HashAggregate around one exchange"),
-    ("q12_grouping", "Expand + hash agg per grouping variant"),
+    ("q12_grouping", "ONE fact scan, no Expand; variants derived post-agg"),
     ("q15_topk", "TakeOrderedAndProject (no global sort)"),
     ("q27_asof_join", "ONE exchange (union+window), no nested-loop"),
     ("q28_range_join", "bucket-blocked HASH join, not BNLJ"),
