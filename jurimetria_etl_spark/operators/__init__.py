@@ -14,4 +14,9 @@ from jurimetria_etl_spark.operators.filters import (  # noqa: F401
 )
 from jurimetria_etl_spark.operators.joins import enrich_municipio  # noqa: F401
 from jurimetria_etl_spark.operators.setops import union_all_by_name  # noqa: F401
+from jurimetria_etl_spark.operators.sampling import (  # noqa: F401
+    deterministic_sample,
+    pack_into_shards,
+    stratified_sample,
+)
 from jurimetria_etl_spark.operators.stats import basic_stats, row_count  # noqa: F401

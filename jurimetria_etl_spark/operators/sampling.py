@@ -1,0 +1,124 @@
+"""Corpus sampling and shard packing — the selection/layout stage of a
+training-data pipeline (downstream of the `operators/{text,dedup}` gates).
+
+Everything here is deterministic by construction: sampling decisions hash a
+stable key (never `rand()`, which is seed- and partitioning-dependent), and
+shard assignment derives from a total order on a unique key — so re-runs,
+retries, and engine ports (the DuckDB oracles) reproduce byte-identical
+selections.
+
+Scale notes:
+- `deterministic_sample` / `stratified_sample` are narrow filters: no
+  shuffle, fused into the scan, and the sampling predicate is pushdown-
+  friendly when the hash column is materialized at ingest.
+- `pack_into_shards` needs a GLOBAL running sum, which a naive
+  `Window.orderBy` computes in ONE task (the classic global-window scale
+  trap).  It is implemented as the standard two-phase prefix sum instead:
+  range-partition by the order key, per-partition local cumsum (parallel
+  windows), plus a tiny per-partition offset table — the only global step
+  is a window over `#partitions` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.dedup import hash60
+
+# Sampling hashes map onto [0, 1) with 6-decimal resolution: row kept iff
+# hash60(key ‖ salt) mod 10⁶ < fraction · 10⁶.
+_BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column | str, salt: str = "sample") -> Column:
+    """Stable per-row sampling bucket in [0, 1e6): derived from md5 so any
+    engine can recompute it (same construction as the dedup fingerprints —
+    reference: operators/dedup.py:hash60)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(hash60(c.cast("string"), salt), F.lit(_BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows, decided per row by hashing
+    ``key_col`` — re-runs and engine ports select the SAME rows (unlike
+    ``df.sample``, whose output depends on seed AND partitioning).  A
+    narrow filter; no shuffle."""
+    return df.where(sample_bucket(key_col, salt) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing: keep
+    10% of English, 100% of the tail languages).  One narrow filter — the
+    per-stratum threshold is a CASE expression, no shuffle, no join."""
+    threshold: Column = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        threshold = (
+            F.when(F.col(strata_col) == value, F.lit(int(frac * _BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.where(sample_bucket(key_col, salt) < threshold)
+
+
+def pack_into_shards(
+    df: DataFrame,
+    tokens_col: str,
+    order_col: str,
+    max_tokens_per_shard: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Sequential-fill shard packing: walk the corpus in ``order_col``
+    order accumulating token counts; a document starts at running total T
+    (exclusive prefix) and lands in shard ``floor(T / max_tokens)``.
+    Deterministic given a UNIQUE order key (ties across a partition
+    boundary would make the order — and thus shards — ambiguous).
+
+    Two-phase prefix sum (no global single-task window):
+    1. ``repartitionByRange(order_col)`` — globally ordered,
+       non-overlapping partitions (ordering invariant holds regardless of
+       where the sampled boundaries land);
+    2. per-partition local cumsum via a window PARTITIONED on the range
+       partition id (runs in parallel);
+    3. per-partition totals → exclusive offsets: the only global window,
+       over ``#partitions`` rows, broadcast back.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum(tokens_col).alias("__t"))
+    off_w = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off"),
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_inclusive = F.sum(tokens_col).over(local_w) + F.col("__off")
+    start = cum_inclusive - F.col(tokens_col)  # exclusive prefix
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            shard_col,
+            F.floor(start / F.lit(max_tokens_per_shard)).cast("bigint"),
+        )
+        .drop("__pid", "__off")
+    )

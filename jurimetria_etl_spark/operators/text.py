@@ -65,9 +65,9 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     via regexp extraction (a cheap proxy for subword tokenizers; the common
     ~4-chars-per-token heuristic is exposed separately)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(F.lower(c), F.lit(WORDLIKE_PATTERN), F.lit(0))).cast(
-        "bigint"
-    )
+    # regexp_count, not size(regexp_extract_all(...)): same non-overlapping
+    # match count without materializing the match array per row
+    return F.regexp_count(F.lower(c), F.lit(WORDLIKE_PATTERN)).cast("bigint")
 
 
 def chars_per_token_estimate(col: Column | str) -> Column:

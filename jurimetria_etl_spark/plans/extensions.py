@@ -559,6 +559,58 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
+def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing (keep 20% of 'en',
+    60% of 'fr', everything else untouched at 100%), decided by hashing
+    doc_id — engine-portable, re-run-stable, no rand().  Not registered
+    (50-entry window) — oracle-checked in tests/test_deregistered_queries.py."""
+    from jurimetria_etl_spark.operators import sampling as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    return SM.stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.2, "fr": 0.6},
+        key_col="doc_id",
+        default_fraction=1.0,
+    ).select("doc_id", "lang")
+
+
+# Mirrors operators/sampling.py:sample_bucket — hash60 with a 'sample:'
+# salt prefix, mod 1e6, thresholded per stratum.
+_X19_BUCKET = h60("'sample:' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+X19_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_X19_BUCKET} < (CASE lang WHEN 'en' THEN 200000
+                                 WHEN 'fr' THEN 600000
+                                 ELSE 1000000 END)
+"""
+
+
+def x20_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: sequential fill over doc_id order, 10k
+    chars per shard — the scalable two-phase prefix sum
+    (operators/sampling.py:pack_into_shards); the oracle is the
+    single-window global cumsum it must equal.  Not registered —
+    oracle-checked in tests/test_deregistered_queries.py."""
+    from jurimetria_etl_spark.operators import sampling as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    return SM.pack_into_shards(
+        docs, tokens_col="n_chars", order_col="doc_id",
+        max_tokens_per_shard=10_000,
+    ).select("doc_id", "shard_id")
+
+
+X20_SQL = """
+SELECT doc_id,
+       CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_chars) / 10000) AS BIGINT) AS shard_id
+FROM documents
+"""
+
+
 def x17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive Karp-Rabin rolling fingerprint per document."""
     return _t(spark, sf_dir, "documents").select(

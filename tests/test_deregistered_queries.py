@@ -59,6 +59,8 @@ PAIRS = [
     (E.x10_quality, E.X10_SQL),
     (E.x11_token_stats, E.X11_SQL),
     (E.x18_near_dup_clusters, E.X18_SQL),
+    (E.x19_stratified_sample, E.X19_SQL),
+    (E.x20_pack_shards, E.X20_SQL),
 ]
 
 
