@@ -413,6 +413,44 @@ def cosine_similarity_join(
     )
 
 
+def dedup_embeddings_keep_one(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: LSH-pruned similarity self-join
+    (``cosine_similarity_join``) finds pairs above ``threshold``, the pair
+    graph is clustered transitively (connected components), and exactly
+    one row (the minimum id) survives per cluster.
+
+    The embedding-space counterpart of the text pipeline's
+    MinHash → ``dedup_keep_one_per_cluster`` path, with the same scale
+    discipline: candidates shuffle ids only, clustering touches only
+    paired ids, and the removal is an id join against the corpus.
+    """
+    from jurimetria_etl_spark.operators.dedup import (
+        dedup_keep_one_per_cluster,
+    )
+
+    pairs = cosine_similarity_join(
+        embeddings,
+        embeddings,
+        threshold,
+        dim,
+        n_planes,
+        n_tables,
+        seed,
+        id_col,
+        vec_col,
+    )
+    return dedup_keep_one_per_cluster(embeddings, pairs, id_col)
+
+
 def _nearest_cells(
     vec_col: Column,
     centroids: list[tuple[int, list[float]]],

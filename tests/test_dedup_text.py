@@ -251,3 +251,44 @@ def test_near_dup_clusters_transitive_chain(spark):
         r["doc_id"] for r in dedup_keep_one_per_cluster(docs, pairs).collect()
     )
     assert survivors == [1, 10, 99]
+
+
+def test_dedup_embeddings_keep_one_collapses_planted_near_dups(spark):
+    # pairs above the threshold (per the exact baseline) must lose all but
+    # their cluster minimum; everything unpaired survives
+    from jurimetria_etl_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_similarity_join,
+        dedup_embeddings_keep_one,
+    )
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    emb = load_fixture(spark, "/root/testdata/sf0.001", "embeddings")
+    survivors = {
+        r["vec_id"]
+        for r in dedup_embeddings_keep_one(emb, 0.45, dim=64).collect()
+    }
+    pairs = cosine_similarity_join(emb, emb, 0.45, dim=64).collect()
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    paired = {r["left_id"] for r in pairs} | {r["right_id"] for r in pairs}
+    # unpaired ids all survive
+    assert (all_ids - paired) <= survivors
+    # every pair lost at least one side, and the kept side is the smaller
+    for r in pairs:
+        assert not (r["left_id"] in survivors and r["right_id"] in survivors)
+    # survivors within the paired set are exactly the cluster minima —
+    # cross-check count via union-find over the pair list
+    parent = {i: i for i in paired}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["left_id"]), find(r["right_id"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    minima = {find(i) for i in paired}
+    assert (survivors & paired) == minima
