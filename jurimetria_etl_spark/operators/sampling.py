@@ -82,7 +82,8 @@ def pack_into_shards(
     """Sequential-fill shard packing: walk the corpus in ``order_col``
     order accumulating token counts; a document starts at running total T
     (exclusive prefix) and lands in shard ``floor(T / max_tokens)``.
-    Deterministic given a UNIQUE order key (ties across a partition
+    Deterministic given a UNIQUE, NON-NULL order key (Spark and SQL
+    engines disagree on default NULL ordering, and ties across a partition
     boundary would make the order — and thus shards — ambiguous).
 
     Two-phase prefix sum (no global single-task window):

@@ -144,3 +144,28 @@ def test_dedup_by_fingerprint_idempotent(spark, texts):
     assert got_once == sorted(map(tuple, twice.collect()))
     fps = [r["fp"] for r in once.select(fingerprint("text").alias("fp")).collect()]
     assert len(fps) == len(set(fps))
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    st.integers(min_value=100, max_value=3000),
+)
+def test_pack_into_shards_matches_python_reference(spark, token_counts, max_tokens):
+    # sequential-fill model: doc at exclusive running total T lands in
+    # shard floor(T / max); the two-phase prefix sum must reproduce it for
+    # ANY token distribution and budget
+    from jurimetria_etl_spark.operators.sampling import pack_into_shards
+
+    rows = [(i, t) for i, t in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_into_shards(df, "n_tok", "doc_id", max_tokens).collect()
+    }
+    run = 0
+    expect = {}
+    for i, t in rows:
+        expect[i] = run // max_tokens
+        run += t
+    assert got == expect
