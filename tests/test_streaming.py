@@ -205,3 +205,34 @@ def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
     assert sorted(
         r["event_id"] for r in dedup_stream(batch, ["event_id"]).collect()
     ) == [1, 2, 3]
+
+
+def test_stateless_curation_ops_compose_with_streams(spark, tmp_path):
+    # deterministic sampling + fingerprinting are narrow stateless
+    # expressions, so the SAME operator functions run unchanged on a
+    # stream and must select/compute exactly what the batch run does
+    from jurimetria_etl_spark.operators.dedup import fingerprint
+    from jurimetria_etl_spark.operators.sampling import stratified_sample
+
+    docs = load_fixture(spark, SF, "documents")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{tmp_path}/docs")
+
+    def curate(df):
+        return stratified_sample(
+            df, "lang", {"en": 0.5}, key_col="doc_id", default_fraction=1.0
+        ).select("doc_id", fingerprint("text").alias("fp"))
+
+    batch = curate(spark.read.parquet(f"{tmp_path}/docs"))
+    stream = curate(
+        spark.readStream.schema(docs.schema).parquet(f"{tmp_path}/docs")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM curated_stream")
+    assert _canon(got) == _canon(batch)
