@@ -142,3 +142,41 @@ def top_terms(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "term")
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_chars: int = 1000,
+    overlap_chars: int = 100,
+    chunk_col: str = "chunk",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap (the
+    context-window prep step downstream of curation): chunk ``i`` starts at
+    offset ``i·(chunk_chars − overlap_chars)`` and spans ``chunk_chars``;
+    the last chunk may be shorter; an empty document yields one empty
+    chunk.
+
+    Narrow expression — ``sequence`` over the start offsets + per-row
+    explode; no shuffle, no Python, and the explode multiplies rows only
+    by ``ceil(len/step)`` (bounded by the documents themselves, unlike a
+    token-level explode).  Engine-portable arithmetic so an oracle can
+    re-derive chunks with ``generate_series`` + ``substring``.
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError(
+            f"chunk_documents: overlap_chars={overlap_chars} must be < "
+            f"chunk_chars={chunk_chars} (the window must advance)"
+        )
+    step = chunk_chars - overlap_chars
+    c = F.col(text_col)
+    n_chunks = F.greatest(F.lit(1), F.ceil(F.length(c) / F.lit(step)))
+    idx = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    out = df.withColumn(idx_col, idx)
+    return out.withColumn(
+        chunk_col,
+        F.substring(
+            F.col(text_col), F.col(idx_col) * step + 1, chunk_chars
+        ),
+    )

@@ -611,6 +611,25 @@ FROM documents
 """
 
 
+def x21_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 240-char windows advancing by 200 (40-char
+    overlap) — the prep step between curation and packing.  Not registered —
+    oracle-checked in tests/test_deregistered_queries.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.chunk_documents(
+        docs, chunk_chars=240, overlap_chars=40
+    ).select("doc_id", "chunk_idx", "chunk")
+
+
+X21_SQL = """
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       substring(text, i * 200 + 1, 240) AS chunk
+FROM documents,
+     UNNEST(generate_series(
+       0, CAST(greatest(1, ceil(length(text) / 200.0)) AS BIGINT) - 1)) AS t(i)
+"""
+
+
 def x17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive Karp-Rabin rolling fingerprint per document."""
     return _t(spark, sf_dir, "documents").select(

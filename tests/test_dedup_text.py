@@ -292,3 +292,30 @@ def test_dedup_embeddings_keep_one_collapses_planted_near_dups(spark):
             parent[max(a, b)] = min(a, b)
     minima = {find(i) for i in paired}
     assert (survivors & paired) == minima
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from jurimetria_etl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "xyz")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in chunk_documents(df, chunk_chars=4, overlap_chars=1).collect()
+    )
+    assert got == [
+        (1, 0, "abcd"),
+        (1, 1, "defg"),
+        (1, 2, "ghij"),
+        (1, 3, "j"),
+        (2, 0, ""),   # empty doc -> one empty chunk
+        (3, 0, "xyz"),
+    ]
+    # overlap: consecutive chunks share overlap_chars characters
+    assert got[0][2][-1] == got[1][2][0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=4, overlap_chars=4)

@@ -61,6 +61,7 @@ PAIRS = [
     (E.x18_near_dup_clusters, E.X18_SQL),
     (E.x19_stratified_sample, E.X19_SQL),
     (E.x20_pack_shards, E.X20_SQL),
+    (E.x21_chunk_documents, E.X21_SQL),
 ]
 
 
