@@ -224,6 +224,47 @@ LIMIT 20
 """
 
 
+
+def t05_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders in a quarter having at
+    least one "late" lineitem — an EXISTS correlated on the join key plus a
+    non-equi date predicate, planned as a LEFT SEMI join on the
+    orders⨝lineitem spine (the fixture lacks commit/receipt dates, so
+    "late" substitutes l_shipdate > o_orderdate + 60 days).  Semi-join
+    output carries only the orders side, so the count never double-counts
+    multi-lineitem orders.  Not registered (50-entry window) —
+    oracle-checked in tests/test_deregistered_queries.py."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+T05_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 TPCH: dict[str, Q] = {
     "t01_pricing_summary": Q(t01_pricing_summary, T01_SQL),
     "t02_shipping_priority": Q(t02_shipping_priority, T02_SQL),

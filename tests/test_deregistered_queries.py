@@ -11,6 +11,7 @@ import pytest
 
 from jurimetria_etl_spark.plans import corpus as C
 from jurimetria_etl_spark.plans import extensions as E
+from jurimetria_etl_spark.plans import tpch as T
 
 SF = "/root/testdata/sf0.001"
 TABLES = (
@@ -62,6 +63,7 @@ PAIRS = [
     (E.x19_stratified_sample, E.X19_SQL),
     (E.x20_pack_shards, E.X20_SQL),
     (E.x21_chunk_documents, E.X21_SQL),
+    (T.t05_order_priority, T.T05_SQL),
 ]
 
 
