@@ -515,6 +515,7 @@ def near_dup_clusters(
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["__dst"] == labels["__id"])
@@ -534,8 +535,18 @@ def near_dup_clusters(
         )
         cur_sum = labels.agg(F.sum("__label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Labels advance one hop per round, so a component whose diameter
+        # exceeds max_iters would silently keep >1 survivor — refuse to
+        # return a non-converged (inconsistent) labeling.
+        raise RuntimeError(
+            f"near_dup_clusters: not converged after max_iters={max_iters} "
+            "rounds (a component's diameter exceeds the budget); raise "
+            "max_iters."
+        )
     return labels.select(
         F.col("__id").alias("id"), F.col("__label").alias(cluster_col)
     )
@@ -550,7 +561,10 @@ def assign_near_dup_clusters(
     """Every document labeled with its near-dup cluster id (its own id when
     it has no near-dup) — the pair graph is clustered first
     (``near_dup_clusters``), then left-joined back, so only paired ids pay
-    the iteration."""
+    the iteration.  The join back is deliberately unhinted: the cluster
+    table is usually tiny (AQE broadcasts it from its runtime size) but is
+    corpus-sized on a pathologically duplicated input, where a forced
+    broadcast would OOM."""
     comp = near_dup_clusters(pairs, cluster_col=cluster_col)
     return docs.join(
         comp, docs[id_col] == comp["id"], "left"

@@ -94,10 +94,19 @@ def pack_into_shards(
        partition id (runs in parallel);
     3. per-partition totals → exclusive offsets: the only global window,
        over ``#partitions`` rows, broadcast back.
+
+    The ranged frame is materialized (``localCheckpoint``) before the
+    offsets and output branches read it: both reference
+    ``spark_partition_id``, and without the barrier each branch would
+    re-execute the range exchange — whose sampled boundaries are not
+    guaranteed identical across executions — letting a boundary row take
+    one __pid in the offsets table and another in the output.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     totals = ranged.groupBy("__pid").agg(F.sum(tokens_col).alias("__t"))
     off_w = (

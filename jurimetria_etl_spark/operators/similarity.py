@@ -539,9 +539,17 @@ def train_ivf_centroids(
     persist alongside the layout, not as a reproducible pure function.
     """
     embeddings = widen_partitions(embeddings)
-    _, centroids = ivf_index(
-        embeddings.select(id_col, vec_col), n_cells, id_col, vec_col
+    # Seed selection inline (not via ivf_index, which would widen a second
+    # time — widen_partitions keys off the SOURCE file count, so it cannot
+    # see that this frame is already wide) — same deterministic lowest-id
+    # seeds.
+    seeds = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
     )
+    centroids = [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
     for _ in range(n_iters):
         assigned = embeddings.withColumn(
             "__cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]["cid"]
@@ -678,6 +686,7 @@ def ann_ivf_topk_indexed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """Probe a prebuilt IVF index (the output of ``ivf_index``): the
     build-once / probe-many path — persist or materialize ``indexed`` at
@@ -697,7 +706,7 @@ def ann_ivf_topk_indexed(
     return (
         indexed.where(F.col(id_col) != probe_id)
         .crossJoin(probe)
-        .where(F.array_contains(F.col("__pcells"), F.col("ivf_cell")))
+        .where(F.array_contains(F.col("__pcells"), F.col(cell_col)))
         .select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

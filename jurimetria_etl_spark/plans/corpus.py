@@ -917,7 +917,13 @@ def q12_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the 600000:10 reduction, and the fact table is scanned exactly
     once (plan-pinned in test_plan_shapes.py).  Decimal sums stay decimal
     until one final double cast, so two-level summation is bit-exact with
-    the one-pass oracle."""
+    the one-pass oracle.
+
+    Known edge (documented, not hit by the corpus): on an EMPTY input this
+    returns 0 rows, whereas native ROLLUP/CUBE/GROUPING SETS emit their
+    grand-total row (cnt=0) even with no input — restoring that row would
+    need a second global-agg branch whose differing column pruning defeats
+    the single-scan plan."""
     li = _t(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("__cnt"),

@@ -319,3 +319,20 @@ def test_chunk_documents_windows_and_edges(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=4, overlap_chars=4)
+
+
+def test_near_dup_clusters_raises_when_not_converged(spark):
+    # a 6-node chain has diameter 5; with max_iters=2 labels cannot reach
+    # the far end — the operator must refuse to return inconsistent labels
+    import pytest as _pytest
+
+    from jurimetria_etl_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "left_id long, right_id long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        near_dup_clusters(chain, max_iters=2)
+    # and with enough rounds the same chain collapses to one cluster
+    comp = near_dup_clusters(chain, max_iters=10)
+    assert {r["cluster_id"] for r in comp.collect()} == {1}
