@@ -84,3 +84,49 @@ def curation_report(
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
     return total.crossJoin(kept)
+
+
+def prepare_training_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.7,
+    chunk_chars: int = 1000,
+    overlap_chars: int = 100,
+    max_chars_per_shard: int = 100_000,
+) -> DataFrame:
+    """The full corpus→training-shards pipeline: curation gates + dedup
+    (``curate_corpus``), overlapping context-window chunking
+    (``chunk_documents``), then deterministic sequential-fill packing into
+    bounded shards (``pack_into_shards``) keyed on (doc_id, chunk_idx)
+    order via a composite sort key.
+
+    Output: one row per chunk with ``shard_id`` — ready to
+    ``write.partitionBy("shard_id")``.  Everything upstream of the packing
+    prefix-sum is narrow or already-bounded shuffles (SCALE.md); packing
+    adds one range partition + one #partitions-row window.
+    """
+    from jurimetria_etl_spark.operators.sampling import pack_into_shards
+    from jurimetria_etl_spark.operators.text import chunk_documents
+
+    curated = curate_corpus(
+        docs, id_col, text_col, languages, min_quality, near_dup_threshold
+    )
+    chunks = chunk_documents(
+        curated, text_col, chunk_chars=chunk_chars, overlap_chars=overlap_chars
+    ).withColumn(
+        # unique, non-null total-order key for the packing prefix sum:
+        # (doc_id, chunk_idx) packed into one long (chunk count per doc is
+        # bounded by len/step ≪ 2²⁰)
+        "__order",
+        F.col(id_col) * F.lit(1 << 20) + F.col("chunk_idx"),
+    )
+    packed = pack_into_shards(
+        chunks.withColumn("__chunk_chars", F.length("chunk").cast("bigint")),
+        tokens_col="__chunk_chars",
+        order_col="__order",
+        max_tokens_per_shard=max_chars_per_shard,
+    )
+    return packed.drop("__order", "__chunk_chars")

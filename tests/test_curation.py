@@ -73,3 +73,39 @@ def test_curation_is_one_lazy_plan_no_python(spark):
         .toString()
     )
     assert "PythonUDF" not in plan
+
+
+def test_prepare_training_shards_end_to_end(spark):
+    from jurimetria_etl_spark.plans.curation import prepare_training_shards
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, "/root/testdata/sf0.001", "documents")
+    shards = prepare_training_shards(
+        docs,
+        languages=("en", "fr", "es", "de", "und"),
+        min_quality=0.0,
+        chunk_chars=240,
+        overlap_chars=40,
+        max_chars_per_shard=5_000,
+    )
+    rows = shards.select("doc_id", "chunk_idx", "chunk", "shard_id").collect()
+    assert rows, "curation gates must keep some documents"
+    # shard ids are a contiguous 0..N range
+    ids = sorted({r["shard_id"] for r in rows})
+    assert ids == list(range(len(ids)))
+    # sequential fill: no shard except possibly the last exceeds the budget
+    # by more than one chunk's length (a chunk never splits)
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    for r in rows:
+        per[r["shard_id"]] += len(r["chunk"])
+    for sid, total in per.items():
+        assert total <= 5_000 + 240
+    # chunks reassemble their source doc's prefix windows: spot-check one doc
+    doc_rows = sorted(
+        (r["chunk_idx"], r["chunk"]) for r in rows if r["doc_id"] == rows[0]["doc_id"]
+    )
+    text = [r["text"] for r in docs.collect() if r["doc_id"] == rows[0]["doc_id"]][0]
+    for i, chunk in doc_rows:
+        assert chunk == text[i * 200 : i * 200 + 240]
