@@ -342,45 +342,47 @@ def ngram_jaccard_pairs(
 
 # ─────────────────────────────── SimHash ───────────────────────────────────
 def _simhash_from_hashes(h: Column, bits: int) -> Column:
-    """Per-bit majority vote packed into a long, as ONE nested
-    higher-order expression: transform over the bit positions, aggregate
-    over the token hashes inside.  The shift amounts are lambda variables,
-    so the driver builds a constant number of lambdas instead of ``bits``
-    unrolled aggregates — the unrolled form cost ~1s of py4j chatter per
-    query at bits=48 (``shiftleft``/``shiftright`` go through
-    ``call_function`` because the typed Python wrappers only accept
-    literal shift amounts).
+    """Per-bit majority vote packed into a long, as ONE single-pass fold:
+    the token-hash array is traversed exactly once, carrying an
+    ``array<long>`` of ``bits`` per-bit counters (each token zip_with-
+    updates all counters at once), then one constant-size pass packs the
+    counter signs into the signature long.
 
-    ``h`` is re-bound as a lambda variable (via a 1-element transform)
-    before the per-bit loop: the input hash array is referenced once
-    *textually* but evaluated once per bit at runtime, so if ``h`` were an
-    inlined expression (e.g. the staged md5 pass after CollapseProject
-    fuses it in), the whole token-hash computation would silently run
-    ``bits``× per row — an observed 10× wall-clock blow-up, the
-    evaluation-count hazard the reference-count-based inlining heuristic
-    cannot see."""
+    The earlier formulation (transform over bit positions, an aggregate
+    over the token hashes inside each) re-traversed the token-hash array
+    ``bits`` times per row — 48 full aggregate passes at bits=48, which
+    the round-2 bench measured at 3.1× the DuckDB oracle (x08).  The fold
+    does the same tokens×bits arithmetic but reads the array once.
 
-    def packed(hv: Column) -> Column:
-        bit_vals = F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda b: F.when(
-                F.aggregate(
-                    hv,
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc
-                    + F.when(
-                        F.call_function("shiftright", x, b).bitwiseAND(F.lit(1))
-                        == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1)),
-                )
-                >= 0,
-                F.call_function("shiftleft", F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda a, x: a + x)
-
-    return F.element_at(F.transform(F.array(h), packed), 1)
+    The shift amounts are lambda variables, so ``shiftleft``/``shiftright``
+    go through ``call_function`` (the typed Python wrappers only accept
+    literal shift amounts); the bit-index array is foldable and constant-
+    folds to a literal.  ``h`` is referenced exactly once in the fold, so
+    the evaluation-count hazard of the old form (an inlined ``h``
+    silently recomputing md5 per bit after CollapseProject) cannot arise.
+    """
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))  # constant-folded
+    counts = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, b: a
+            + F.when(
+                F.call_function("shiftright", x, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    packed_bits = F.zip_with(
+        counts,
+        bit_idx,
+        lambda c, b: F.when(
+            c >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(packed_bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def simhash(col: Column | str, bits: int = 16) -> Column:

@@ -235,6 +235,31 @@ def add_lsh_signature(
     return df.withColumn(sig_col, sig)
 
 
+def lsh_banded_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded LSH signature frame ``(id, t, bk)`` — one row per (vector,
+    hash table).  This is the frame every LSH consumer joins on; at 100 TB
+    it is computed ONCE at ingest and persisted/bucketed by ``(t, bk)``,
+    then shared across every similarity join and dedup pass.  Locally the
+    plan-level caches (plans/extensions.py) persist it per session for the
+    same reason: the signature fold is the expensive part, the candidate
+    join over (id, t, bk) rows is near-free.
+    """
+    sig = add_lsh_signature(df, dim, n_planes, n_tables, seed, vec_col)
+    return sig.select(
+        F.col(id_col), F.explode("lsh_buckets").alias("b")
+    ).select(
+        id_col, F.col("b.table").alias("t"), F.col("b.bucket").alias("bk")
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     probe_id: int,
@@ -302,22 +327,24 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
-    max_rows: int | None = 100_000,
+    max_rows: int | None = 20_000,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via self-join on ``id <  id`` —
     O(N²) by construction.  This is the VERIFICATION BASELINE for
     ``cosine_similarity_join`` (the LSH-pruned scale path), not a
     production operator: it refuses to launch above ``max_rows`` input rows
     (a cheap metadata count for parquet sources) so the cartesian cannot
-    hit at-scale data by accident.  Pass ``max_rows=None`` to override
-    knowingly.
+    hit at-scale data by accident.  The 20k default bounds the pair count
+    at ~2×10⁸ evaluations — minutes, not days.  Pass ``max_rows=None`` to
+    override knowingly.
     """
     if max_rows is not None:
         n = embeddings.count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_pairs_exact: input has {n} rows > max_rows="
-                f"{max_rows}; this operator is O(N²) — use "
+                f"{max_rows} — that is ~{n * (n - 1) // 2:.2e} pair "
+                "evaluations; this operator is O(N²) — use "
                 "cosine_similarity_join (LSH-pruned) at scale, or pass "
                 "max_rows=None to force."
             )
@@ -353,11 +380,19 @@ def cosine_similarity_join(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    left_banded: DataFrame | None = None,
+    right_banded: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs similarity join above a cosine threshold: candidates =
     pairs colliding in ≥1 LSH table (shuffle keyed on (table, bucket)),
     then exact re-score.  At scale this is the difference between O(N²)
     and O(N²/2^planes · L).
+
+    ``left_banded``/``right_banded`` accept a precomputed
+    ``lsh_banded_signatures`` frame (persisted at ingest / cached per
+    session) so repeated joins skip the signature fold — the dominant
+    cost of this operator.  When omitted, signatures are derived inline
+    with the same (dim, n_planes, n_tables, seed) parameters.
 
     Pair dedup depends on whether this is a self-join: when ``left is
     right`` each unordered pair is kept once via ``left_id < right_id``;
@@ -374,19 +409,35 @@ def cosine_similarity_join(
     signatures once."""
     self_join = left is right
 
-    def banded(df: DataFrame, id_alias: str) -> DataFrame:
-        sig = add_lsh_signature(df, dim, n_planes, n_tables, seed, vec_col)
-        return sig.select(
-            F.col(id_col), F.explode("lsh_buckets").alias("b")
-        ).select(
-            F.col(id_col).alias(id_alias),
-            F.col("b.table").alias("t"),
-            F.col("b.bucket").alias("bk"),
+    def banded(
+        df: DataFrame, pre: DataFrame | None, side: str
+    ) -> DataFrame:
+        src = (
+            pre
+            if pre is not None
+            else lsh_banded_signatures(
+                df, dim, n_planes, n_tables, seed, id_col, vec_col
+            )
+        )
+        # Per-side column names: both sides of a self-join may now be the
+        # SAME (cached) signature frame, where `lsig["t"] == rsig["t"]`
+        # would be an ambiguous self-join reference — renaming removes the
+        # shared attribute ids outright.
+        return src.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col("t").alias(f"__{side}_t"),
+            F.col("bk").alias(f"__{side}_bk"),
         )
 
-    lsig = banded(left, "left_id")
-    rsig = banded(right if not self_join else left, "right_id")
-    cond = (lsig["t"] == rsig["t"]) & (lsig["bk"] == rsig["bk"])
+    lsig = banded(left, left_banded, "left")
+    rsig = banded(
+        right if not self_join else left,
+        right_banded if not self_join else left_banded,
+        "right",
+    )
+    cond = (F.col("__left_t") == F.col("__right_t")) & (
+        F.col("__left_bk") == F.col("__right_bk")
+    )
     if self_join:
         cond = cond & (F.col("left_id") < F.col("right_id"))
     pairs = (
