@@ -156,7 +156,11 @@ def chunk_documents(
     context-window prep step downstream of curation): chunk ``i`` starts at
     offset ``i·(chunk_chars − overlap_chars)`` and spans ``chunk_chars``;
     the last chunk may be shorter; an empty document yields one empty
-    chunk.
+    chunk.  A chunk is emitted only if it contributes characters beyond
+    the previous chunk's span — ``ceil(greatest(len − overlap, 1)/step)``
+    chunks, not ``ceil(len/step)``, which would emit a final chunk fully
+    contained in its predecessor whenever ``len mod step ∈ (0, overlap]``
+    (duplicated content in training shards).
 
     Narrow expression — ``sequence`` over the start offsets + per-row
     explode; no shuffle, no Python, and the explode multiplies rows only
@@ -171,7 +175,9 @@ def chunk_documents(
         )
     step = chunk_chars - overlap_chars
     c = F.col(text_col)
-    n_chunks = F.greatest(F.lit(1), F.ceil(F.length(c) / F.lit(step)))
+    n_chunks = F.ceil(
+        F.greatest(F.length(c) - F.lit(overlap_chars), F.lit(1)) / F.lit(step)
+    )
     idx = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
     out = df.withColumn(idx_col, idx)
     return out.withColumn(

@@ -35,10 +35,27 @@ def curate_corpus(
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     near_dup_threshold: float = 0.7,
+    transitive: bool = True,
+    minhash_k: int = 8,
+    minhash_bands: int = 4,
 ) -> DataFrame:
     """Curated corpus: documents that pass the language and quality gates,
     with exact duplicates collapsed (lowest id wins) and MinHash near-dups
-    removed (the lower id of each near-dup pair survives).
+    removed.
+
+    Near-dup removal semantics: by default (``transitive=True``) the pair
+    graph is clustered into connected components and exactly ONE document
+    (the minimum id) survives per cluster — the semantics every
+    deduplication paper means by "remove near-duplicates".  The greedy
+    alternative (``transitive=False``) drops the greater id of every pair;
+    it keeps the whole pipeline one lazy plan (no driver-side convergence
+    loop) but over-keeps on star graphs: pairs (1,3),(2,3) without (1,2)
+    keep {1,2} where cluster semantics keep {1}.
+
+    ``minhash_k`` / ``minhash_bands`` tune LSH recall: more bands with
+    fewer rows each (e.g. ``k=8, bands=8``) catches lower-Jaccard pairs at
+    the cost of more candidate verification — raise bands when
+    ``near_dup_threshold`` is far below the default 0.7.
 
     Returns the surviving rows plus the audit columns the gates computed
     (lang_pred, quality, token counts) — downstream sampling/packing needs
@@ -59,15 +76,20 @@ def curate_corpus(
     exact = D.dedup_by_fingerprint(gated, text_col, id_col)
 
     near_pairs = D.minhash_near_duplicates(
-        exact, id_col, text_col, threshold=near_dup_threshold
+        exact,
+        id_col,
+        text_col,
+        threshold=near_dup_threshold,
+        k=minhash_k,
+        bands=minhash_bands,
     )
-    # Greedy pairwise removal (drop the greater id of every pair) keeps the
-    # whole pipeline one lazy plan.  For transitive cluster semantics
-    # (exactly one survivor per CONNECTED COMPONENT of the pair graph, at
-    # the price of a driver-side convergence loop) use
-    # ``D.dedup_keep_one_per_cluster(exact, near_pairs, id_col)``.
+    if transitive:
+        return D.dedup_keep_one_per_cluster(exact, near_pairs, id_col)
     losers = near_pairs.select(F.col("right_id").alias(id_col)).distinct()
-    return exact.join(F.broadcast(losers), id_col, "left_anti")
+    # No broadcast hint: on a heavily duplicated corpus the loser-id set is
+    # corpus-sized — let AQE decide from the runtime size (the same policy
+    # assign_near_dup_clusters documents in operators/dedup.py).
+    return exact.join(losers, id_col, "left_anti")
 
 
 def curation_report(

@@ -671,7 +671,7 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        substring(text, i * 200 + 1, 240) AS chunk
 FROM documents,
      UNNEST(generate_series(
-       0, CAST(greatest(1, ceil(length(text) / 200.0)) AS BIGINT) - 1)) AS t(i)
+       0, CAST(ceil(greatest(length(text) - 40, 1) / 200.0) AS BIGINT) - 1)) AS t(i)
 """
 
 

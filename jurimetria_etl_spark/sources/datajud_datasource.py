@@ -114,12 +114,16 @@ class DataJudReader(DataSourceReader):
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Prune tribunal partitions from pushed equality/IN filters.
 
-        Handled filters are consumed (not returned); anything else is
-        returned for Spark to evaluate post-scan.
+        Partition pruning matches case-insensitively (tribunal codes are
+        normalized to upper-case at scan time), so EVERY filter — including
+        the handled ones — is returned for Spark to re-evaluate post-scan:
+        pruning with a normalized value but consuming the filter would make
+        ``.where(col('tribunal') == 'tjce')`` wrongly return rows with
+        tribunal='TJCE'.  Re-evaluation on the pruned scan is always
+        semantics-preserving and costs one comparison per surviving row.
         """
         from pyspark.sql.datasource import EqualTo, In
 
-        remaining = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("tribunal",):
                 self.tribunais = [
@@ -128,9 +132,7 @@ class DataJudReader(DataSourceReader):
             elif isinstance(f, In) and f.attribute == ("tribunal",):
                 wanted = {str(v).upper() for v in f.values}
                 self.tribunais = [t for t in self.tribunais if t in wanted]
-            else:
-                remaining.append(f)
-        return iter(remaining)
+        return iter(filters)
 
     def partitions(self) -> list[InputPartition]:
         return [_TribunalPartition(t) for t in self.tribunais]

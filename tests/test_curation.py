@@ -65,9 +65,52 @@ def test_curation_report_funnel(spark):
     assert rep["tokens_kept"] > 0
 
 
+def test_curation_star_graph_keeps_one_per_cluster(spark):
+    # Star pair graph: doc1 and doc2 are the disjoint halves of doc3, so
+    # Jaccard(1,3) = Jaccard(2,3) ≈ 0.5 and Jaccard(1,2) = 0 — near-dup
+    # pairs (1,3) and (2,3) WITHOUT (1,2).  bands=8 (one minhash row per
+    # band) makes LSH collision at J≈0.5 near-certain, so the fixture is
+    # stable under the fixed hash seed.  Transitive (default) semantics
+    # keep exactly {1} from the cluster {1,2,3}; greedy pairwise removal
+    # over-keeps {1,2}.
+    a = " ".join(f"alpha{i} bravo{i}" for i in range(10))
+    b = " ".join(f"charlie{i} delta{i}" for i in range(10))
+    rows = [(1, a), (2, b), (3, a + " " + b), (4, "totally unrelated words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = ("en", "fr", "es", "de", "und")
+    lsh = dict(k=8, bands=8)
+
+    pairs = D.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.4, **lsh)
+    got = sorted((r["left_id"], r["right_id"]) for r in pairs.collect())
+    assert got == [(1, 3), (2, 3)], f"fixture must form a star, got {got}"
+
+    curated = curate_corpus(
+        docs,
+        languages=langs,
+        min_quality=0.0,
+        near_dup_threshold=0.4,
+        minhash_k=8,
+        minhash_bands=8,
+    )
+    assert sorted(r["doc_id"] for r in curated.collect()) == [1, 4]
+
+    greedy = curate_corpus(
+        docs,
+        languages=langs,
+        min_quality=0.0,
+        near_dup_threshold=0.4,
+        transitive=False,
+        minhash_k=8,
+        minhash_bands=8,
+    )
+    assert sorted(r["doc_id"] for r in greedy.collect()) == [1, 2, 4]
+
+
 def test_curation_is_one_lazy_plan_no_python(spark):
+    # The single-lazy-plan property belongs to the greedy path; the
+    # transitive default runs a driver-side convergence loop by design.
     plan = (
-        curate_corpus(_docs(spark))
+        curate_corpus(_docs(spark), transitive=False)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()

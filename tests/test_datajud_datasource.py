@@ -63,19 +63,20 @@ def test_batch_read_partitions_per_tribunal(spark, tmp_path):
 
 
 def test_tribunal_filter_prunes_partitions(spark, tmp_path):
-    """Filter pushdown: EqualTo on tribunal consumes the filter and drops
-    the other tribunals' partitions (no request would be issued for them)."""
+    """Filter pushdown: EqualTo on tribunal drops the other tribunals'
+    partitions (no request would be issued for them).  Pruning matches
+    case-insensitively, so ALL filters — handled ones included — are
+    returned for Spark to re-evaluate post-scan: consuming a filter whose
+    value was normalized would silently change equality semantics
+    (``tribunal == 'tjce'`` must not match rows with tribunal='TJCE')."""
     from pyspark.sql.datasource import EqualTo, GreaterThan
 
     reader = DataJudReader({"tribunais": "TJCE,TJSP,TJMG"})
-    remaining = list(
-        reader.pushFilters(
-            [EqualTo(("tribunal",), "TJSP"), GreaterThan(("tribunal",), "A")]
-        )
-    )
+    pushed = [EqualTo(("tribunal",), "TJSP"), GreaterThan(("tribunal",), "A")]
+    remaining = list(reader.pushFilters(pushed))
     assert [p.tribunal for p in reader.partitions()] == ["TJSP"]
-    # the unhandled filter is returned for Spark to evaluate
-    assert len(remaining) == 1 and isinstance(remaining[0], GreaterThan)
+    # every filter comes back for post-scan re-evaluation
+    assert remaining == pushed
 
 
 def test_tribunal_filter_end_to_end(spark, tmp_path):
@@ -90,6 +91,23 @@ def test_tribunal_filter_end_to_end(spark, tmp_path):
         .where(F.col("tribunal") == "TJSP")
     )
     assert [r["tribunal"] for r in raw.collect()] == ["TJSP"]
+
+
+def test_tribunal_filter_lowercase_is_exact(spark, tmp_path):
+    """``tribunal == 'tjsp'`` must return NO rows (stored codes are
+    upper-case): pruning may normalize, but the filter itself is
+    re-evaluated by Spark with exact equality semantics."""
+    pages = _two_page_fixture(tmp_path)
+    register_datajud_source(spark)
+    raw = (
+        spark.read.format("datajud")
+        .option("tribunais", "TJCE,TJSP")
+        .option("transport", "offline")
+        .option("pages_file", pages)
+        .load()
+        .where(F.col("tribunal") == "tjsp")
+    )
+    assert raw.collect() == []
 
 
 def test_stream_reader_cursor_offsets(tmp_path):

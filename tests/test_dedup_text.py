@@ -304,16 +304,20 @@ def test_chunk_documents_windows_and_edges(spark):
         (r["doc_id"], r["chunk_idx"], r["chunk"])
         for r in chunk_documents(df, chunk_chars=4, overlap_chars=1).collect()
     )
+    # len=10, step=3: 10 mod 3 = 1 == overlap, so a 4th chunk "j" would be
+    # fully contained in "ghij" — the contributes-new-characters rule
+    # (ceil(greatest(len-overlap,1)/step)) stops at 3 chunks.
     assert got == [
         (1, 0, "abcd"),
         (1, 1, "defg"),
         (1, 2, "ghij"),
-        (1, 3, "j"),
         (2, 0, ""),   # empty doc -> one empty chunk
         (3, 0, "xyz"),
     ]
     # overlap: consecutive chunks share overlap_chars characters
     assert got[0][2][-1] == got[1][2][0]
+    # every character is still covered exactly once by chunk starts
+    assert "".join(c[: 4 - 1] for _, _, c in got[:3]) + got[2][2][-1:] == "abcdefghij"
 
     import pytest as _pytest
 
