@@ -57,6 +57,9 @@ HEADLINE = [
     "x14_ann_ivf",
     "x15_media_metadata",
     "x17_rolling_fingerprint",
+    "x18_near_dup_clusters",
+    "x20_pack_shards",
+    "x22_training_shards",
 ]
 
 
@@ -64,9 +67,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     from jurimetria_etl_spark.plans.corpus import full_registry
+    from jurimetria_etl_spark.plans.extensions import BENCH_ONLY
     from jurimetria_etl_spark.session import get_spark
 
-    registry = full_registry()
+    registry = {**full_registry(), **BENCH_ONLY}
 
     spark = get_spark("bench")
     # Warm the JVM + parquet footers so the first timed query isn't charged

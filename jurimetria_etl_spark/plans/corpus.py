@@ -1002,7 +1002,11 @@ FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 # from the registry but kept as functions + pytest coverage: q05 (inner
 # equi-join — subsumed by q06's star join), q11_approx / x13_ann_lsh
 # (approximate by design, bounds pinned in tests), q24_text_stats (merged
-# into extensions x09_text_profile).
+# into extensions x09_text_profile), and — rotated out in round 3 to make
+# room for x18/x20/t05 — q09_count (bare COUNT(*), subsumed by every agg
+# row), q19_date_fns (F4/F5 value-pinned in pytest; tz semantics stay
+# registered via q19_hour_sp), x02_fingerprint (E1 keeps two driver rows:
+# q22 + x01).
 CORPUS: dict[str, Q] = {
     "q01_scan_project": Q(q01_scan_project, Q01_SQL),
     "q02_filters": Q(q02_filters, Q02_FILTERS_SQL),
@@ -1010,7 +1014,6 @@ CORPUS: dict[str, Q] = {
     "q06_join_star": Q(q06_join_star, Q06_SQL),
     "q07_join_semi_anti": Q(q07_join_semi_anti, Q07_SEMI_ANTI_SQL),
     "q08_agg_hour": Q(q08_agg_hour, Q08_SQL),
-    "q09_count": Q(q09_count, Q09_SQL),
     "q10_agg_conditional": Q(q10_agg_conditional, Q10_SQL),
     "q11_count_distinct": Q(q11_count_distinct, Q11_SQL),
     "q12_grouping": Q(q12_grouping, Q12_GROUPING_SQL),
@@ -1020,7 +1023,6 @@ CORPUS: dict[str, Q] = {
     "q16_union_all": Q(q16_union_all, Q16_SQL),
     "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
     "q18_string_fns": Q(q18_string_fns, Q18_SQL),
-    "q19_date_fns": Q(q19_date_fns, Q19_SQL),
     "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
     "q20_array_agg": Q(q20_array_agg, Q20_SQL),
     "q21_json": Q(q21_json, Q21_SQL),

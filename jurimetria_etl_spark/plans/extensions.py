@@ -575,10 +575,10 @@ FROM documents,
 def x18_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: MinHash near-dup pairs (x05) →
     connected components by min-label propagation → every document labeled
-    with its cluster id (own id when it has no near-dup).  Not registered
-    (the registry holds the driver's 50-entry window) — value-checked
-    against a recursive-CTE DuckDB oracle in
-    tests/test_deregistered_queries.py."""
+    with its cluster id (own id when it has no near-dup).  Registered since
+    round 3 — the driver checks it against the recursive-CTE DuckDB oracle
+    below (and tests/test_deregistered_queries.py retains sf0.001
+    coverage via the registered-query sweep in test_correctness)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
     return D.assign_near_dup_clusters(docs, pairs, "doc_id").select(
@@ -636,8 +636,7 @@ def x20_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: sequential fill over doc_id order, 10k
     chars per shard — the scalable two-phase prefix sum
     (operators/sampling.py:pack_into_shards); the oracle is the
-    single-window global cumsum it must equal.  Not registered —
-    oracle-checked in tests/test_deregistered_queries.py."""
+    single-window global cumsum it must equal.  Registered since round 3."""
     from jurimetria_etl_spark.operators import sampling as SM
 
     docs = _t(spark, sf_dir, "documents")
@@ -675,6 +674,107 @@ FROM documents,
 """
 
 
+def x22_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-data composite — the full corpus→training-shards
+    pipeline (plans/curation.py:prepare_training_shards): language gate →
+    quality gate → exact dedup → transitive MinHash near-dup removal →
+    overlapping context-window chunking → token-budget shard packing.
+    Parameters sized to the fixture corpus so every stage does work:
+    'en'-only at quality ≥ 0.3 gates out ~10% of documents, threshold 0.7
+    finds the planted near-dup pairs, 240/40 chunking splits the longer
+    documents, and 10k-char shards pack into ~15 shards.
+
+    Bench-only entry (the driver registry stays at its 50-entry window) —
+    oracle-checked at sf0.001 in tests/test_deregistered_queries.py and
+    timed with its DuckDB denominator in bench.py."""
+    from jurimetria_etl_spark.plans.curation import prepare_training_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    shards = prepare_training_shards(
+        docs,
+        languages=("en",),
+        min_quality=0.3,
+        near_dup_threshold=0.7,
+        chunk_chars=240,
+        overlap_chars=40,
+        max_chars_per_shard=10_000,
+    )
+    return shards.select("doc_id", "chunk_idx", "shard_id")
+
+
+# The whole pipeline re-derived in one DuckDB statement from the same
+# fragments the standalone oracles use: X09/X10 gates, X01-style
+# min-id-per-fingerprint dedup, the X05 minhash/banding/verify chain at
+# 0.7 over the deduped set, X18-style recursive transitive closure with
+# min-id survivors, X21 chunk arithmetic (240/40), X20 cumsum packing.
+X22_SQL = f"""
+WITH RECURSIVE gated AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN ({X09_SQL}) l USING (doc_id)
+  JOIN ({X10_SQL}) q USING (doc_id)
+  WHERE l.lang_pred IN ('en') AND q.quality >= 0.3),
+exact AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY {h60(_NORM_TEXT)}
+                              ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1),
+sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM exact),
+hs AS (SELECT doc_id, shingles, {_BASE_HASHES} AS base FROM sh),
+sig AS (SELECT doc_id, [{_minhash_sigs_sql(8)}] AS sig FROM hs),
+banded AS (
+  SELECT doc_id, b, {h60("array_to_string(sig[b*2+1 : b*2+2], ',')")} AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM banded l JOIN banded r
+    ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+pairs AS (
+  SELECT c.left_id, c.right_id
+  FROM cand c JOIN sh a ON c.left_id = a.doc_id
+              JOIN sh b ON c.right_id = b.doc_id
+  WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.7),
+edges AS (
+  SELECT left_id AS ea, right_id AS eb FROM pairs
+  UNION
+  SELECT right_id, left_id FROM pairs),
+reach(id, r) AS (
+  SELECT ea, ea FROM edges
+  UNION
+  SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.id),
+comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+keep AS (
+  SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
+  WHERE c.cid IS NULL OR c.cid = e.doc_id),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         CAST(length(substring(text, CAST(i * 200 + 1 AS BIGINT), 240))
+              AS BIGINT) AS n
+  FROM keep,
+       UNNEST(generate_series(
+         0, CAST(ceil(greatest(length(text) - 40, 1) / 200.0) AS BIGINT) - 1
+       )) AS t(i)),
+packed AS (
+  SELECT doc_id, chunk_idx, n,
+         sum(n) OVER (ORDER BY doc_id * 1048576 + chunk_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM chunks)
+SELECT doc_id, chunk_idx,
+       CAST(floor((cum - n) / 10000) AS BIGINT) AS shard_id
+FROM packed
+"""
+
+
+# Bench-only composites: timed in bench.py with their DuckDB denominator
+# and oracle-checked in the pytest harness, but outside the driver's
+# 50-entry registry window.
+BENCH_ONLY: dict[str, Q] = {
+    "x22_training_shards": Q(x22_training_shards, X22_SQL),
+}
+
+
 def x17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive Karp-Rabin rolling fingerprint per document."""
     return _t(spark, sf_dir, "documents").select(
@@ -700,7 +800,6 @@ FROM th
 # x13_cosine_join instead).
 EXTENSIONS: dict[str, Q] = {
     "x01_dedup_docs": Q(x01_dedup_docs, X01_SQL),
-    "x02_fingerprint": Q(x02_fingerprint, X02_SQL),
     "x03_minhash": Q(x03_minhash, _x03_sql(8)),
     "x04_minhash_candidates": Q(x04_minhash_candidates, _x04_sql(8, 4)),
     "x05_minhash_near_dups": Q(x05_minhash_near_dups, X05_SQL),
@@ -714,4 +813,6 @@ EXTENSIONS: dict[str, Q] = {
     "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
     "x16_frame_sample": Q(x16_frame_sample, X16_SQL),
     "x17_rolling_fingerprint": Q(x17_rolling_fingerprint, X17_SQL),
+    "x18_near_dup_clusters": Q(x18_near_dup_clusters, X18_SQL),
+    "x20_pack_shards": Q(x20_pack_shards, X20_SQL),
 }

@@ -232,8 +232,7 @@ def t05_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⨝lineitem spine (the fixture lacks commit/receipt dates, so
     "late" substitutes l_shipdate > o_orderdate + 60 days).  Semi-join
     output carries only the orders side, so the count never double-counts
-    multi-lineitem orders.  Not registered (50-entry window) —
-    oracle-checked in tests/test_deregistered_queries.py."""
+    multi-lineitem orders.  Registered since round 3."""
     orders = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
@@ -270,4 +269,5 @@ TPCH: dict[str, Q] = {
     "t02_shipping_priority": Q(t02_shipping_priority, T02_SQL),
     "t03_local_supplier_volume": Q(t03_local_supplier_volume, T03_SQL),
     "t04_returned_items": Q(t04_returned_items, T04_SQL),
+    "t05_order_priority": Q(t05_order_priority, T05_SQL),
 }
