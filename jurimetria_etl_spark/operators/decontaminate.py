@@ -1,0 +1,120 @@
+"""Benchmark decontamination — remove training documents that overlap an
+evaluation set (the n-gram-overlap method used for LLM training corpora,
+e.g. GPT-3 appendix C / PaLM §6.1: a document is contaminated when enough
+of its n-gram shingles also appear in any benchmark document).
+
+Scale design (100 TB corpus vs ~MB-scale benchmark):
+- The benchmark side reduces to a DISTINCT set of 60-bit shingle hashes —
+  tiny (eval sets are thousands of documents), explicitly ``broadcast`` so
+  the corpus-side probe is a map-side hash join: the 100 TB side is
+  scanned ONCE, never shuffled.
+- The corpus side explodes distinct shingle hashes per document (bounded
+  by document length), joins against the broadcast set, and aggregates
+  matches back per doc_id — the only shuffle is the per-doc count agg,
+  keyed on doc_id (well distributed by construction).
+- Hashes are md5-derived (``hash60``) so the DuckDB oracle recomputes the
+  identical join keys (collision probability at 60 bits is negligible and
+  identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.dedup import hash60, word_shingles
+
+
+def _shingle_hashes(col: str, n: int):
+    return F.transform(word_shingles(col, n), lambda s: hash60(s))
+
+
+def benchmark_shingle_set(
+    bench: DataFrame, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """DISTINCT shingle hashes over the whole benchmark — the broadcast
+    probe set.  One narrow explode + distinct on the (small) eval side."""
+    return (
+        bench.select(
+            F.explode(_shingle_hashes(text_col, n)).alias("__bench_sh")
+        )
+        .distinct()
+    )
+
+
+def flag_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+    min_overlap_ratio: float = 0.0,
+) -> DataFrame:
+    """Per-document contamination metrics against the benchmark:
+
+    - ``n_shingles``: distinct n-gram shingles in the document
+    - ``overlap_cnt``: how many also occur anywhere in the benchmark
+    - ``overlap_ratio``: overlap_cnt / n_shingles (NULL when no shingles)
+    - ``contaminated``: overlap_cnt ≥ min_overlap AND ratio ≥
+      min_overlap_ratio (documents too short to shingle are clean)
+
+    Left join from docs so every document gets a row (overlap 0 when
+    nothing matches).
+    """
+    bench_set = F.broadcast(benchmark_shingle_set(bench, text_col, n))
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(_shingle_hashes(text_col, n)).alias("__sh"),
+    )
+    overlaps = (
+        doc_sh.join(bench_set, doc_sh["__sh"] == bench_set["__bench_sh"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("overlap_cnt"))
+    )
+    base = docs.select(
+        id_col,
+        F.size(word_shingles(text_col, n)).cast("bigint").alias("n_shingles"),
+    )
+    out = (
+        base.join(overlaps, id_col, "left")
+        .withColumn("overlap_cnt", F.coalesce("overlap_cnt", F.lit(0)))
+        .withColumn(
+            "overlap_ratio",
+            F.round(
+                F.col("overlap_cnt")
+                / F.nullif(F.col("n_shingles"), F.lit(0)).cast("double"),
+                6,
+            ),
+        )
+    )
+    return out.withColumn(
+        "contaminated",
+        F.coalesce(
+            (F.col("overlap_cnt") >= min_overlap)
+            & (F.col("overlap_ratio") >= min_overlap_ratio),
+            F.lit(False),
+        ),
+    )
+
+
+def remove_contaminated(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+    min_overlap_ratio: float = 0.0,
+) -> DataFrame:
+    """Drop contaminated documents (all original columns kept): anti-join
+    on the flagged id set — the flag side carries only ids, so AQE sizes
+    the join from runtime stats (same policy as plans/curation.py)."""
+    flagged = (
+        flag_contamination(
+            docs, bench, id_col, text_col, n, min_overlap, min_overlap_ratio
+        )
+        .where("contaminated")
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")

@@ -122,6 +122,32 @@ def dedup_by_fingerprint(
     ).drop("__fp")
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental (cross-batch) dedup: drop rows of a NEW batch whose
+    content fingerprint already exists in a persisted fingerprint store,
+    then dedup the batch internally — the pattern for appending to a
+    corpus without re-reading it.
+
+    At 100 TB the store is a parquet table of 8-byte hashes (bucketed by
+    ``fp_col`` at write time makes this a shuffle-free join); the new
+    batch is typically small, so the anti-join is AQE-broadcast from
+    runtime stats — no hint forced, same policy as curation.  Returns the
+    surviving NEW rows; union with the store's ids is the caller's append.
+    """
+    batch = new_df.withColumn("__fp", fingerprint(text_col))
+    fresh = batch.join(
+        seen_fps.select(F.col(fp_col).alias("__seen_fp")),
+        F.col("__fp") == F.col("__seen_fp"),
+        "left_anti",
+    )
+    return fresh.dropDuplicates(["__fp"]).drop("__fp")
+
+
 # ───────────────────────────── MinHash + LSH ───────────────────────────────
 # Universal-hash permutation family h_i(x) = (a_i·x + b_i) mod P over the
 # Mersenne prime P = 2³¹−1: ONE md5 per shingle, then k multiply-adds —

@@ -72,6 +72,108 @@ def stratified_sample(
     return df.where(sample_bucket(key_col, salt) < threshold)
 
 
+def mixture_plan(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    total_rows: int | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Per-source replication plan for a target corpus mixture.
+
+    Given per-source row counts and target mixture weights (normalized
+    here), returns ``{source: (n_full_epochs, partial_threshold)}`` where a
+    source contributes ``n_full_epochs`` complete copies plus the rows
+    whose sampling bucket < ``partial_threshold`` (out of 1e6) in one more
+    epoch.
+
+    ``total_rows=None`` picks the LARGEST total achievable without
+    upsampling: T = min_s(n_s / w_s) — the binding source is kept whole and
+    every other source downsamples to the target ratio.  An explicit
+    ``total_rows`` may upsample (full epochs > 0): standard corpus-mixture
+    practice where high-quality sources repeat for multiple epochs.
+
+    Arithmetic is plain double math in a fixed evaluation order so the
+    DuckDB oracle reproduces the identical thresholds.
+    """
+    missing = [s for s in weights if counts.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(
+            f"mixture_plan: weighted sources with no rows: {missing}"
+        )
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("mixture_plan: weights must sum > 0")
+    norm = {s: w / wsum for s, w in weights.items()}
+    if total_rows is None:
+        total = min(counts[s] / norm[s] for s in norm)
+    else:
+        total = float(total_rows)
+    plan: dict[str, tuple[int, int]] = {}
+    for s in sorted(norm):
+        ratio = norm[s] * total / counts[s]
+        epochs = int(ratio)  # full copies
+        threshold = int(ratio * _BUCKETS) - epochs * _BUCKETS
+        plan[s] = (epochs, threshold)
+    return plan
+
+
+def mix_corpora(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    total_rows: int | None = None,
+    salt: str = "mix",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Re-weight a multi-source corpus to a target mixture, deterministic
+    per (key, epoch) — the dataset-mixing stage of training-data prep
+    (e.g. 50% curated web / 30% books / 20% code).
+
+    Scale design: the per-source counts aggregate collects ``#sources``
+    rows to the driver (bounded like the IVF centroid seeds) to derive the
+    plan; the data path is then ONE narrow generator — each row explodes
+    into its epochs and a hash filter keeps the partial-epoch remainder —
+    no shuffle beyond the tiny counts agg, no join.  Upsampled rows carry
+    ``epoch_col`` so downstream shuffling (pack_into_shards ordering by a
+    key including epoch) interleaves copies instead of clustering them.
+
+    Sources absent from ``weights`` are dropped (weight 0); weighted
+    sources with zero rows raise (the mixture is unsatisfiable).
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    plan = mixture_plan(counts, weights, total_rows)
+    src = F.col(source_col)
+    epochs_expr: Column = F.lit(None).cast("int")
+    thresh_expr: Column = F.lit(None).cast("long")
+    for s, (epochs, threshold) in plan.items():
+        epochs_expr = F.when(src == s, F.lit(epochs)).otherwise(epochs_expr)
+        thresh_expr = F.when(src == s, F.lit(threshold)).otherwise(thresh_expr)
+    out = (
+        df.where(src.isin(*plan.keys()))
+        .withColumn("__epochs", epochs_expr)
+        .withColumn("__thr", thresh_expr)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(0), F.col("__epochs")))
+        )
+    )
+    keep = (F.col(epoch_col) < F.col("__epochs")) | (
+        F.pmod(
+            hash60(
+                F.concat_ws(
+                    ":", F.col(key_col).cast("string"), F.col(epoch_col)
+                ),
+                salt,
+            ),
+            F.lit(_BUCKETS),
+        )
+        < F.col("__thr")
+    )
+    return out.where(keep).drop("__epochs", "__thr")
+
+
 def pack_into_shards(
     df: DataFrame,
     tokens_col: str,

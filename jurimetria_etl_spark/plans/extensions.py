@@ -767,6 +767,254 @@ FROM packed
 """
 
 
+def x23_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-category audit counts (operators/scrub.py).
+    The fixture corpus carries no PII, so a deterministic per-doc payload
+    (email/URL/CNJ/CPF/phone derived from doc_id) is appended first — the
+    redaction itself, not the payload, is what the oracle checks."""
+    from jurimetria_etl_spark.operators import scrub as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contato: user"),
+        F.col("doc_id"),
+        F.lit("@example.com via https://www.tjce.jus.br/consulta?id="),
+        F.col("doc_id"),
+        F.lit(" cpf 123.456.789-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+        F.lit(" tel (85) 99999-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" processo 0000001-02.2024.8.06.0001"),
+    )
+    staged = docs.select("doc_id", pii_text.alias("pii_text"))
+    out = SC.add_pii_counts(staged, "pii_text")
+    return out.select(
+        "doc_id",
+        SC.redact_pii("pii_text").alias("clean"),
+        *[f"n_{name}" for name, _, _ in SC.PII_PATTERNS],
+    )
+
+
+def _x23_sql() -> str:
+    """CTE chain applying the same ordered patterns: each stage counts on
+    the text AFTER higher-priority categories were consumed, exactly as
+    scrub.pii_counts does."""
+    from jurimetria_etl_spark.operators.scrub import PII_PATTERNS
+
+    pii_text = (
+        "text || ' contato: user' || doc_id"
+        " || '@example.com via https://www.tjce.jus.br/consulta?id='"
+        " || doc_id || ' cpf 123.456.789-'"
+        " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+        " || ' tel (85) 99999-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' processo 0000001-02.2024.8.06.0001'"
+    )
+    ctes = [f"s0 AS (SELECT doc_id, {pii_text} AS t FROM documents)"]
+    counts: list[str] = []
+    for i, (name, pattern, repl) in enumerate(PII_PATTERNS):
+        prev = ", ".join(counts)
+        prev = (", " + prev) if prev else ""
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{pattern}', '{repl}', 'g') AS t"
+            f"{prev}, "
+            f"CAST(len(regexp_extract_all(t, '{pattern}')) AS BIGINT)"
+            f" AS n_{name} FROM s{i})"
+        )
+        counts.append(f"n_{name}")
+    cols = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, t AS clean, {cols} "
+        f"FROM s{len(PII_PATTERNS)}"
+    )
+
+
+X23_SQL = _x23_sql()
+
+
+# Synthetic-corpus thresholds: the fixture documents are single-line
+# lowercase prose (~40-260 words, mean word length ~4.4), so the Gopher
+# paper bounds would pass everything; these split the corpus instead.
+_X24_RULES = dict(
+    min_words=40,
+    max_words=100_000,
+    min_mean_word_length=3.0,
+    max_mean_word_length=4.8,
+    max_symbol_word_ratio=0.05,
+    min_alpha_word_fraction=0.9,
+    min_stopwords=2,
+    max_dup_line_fraction=0.3,
+    max_bullet_line_fraction=0.5,
+    max_ellipsis_line_fraction=0.3,
+    max_top_2gram_char_fraction=0.08,
+)
+
+
+def x24_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-rule metrics + pass flag
+    (operators/quality.py) over the documents corpus."""
+    from jurimetria_etl_spark.operators import quality as QL
+
+    docs = _t(spark, sf_dir, "documents")
+    return QL.add_quality_rules(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "n_stopwords",
+        "dup_line_frac",
+        "top_2gram_char_frac",
+        QL.passes_quality("text", **_X24_RULES).alias("passes"),
+    )
+
+
+_WS = "list_filter(string_split(trim(text), ' '), w -> w <> '')"
+_WS_LC = "list_filter(string_split(trim(lower(text)), ' '), w -> w <> '')"
+_LINES = "string_split(text, chr(10))"
+_GRAMS2 = (
+    f"list_transform(generate_series(1, len({_WS}) - 1), "
+    f"i -> {_WS}[i] || ' ' || {_WS}[i+1])"
+)
+_STOPS = "('the', 'a', 'of', 'and', 'is', 'to', 'in')"
+
+X24_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len({_WS}) AS BIGINT) AS n_words,
+    round(list_sum(list_transform({_WS}, w -> len(w))) * 1.0
+          / nullif(len({_WS}), 0), 6) AS mean_word_len,
+    round(len(list_filter({_WS}, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+          / nullif(len({_WS}), 0), 6) AS alpha_word_frac,
+    round((len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.'))
+           + len(regexp_extract_all(text, '…'))) * 1.0
+          / nullif(len({_WS}), 0), 6) AS symbol_word_ratio,
+    CAST(len(list_filter({_WS_LC}, w -> w IN {_STOPS})) AS BIGINT)
+      AS n_stopwords,
+    round(1.0 - len(list_distinct({_LINES})) * 1.0 / len({_LINES}), 6)
+      AS dup_line_frac,
+    round(len(list_filter({_LINES},
+                l -> regexp_matches(ltrim(l), '^[-*•]'))) * 1.0
+          / len({_LINES}), 6) AS bullet_line_frac,
+    round(len(list_filter({_LINES},
+                l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) * 1.0
+          / len({_LINES}), 6) AS ellipsis_line_frac,
+    round(coalesce(list_max(list_transform(list_distinct({_GRAMS2}),
+            d -> len(list_filter({_GRAMS2}, g -> g = d)) * len(d))), 0) * 1.0
+          / nullif(len(trim(text)), 0), 6) AS top_2gram_char_frac
+  FROM documents)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+       n_stopwords, dup_line_frac, top_2gram_char_frac,
+       coalesce(
+         n_words >= {_X24_RULES["min_words"]}
+         AND n_words <= {_X24_RULES["max_words"]}
+         AND mean_word_len >= {_X24_RULES["min_mean_word_length"]}
+         AND mean_word_len <= {_X24_RULES["max_mean_word_length"]}
+         AND symbol_word_ratio <= {_X24_RULES["max_symbol_word_ratio"]}
+         AND alpha_word_frac >= {_X24_RULES["min_alpha_word_fraction"]}
+         AND n_stopwords >= {_X24_RULES["min_stopwords"]}
+         AND dup_line_frac <= {_X24_RULES["max_dup_line_fraction"]}
+         AND bullet_line_frac <= {_X24_RULES["max_bullet_line_fraction"]}
+         AND ellipsis_line_frac <= {_X24_RULES["max_ellipsis_line_fraction"]}
+         AND top_2gram_char_frac
+             <= {_X24_RULES["max_top_2gram_char_fraction"]},
+         false) AS passes
+FROM m
+"""
+
+
+def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): 5-gram
+    shingle overlap of every document against a deterministic 'benchmark'
+    slice (doc_id % 97 = 0 — the held-out eval set stand-in)."""
+    from jurimetria_etl_spark.operators import decontaminate as DC
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return DC.flag_contamination(
+        docs, bench, n=5, min_overlap=3, min_overlap_ratio=0.2
+    )
+
+
+X25_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_transform({shingles_sql(5)}, s -> {h60("s")}) AS shs
+  FROM documents),
+bench AS (SELECT DISTINCT unnest(shs) AS bsh FROM sh WHERE doc_id % 97 = 0),
+docsh AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+ov AS (
+  SELECT doc_id, count(*) AS overlap_cnt
+  FROM docsh JOIN bench ON s = bsh
+  GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.shs) AS BIGINT) AS n_shingles,
+       coalesce(o.overlap_cnt, 0) AS overlap_cnt,
+       round(coalesce(o.overlap_cnt, 0) * 1.0
+             / nullif(len(s.shs), 0), 6) AS overlap_ratio,
+       coalesce(coalesce(o.overlap_cnt, 0) >= 3
+                AND round(coalesce(o.overlap_cnt, 0) * 1.0
+                          / nullif(len(s.shs), 0), 6) >= 0.2,
+                false) AS contaminated
+FROM sh s LEFT JOIN ov o USING (doc_id)
+"""
+
+
+# Target mixture for x26: src4 is deliberately unweighted (dropped).  The
+# weight literals are normalized HERE so the SQL embeds the exact doubles
+# the Spark plan uses (0.4+0.3+0.2+0.1 != 1.0 in IEEE arithmetic).
+_X26_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_X26_NORM = {
+    s: w / sum(_X26_WEIGHTS.values()) for s, w in _X26_WEIGHTS.items()
+}
+
+
+def x26_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting (operators/sampling.py:mix_corpora):
+    downsample the five fixture sources to a 40/30/20/10 mix (src4
+    dropped), deterministic per (doc_id, epoch)."""
+    from jurimetria_etl_spark.operators import sampling as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    return SM.mix_corpora(docs, _X26_WEIGHTS).select(
+        "doc_id", "source", "epoch"
+    )
+
+
+def _x26_sql() -> str:
+    w_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in sorted(_X26_NORM.items())
+    ) + " END"
+    srcs = ", ".join(f"'{s}'" for s in sorted(_X26_NORM))
+    bucket = h60(
+        "'mix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(e AS VARCHAR)"
+    )
+    return f"""
+WITH c AS (
+  SELECT source, count(*) AS n, {w_case} AS w
+  FROM documents WHERE source IN ({srcs}) GROUP BY source),
+t AS (SELECT min(n / w) AS total FROM c),
+plan AS (
+  SELECT source,
+         CAST(floor(w * (SELECT total FROM t) / n) AS BIGINT) AS epochs,
+         CAST(floor(w * (SELECT total FROM t) / n * 1000000) AS BIGINT)
+           - CAST(floor(w * (SELECT total FROM t) / n) AS BIGINT) * 1000000
+           AS thr
+  FROM c)
+SELECT d.doc_id, d.source, CAST(e AS INT) AS epoch
+FROM documents d
+JOIN plan p USING (source),
+     UNNEST(generate_series(0, p.epochs)) AS g(e)
+WHERE e < p.epochs OR ({bucket}) % 1000000 < p.thr
+"""
+
+
+X26_SQL = _x26_sql()
+
+
 # Bench-only composites: timed in bench.py with their DuckDB denominator
 # and oracle-checked in the pytest harness, but outside the driver's
 # 50-entry registry window.

@@ -61,6 +61,10 @@ PAIRS = [
     (E.x19_stratified_sample, E.X19_SQL),
     (E.x21_chunk_documents, E.X21_SQL),
     (E.x22_training_shards, E.X22_SQL),
+    (E.x23_pii_scrub, E.X23_SQL),
+    (E.x24_quality_rules, E.X24_SQL),
+    (E.x25_decontaminate, E.X25_SQL),
+    (E.x26_mix_corpora, E.X26_SQL),
     # rotated OUT of the driver registry in round 3 (to admit x18/x20/t05);
     # standalone oracle coverage continues here:
     (C.q09_count, C.Q09_SQL),
