@@ -442,22 +442,32 @@ def simhash_near_duplicates(
     bits: int = 16,
     max_hamming: int = 3,
     band_bits: int = 4,
+    sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """E2 variant — SimHash near-dup: band the signature into
     bits/band_bits chunks; by pigeonhole, pairs within ``max_hamming``
     (< number of bands) share at least one exact band → candidate join on
-    (band_idx, band_value), verified with bit_count(xor) ≤ max_hamming."""
+    (band_idx, band_value), verified with bit_count(xor) ≤ max_hamming.
+
+    ``sig_frame`` (columns ``id_col``, ``__sig``) supplies precomputed
+    signatures — the ingest-time-persistence path (SCALE.md): a corpus
+    stores simhashes once and every near-dup query skips the fold.
+    """
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sig = add_simhash(df, text_col, bits, "__sig").select(id_col, "__sig")
-    # Materialization barrier: the banding references __sig several times
-    # and the self-join reads the subplan twice — without an exchange above
-    # the signature projection, Catalyst re-inlines the (expensive) per-bit
-    # fold into every reference.  A shuffle of (id, 8-byte sig) is near-free
-    # and ReusedExchange makes the join's second side read it back instead
-    # of recomputing (observed 13.3s → ~2s at sf0.1).  At 100 TB the same
-    # role is played by persisting signatures at ingest (SCALE.md).
-    sig = sig.repartition(sig.sparkSession.sparkContext.defaultParallelism)
+    if sig_frame is not None:
+        sig = sig_frame.select(id_col, "__sig")
+    else:
+        sig = add_simhash(df, text_col, bits, "__sig").select(id_col, "__sig")
+        # Materialization barrier: the banding references __sig several
+        # times and the self-join reads the subplan twice — without an
+        # exchange above the signature projection, Catalyst re-inlines the
+        # (expensive) per-bit fold into every reference.  A shuffle of
+        # (id, 8-byte sig) is near-free and ReusedExchange makes the
+        # join's second side read it back instead of recomputing (observed
+        # 13.3s → ~2s at sf0.1).  At 100 TB the same role is played by
+        # persisting signatures at ingest (SCALE.md).
+        sig = sig.repartition(sig.sparkSession.sparkContext.defaultParallelism)
     # static unroll — shiftright takes a literal shift amount
     band_arr = F.array(
         *[
