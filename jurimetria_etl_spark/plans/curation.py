@@ -38,10 +38,29 @@ def curate_corpus(
     transitive: bool = True,
     minhash_k: int = 8,
     minhash_bands: int = 4,
+    scrub_pii: bool = False,
+    quality_rules: dict | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 5,
+    decontam_min_overlap: int = 1,
+    decontam_min_ratio: float = 0.0,
 ) -> DataFrame:
     """Curated corpus: documents that pass the language and quality gates,
     with exact duplicates collapsed (lowest id wins) and MinHash near-dups
     removed.
+
+    Optional stages (all off by default, each an oracle-checked operator):
+
+    - ``scrub_pii=True`` redacts PII in ``text_col`` FIRST
+      (operators/scrub.py) so redacted forms — not raw PII — get
+      fingerprinted, shingled, and stored.
+    - ``quality_rules={...}`` adds the Gopher/C4 rule gate
+      (operators/quality.py:passes_quality) with the given threshold
+      overrides, alongside the composite quality score.
+    - ``benchmark=<DataFrame>`` removes documents whose
+      ``decontam_ngram``-gram shingles overlap the benchmark
+      (operators/decontaminate.py) — run before dedup so contaminated
+      documents can't become cluster survivors.
 
     Near-dup removal semantics: by default (``transitive=True``) the pair
     graph is clustered into connected components and exactly ONE document
@@ -61,6 +80,10 @@ def curate_corpus(
     (lang_pred, quality, token counts) — downstream sampling/packing needs
     them anyway, and they are free (computed in the same projection).
     """
+    if scrub_pii:
+        from jurimetria_etl_spark.operators.scrub import scrub_documents
+
+        docs = scrub_documents(docs, text_col)
     profiled = docs.select(
         "*",
         X.lang_id(text_col).alias("lang_pred"),
@@ -68,10 +91,28 @@ def curate_corpus(
         X.token_count(text_col).alias("ws_tokens"),
         X.bpe_ish_token_count(text_col).alias("bpe_tokens"),
     )
-    gated = profiled.where(
-        F.col("lang_pred").isin(list(languages))
-        & (F.col("quality") >= min_quality)
+    gate = F.col("lang_pred").isin(list(languages)) & (
+        F.col("quality") >= min_quality
     )
+    if quality_rules is not None:
+        from jurimetria_etl_spark.operators.quality import passes_quality
+
+        gate = gate & passes_quality(text_col, **quality_rules)
+    gated = profiled.where(gate)
+    if benchmark is not None:
+        from jurimetria_etl_spark.operators.decontaminate import (
+            remove_contaminated,
+        )
+
+        gated = remove_contaminated(
+            gated,
+            benchmark,
+            id_col,
+            text_col,
+            n=decontam_ngram,
+            min_overlap=decontam_min_overlap,
+            min_overlap_ratio=decontam_min_ratio,
+        )
 
     exact = D.dedup_by_fingerprint(gated, text_col, id_col)
 

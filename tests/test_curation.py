@@ -152,3 +152,52 @@ def test_prepare_training_shards_end_to_end(spark):
     text = [r["text"] for r in docs.collect() if r["doc_id"] == rows[0]["doc_id"]][0]
     for i, chunk in doc_rows:
         assert chunk == text[i * 200 : i * 200 + 240]
+
+
+def test_curate_corpus_optional_stages_full_chain(spark):
+    """scrub → rule gate → decontamination compose with the core gates:
+    PII is redacted before fingerprinting, the benchmark doc is removed,
+    and the rule gate drops what the score gate alone would keep."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.plans.curation import curate_corpus
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then runs to "
+        "the river bank where a boat is waiting for the long trip home"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, prose + " contact someone@example.com today"),
+            (2, prose + " contact someone@example.com today"),  # exact dup after scrub
+            (3, "held out benchmark sentence about unique evaluation topics "
+                "entirely and completely distinct from the rest here"),
+            (4, "short junk"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "held out benchmark sentence about unique evaluation topics "
+              "entirely and completely distinct from the rest here")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs,
+        languages=("en",),
+        min_quality=0.0,
+        scrub_pii=True,
+        quality_rules=dict(
+            min_words=5,
+            max_mean_word_length=10.0,
+            min_stopwords=1,
+            max_top_2gram_char_fraction=0.5,
+        ),
+        benchmark=bench,
+        decontam_ngram=5,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 3 decontaminated, doc 4 fails the rule gate (min_words),
+    # docs 1/2 collapse to one survivor AFTER redaction made them equal
+    assert set(rows) == {1}
+    assert "<EMAIL>" in rows[1]["text"]
+    assert "someone@example.com" not in rows[1]["text"]

@@ -141,3 +141,54 @@ def test_grouping_variants_scan_fact_once(spark):
     plan = _physical(CORPUS["q12_grouping"].spark(spark, SF))
     assert plan.count("Scan parquet") == 1
     assert "Expand" not in plan
+
+
+def test_quality_gate_fuses_into_scan(spark):
+    # the full rule gate is a narrow filter+project: no exchange, no
+    # Python eval — one scan at 100 TB
+    from jurimetria_etl_spark.operators.quality import quality_filter
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    plan = _physical(
+        quality_filter(load_fixture(spark, SF, "documents"), min_words=10)
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_scrub_is_single_projection(spark):
+    from jurimetria_etl_spark.operators.scrub import scrub_documents
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    plan = _physical(scrub_documents(load_fixture(spark, SF, "documents")))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the benchmark shingle set must broadcast: the corpus side is probed
+    # map-side, never shuffled for the join
+    from jurimetria_etl_spark.operators.decontaminate import flag_contamination
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+    from pyspark.sql import functions as F
+
+    docs = load_fixture(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    plan = _physical(flag_contamination(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    # exactly one shuffle-requiring join may appear (the left join back);
+    # the shingle probe itself must not sort-merge
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_mix_corpora_data_path_is_narrow(spark):
+    # beyond the tiny counts agg (collected before the plan is built),
+    # the output plan is generate+filter over the scan: no join, and the
+    # only exchange is none at all
+    from jurimetria_etl_spark.operators.sampling import mix_corpora
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, SF, "documents")
+    plan = _physical(mix_corpora(docs, {"src0": 0.6, "src1": 0.4}))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" in plan  # the epoch explode

@@ -236,3 +236,34 @@ def test_stateless_curation_ops_compose_with_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM curated_stream")
     assert _canon(got) == _canon(batch)
+
+
+def test_scrub_and_quality_rules_run_on_streams(spark, tmp_path):
+    # PII redaction and the quality-rule metrics are narrow stateless
+    # expressions — the same operator functions must run unchanged on a
+    # stream and produce exactly the batch result
+    from jurimetria_etl_spark.operators.quality import add_quality_rules
+    from jurimetria_etl_spark.operators.scrub import scrub_documents
+
+    docs = load_fixture(spark, SF, "documents")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{tmp_path}/docs")
+
+    def stage(df):
+        return add_quality_rules(scrub_documents(df)).select(
+            "doc_id", "text", "n_words", "mean_word_len", "top_2gram_char_frac"
+        )
+
+    batch = stage(spark.read.parquet(f"{tmp_path}/docs"))
+    stream = stage(
+        spark.readStream.schema(docs.schema).parquet(f"{tmp_path}/docs")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scrubbed_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM scrubbed_stream")
+    assert _canon(got) == _canon(batch)
