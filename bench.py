@@ -79,14 +79,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     warm_total = 0.0
     for name in HEADLINE:
         fn = registry[name].spark
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
+        # One broken query must not zero out the whole round's measurement
+        # (round 3 lost every number to a single AnalysisException) — record
+        # the error, keep timing the rest.
+        try:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:400]
+            continue
         timings[name] = round(dt, 3)
         total += dt
         # Second (warm) run: steady-state latency with plan/codegen caches
@@ -119,9 +127,13 @@ def main() -> None:
             sql = registry[name].oracle
             if sql is None:
                 continue
-            t0 = time.time()
-            con.sql(sql).fetchall()
-            dt = time.time() - t0
+            try:
+                t0 = time.time()
+                con.sql(sql).fetchall()
+                dt = time.time() - t0
+            except Exception as e:
+                errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:400]
+                continue
             duck[name] = round(dt, 3)
             duck_total += dt
     except Exception as e:  # bench must still emit its line without duckdb
@@ -130,11 +142,17 @@ def main() -> None:
         duck = {"error": str(e)}  # type: ignore[dict-item]
         duck_total = None
 
+    # Apples-to-apples ratio: only queries BOTH engines completed.
+    shared = [n for n in HEADLINE if n in warm and n in duck]
+    shared_warm = sum(warm[n] for n in shared)
+    shared_duck = sum(duck[n] for n in shared)
+
     # Per-query warm/DuckDB detail rides in a file; only totals go to
     # stdout so the driver's bounded tail always captures the final line.
     detail = {
         "queries": timings,
         "warm_queries": warm,
+        "errors": errors,
         "duckdb_queries": duck,
         "warm_total_sec": round(warm_total, 3),
         "duckdb_total_sec": (
@@ -158,9 +176,11 @@ def main() -> None:
         "warm_total_sec": round(warm_total, 3),
         "duckdb_total_sec": detail["duckdb_total_sec"],
         "warm_vs_duckdb_ratio": (
-            round(warm_total / duck_total, 3) if duck_total else None
+            round(shared_warm / shared_duck, 3) if shared_duck else None
         ),
     }
+    if errors:
+        summary["n_errors"] = len(errors)
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:  # driver tail-capture guard: drop per-query dict
         summary["queries"] = {}

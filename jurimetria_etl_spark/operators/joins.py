@@ -171,14 +171,20 @@ def range_join_bucketed(
             "semi/anti, or swap the sides."
         )
     us = bucket_seconds * 1_000_000
-    pts = points.withColumn("__rjb_p", F.floor(F.unix_micros(point_ts) / us))
+
+    def _bucket(c):
+        # unix_micros rejects TIMESTAMP_NTZ (driver parquet stores
+        # timestamp[us] without tz metadata, which Spark 4 reads as NTZ).
+        # The cast is a no-op for TIMESTAMP and a monotonic session-tz
+        # interpretation for NTZ; both sides get the identical mapping, so
+        # bucket containment (lo <= t <= hi  =>  bucket(t) covered by the
+        # interval's exploded bucket range) is preserved and the exact
+        # predicate below still compares the original columns.
+        return F.floor(F.unix_micros(c.cast("timestamp")) / us)
+
+    pts = points.withColumn("__rjb_p", _bucket(point_ts))
     ivs = intervals.withColumn(
-        "__rjb_i",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(lo) / us), F.floor(F.unix_micros(hi) / us)
-            )
-        ),
+        "__rjb_i", F.explode(F.sequence(_bucket(lo), _bucket(hi)))
     )
     cond = (
         (pts["__rjb_p"] == ivs["__rjb_i"])
