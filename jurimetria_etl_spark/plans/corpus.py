@@ -36,6 +36,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_fixture(spark, sf_dir, name)
 
 
+def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fact table widened to cluster parallelism before CPU-dense map work
+    (partial aggregates, broadcast-join probe sides).  The fixture files are
+    single-row-group parquet — unsplittable below one task — so without
+    this the whole map phase runs serial.  No-op whenever file count ≥
+    cores (any real 100 TB layout): the scale plan is unchanged."""
+    from jurimetria_etl_spark.operators.dedup import widen_partitions
+
+    return widen_partitions(_t(spark, sf_dir, name))
+
+
 def dsum(col: str | Column, alias: str, prec: int = 18, scale: int = 2) -> Column:
     """Deterministic double sum: exact decimal accumulate → double."""
     c = F.col(col) if isinstance(col, str) else col
@@ -126,7 +137,7 @@ FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q05 — inner equi-join fact⋈dim.  customer is small → broadcast; at
     scale both sides large would be a shuffled hash join on the key."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _fact(spark, sf_dir, "orders")
     customer = F.broadcast(_t(spark, sf_dir, "customer"))
     return orders.join(customer, orders.o_custkey == customer.c_custkey).select(
         "o_orderkey", "c_name"
@@ -142,7 +153,7 @@ def q06_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q06 — star join (orders⋈customer⋈nation⋈region), revenue per region.
     All three dims broadcast → single shuffle-free map phase + one partial/
     final agg shuffle on 5 groups."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _fact(spark, sf_dir, "orders")
     customer = F.broadcast(_t(spark, sf_dir, "customer"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
@@ -472,7 +483,7 @@ def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     then project — exactly the movimentos array_sort pattern.  The array is
     serialized with ``to_json`` at the output boundary so the driver's
     pandas canonicalizer can sort/hash it (lists are unhashable)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
         .agg(
@@ -766,7 +777,7 @@ def q32_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) per group.  Exact, not ``approx_percentile``: the sort is
     per-group inside the aggregate; at 100 TB prefer the approx variant
     (q11's sketch pattern) unless exactness is contractual."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", 0.25).alias("q25"),
         F.percentile("l_quantity", 0.5).alias("q50"),
@@ -886,18 +897,38 @@ SELECT 'anti' AS which, cnt FROM ({Q07_ANTI_SQL}) a
 
 
 def q17_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q17 merged — INTERSECT and EXCEPT as one tagged union."""
+    """Q17+Q16 merged — INTERSECT, EXCEPT, and the UNION-ALL checksum (U1)
+    as one tagged union (the registry-window pattern of q07/q12: standalone
+    forms keep their own pytest-oracle rows)."""
     i = q17_intersect(spark, sf_dir).select(
-        F.lit("intersect").alias("which"), "k"
+        F.lit("intersect").alias("which"), F.col("k").cast("bigint").alias("k")
     )
-    e = q17_except(spark, sf_dir).select(F.lit("except").alias("which"), "k")
-    return i.unionByName(e)
+    e = q17_except(spark, sf_dir).select(
+        F.lit("except").alias("which"), F.col("k").cast("bigint").alias("k")
+    )
+    u = q16_union_all(spark, sf_dir).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("union_cnt").alias("which"), F.col("cnt").alias("k")
+                ),
+                F.struct(
+                    F.lit("union_sum").alias("which"), F.col("total").alias("k")
+                ),
+            )
+        ).alias("s")
+    ).select("s.which", "s.k")
+    return i.unionByName(e).unionByName(u)
 
 
 Q17_SETOPS_SQL = f"""
-SELECT 'intersect' AS which, k FROM ({Q17_INTERSECT_SQL}) i
+SELECT 'intersect' AS which, CAST(k AS BIGINT) AS k FROM ({Q17_INTERSECT_SQL}) i
 UNION ALL
-SELECT 'except' AS which, k FROM ({Q17_EXCEPT_SQL}) e
+SELECT 'except' AS which, CAST(k AS BIGINT) AS k FROM ({Q17_EXCEPT_SQL}) e
+UNION ALL
+SELECT 'union_cnt' AS which, cnt AS k FROM ({Q16_SQL}) u1
+UNION ALL
+SELECT 'union_sum' AS which, total AS k FROM ({Q16_SQL}) u2
 """
 
 
@@ -924,7 +955,7 @@ def q12_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand-total row (cnt=0) even with no input — restoring that row would
     need a second global-agg branch whose differing column pruning defeats
     the single-scan plan."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("__cnt"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"),
@@ -1015,12 +1046,10 @@ CORPUS: dict[str, Q] = {
     "q07_join_semi_anti": Q(q07_join_semi_anti, Q07_SEMI_ANTI_SQL),
     "q08_agg_hour": Q(q08_agg_hour, Q08_SQL),
     "q10_agg_conditional": Q(q10_agg_conditional, Q10_SQL),
-    "q11_count_distinct": Q(q11_count_distinct, Q11_SQL),
     "q12_grouping": Q(q12_grouping, Q12_GROUPING_SQL),
     "q13_window_rank": Q(q13_window_rank, Q13_SQL),
     "q14_window_running": Q(q14_window_running, Q14_SQL),
     "q15_topk": Q(q15_topk, Q15_SQL),
-    "q16_union_all": Q(q16_union_all, Q16_SQL),
     "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
     "q18_string_fns": Q(q18_string_fns, Q18_SQL),
     "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),

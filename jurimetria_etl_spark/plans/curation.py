@@ -80,6 +80,11 @@ def curate_corpus(
     (lang_pred, quality, token counts) — downstream sampling/packing needs
     them anyway, and they are free (computed in the same projection).
     """
+    # The gates are regex/token CPU per row, far denser than the scan; a
+    # byte-sized split plan under-parallelizes them (a single-file corpus
+    # plans as one task).  widen_partitions is a no-op whenever file count
+    # already covers cluster width — the 100 TB case.
+    docs = D.widen_partitions(docs)
     if scrub_pii:
         from jurimetria_etl_spark.operators.scrub import scrub_documents
 

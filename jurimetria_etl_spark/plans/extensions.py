@@ -331,9 +331,11 @@ def x09_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q24_text_stats), whitespace/BPE-ish/estimate token counting
     (x11_token_stats), heuristic language-ID (x09_lang_id), and composite
     quality scoring (x10_quality) in ONE narrow JVM-side projection — zero
-    Python, zero shuffle.  Merged so the registry stays inside the driver's
-    check window; the standalone queries remain above for tests."""
-    docs = _t(spark, sf_dir, "documents")
+    Python.  Merged so the registry stays inside the driver's check window;
+    the standalone queries remain above for tests.  The input is widened to
+    cluster parallelism first (regex CPU ≫ scan bytes; no-op at 100 TB
+    where file count ≥ cores)."""
+    docs = D.widen_partitions(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("chars"),
@@ -1084,4 +1086,9 @@ EXTENSIONS: dict[str, Q] = {
     "x17_rolling_fingerprint": Q(x17_rolling_fingerprint, X17_SQL),
     "x18_near_dup_clusters": Q(x18_near_dup_clusters, X18_SQL),
     "x20_pack_shards": Q(x20_pack_shards, X20_SQL),
+    # Round-4 rotation: driver-grade rows for the curation-stage operators
+    # (q11/q16 rotated out — q16 rides q17_setops' tagged union, q11 keeps
+    # its pytest-oracle row in test_deregistered_queries.py).
+    "x23_pii_scrub": Q(x23_pii_scrub, X23_SQL),
+    "x25_decontaminate": Q(x25_decontaminate, X25_SQL),
 }

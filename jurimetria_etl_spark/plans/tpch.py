@@ -21,7 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jurimetria_etl_spark.operators.dedup import widen_partitions
 from jurimetria_etl_spark.plans.corpus import Q, _t, dsum
+
+
+def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Fact-table load widened to cluster parallelism: the fixture files
+    are single-row-group parquet, which Spark cannot split below one task
+    (DuckDB splits inside a row group), so the partial aggregate / join
+    map side would run serial.  ``widen_partitions`` is a no-op whenever
+    file count ≥ cores — any real 100 TB layout — so the scale plan keeps
+    its scan→partial-agg shape with no extra exchange."""
+    return widen_partitions(_t(spark, sf_dir, table))
 
 
 def _davg(col, alias: str, prec: int = 28, scale: int = 8):
@@ -40,7 +51,7 @@ def t01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: full-scan grouped aggregate over lineitem.  One wide
     partial-agg before the (tiny, 4-group) shuffle; the shipdate filter is a
     parquet PushedFilter."""
-    li = _t(spark, sf_dir, "lineitem").where(
+    li = _fact(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -86,8 +97,8 @@ def t02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    orders = _fact(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _fact(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -133,11 +144,11 @@ def t03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("n_nationkey", "n_name")
     )
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").where(
+    orders = _fact(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -185,11 +196,11 @@ def t04_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer rollup."""
     cust = _t(spark, sf_dir, "customer")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    orders = _t(spark, sf_dir, "orders").where(
+    orders = _fact(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    li = _fact(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -233,11 +244,11 @@ def t05_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late" substitutes l_shipdate > o_orderdate + 60 days).  Semi-join
     output carries only the orders side, so the count never double-counts
     multi-lineitem orders.  Registered since round 3."""
-    orders = _t(spark, sf_dir, "orders").where(
+    orders = _fact(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)

@@ -70,6 +70,10 @@ PAIRS = [
     (C.q09_count, C.Q09_SQL),
     (C.q19_date_fns, C.Q19_SQL),
     (E.x02_fingerprint, E.X02_SQL),
+    # rotated OUT in round 4 (to admit x23/x25); q16 also rides
+    # q17_setops' tagged union in the driver registry:
+    (C.q11_count_distinct, C.Q11_SQL),
+    (C.q16_union_all, C.Q16_SQL),
 ]
 
 
