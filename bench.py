@@ -60,6 +60,7 @@ HEADLINE = [
     "x18_near_dup_clusters",
     "x20_pack_shards",
     "x22_training_shards",
+    "x27_hll_daily_uniques",
 ]
 
 

@@ -209,6 +209,31 @@ def add_minhash(
     ).drop("__mh_base")
 
 
+def band_structs(sig_col: str, k: int, bands: int) -> Column:
+    """LSH band keys from a k-length minhash signature: array of
+    ``struct(band, bkey)`` where bkey hashes the band's signature slice.
+    Shared by the batch candidate join and the incremental store so both
+    derive IDENTICAL keys from identical parameters."""
+    rows_per_band = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            hash60(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            F.col(sig_col), b * rows_per_band + 1, rows_per_band
+                        ),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bkey"),
+        ),
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -224,29 +249,13 @@ def minhash_candidate_pairs(
     self-join shuffled on (band_idx, band_key).  At 100 TB the band table is
     the only shuffled data: two longs + an id per band.
     """
-    rows_per_band = k // bands
     sig = add_minhash(df, text_col, k, n, "__sig").select(id_col, "__sig")
     # Same materialization barrier as simhash_near_duplicates: signatures
     # are multi-referenced (one slice per band) and the self-join would
     # otherwise recompute the shingle+minhash folds on both sides.
     sig = sig.repartition(sig.sparkSession.sparkContext.defaultParallelism)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            hash60(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                )
-            ).alias("bkey"),
-        ),
-    )
     banded = sig.select(
-        F.col(id_col), F.explode(band_arr).alias("b")
+        F.col(id_col), F.explode(band_structs("__sig", k, bands)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
     left = banded.alias("l")
     right = banded.alias("r")
@@ -624,3 +633,163 @@ def dedup_keep_one_per_cluster(
     return assigned.where(F.col(id_col) == F.col("__cluster")).drop(
         "__cluster"
     )
+
+
+# ───────────────────── incremental near-dup (append path) ──────────────────
+def build_near_dup_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup signature store for append-only corpora: one row per
+    document — ``(id, bands array<struct<band,bkey>>, sh array<long>)``
+    where ``bands`` are the LSH band keys and ``sh`` the hashed shingle
+    set.
+
+    The append-path complement of ``dedup_incremental`` (exact): persist
+    this beside the corpus (bucketed by ``id_col``) and new batches
+    near-dup-check against it WITHOUT re-reading or re-hashing old text.
+    At 100 TB the store is ~8 bytes per distinct shingle — smaller than
+    the text it summarizes — and band keys come from the shared
+    ``band_structs``, so a store built with the same (k, bands, n) stays
+    join-compatible with every future batch.
+    """
+    staged = widen_partitions(df).select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(text_col, n), lambda s: hash60(s) % MINHASH_PRIME
+        ).alias("sh"),
+    )
+    return staged.select(
+        F.col(id_col),
+        band_structs_from_base("sh", k, bands).alias("bands"),
+        "sh",
+    )
+
+
+def band_structs_from_base(base_col: str, k: int, bands: int) -> Column:
+    """``band_structs`` taking the shingle-hash array directly (store
+    path) instead of a precomputed signature column."""
+    sig = _minhash_from_base(F.col(base_col), k)
+    rows_per_band = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            hash60(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bkey"),
+        ),
+    )
+
+
+def hashed_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over hashed shingle sets (same up to md5 collisions as the
+    string-shingle jaccard the batch operators verify with)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Append-path near-dup dedup: drop rows of a NEW batch that are
+    near-duplicates of the persisted ``build_near_dup_store`` corpus OR of
+    a lower-id row in the same batch.  Returns the surviving new rows
+    (callers append ``build_near_dup_store(survivors)`` to the store).
+
+    Plan shape — everything keyed, nothing corpus-sized recomputed:
+
+    1. batch signatures once (widened, materialization barrier);
+    2. cross candidates: explode band keys on both sides, equi-join on
+       (band, bkey) — the shuffle carries (id, band, bkey) triples only;
+    3. batch-internal candidates: the standard LSH self-join;
+    4. verify candidates with jaccard over hashed shingles (store rows
+       carry their shingle hashes, so old TEXT is never touched);
+    5. drop = store-matched ∪ greater-id of verified batch pairs.  The
+       batch pair graph is evaluated in full (a doc dropped for matching
+       the store still eliminates its batch partners — the transitive
+       intent; for strict cluster semantics run the batch remainder
+       through ``dedup_keep_one_per_cluster``).
+    """
+    batch = build_near_dup_store(new_df, id_col, text_col, k, bands, n)
+    batch = batch.repartition(
+        batch.sparkSession.sparkContext.defaultParallelism
+    )
+    b_bands = batch.select(
+        F.col(id_col).alias("__bid"), F.explode("bands").alias("b")
+    ).select("__bid", "b.band", "b.bkey")
+    s_bands = store.select(
+        F.col(id_col).alias("__sid"), F.explode("bands").alias("b")
+    ).select("__sid", "b.band", "b.bkey")
+    cross_cand = (
+        b_bands.join(s_bands, ["band", "bkey"])
+        .select("__bid", "__sid")
+        .distinct()
+    )
+    b_sh = batch.select(F.col(id_col).alias("__bid"), F.col("sh").alias("__bsh"))
+    s_sh = store.select(F.col(id_col).alias("__sid"), F.col("sh").alias("__ssh"))
+    cross_hits = (
+        cross_cand.join(b_sh, "__bid")
+        .join(s_sh, "__sid")
+        .where(
+            F.round(hashed_jaccard(F.col("__bsh"), F.col("__ssh")), 6)
+            >= threshold
+        )
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    within_cand = (
+        b_bands.alias("l")
+        .join(
+            b_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.__bid") < F.col("r.__bid")),
+        )
+        .select(
+            F.col("l.__bid").alias("__lid"), F.col("r.__bid").alias("__rid")
+        )
+        .distinct()
+    )
+    within_hits = (
+        within_cand.join(
+            b_sh.select(
+                F.col("__bid").alias("__lid"), F.col("__bsh").alias("__lsh")
+            ),
+            "__lid",
+        )
+        .join(
+            b_sh.select(
+                F.col("__bid").alias("__rid"), F.col("__bsh").alias("__rsh")
+            ),
+            "__rid",
+        )
+        .where(
+            F.round(hashed_jaccard(F.col("__lsh"), F.col("__rsh")), 6)
+            >= threshold
+        )
+        .select(F.col("__rid").alias(id_col))
+        .distinct()
+    )
+    losers = cross_hits.unionByName(within_hits).distinct()
+    # Loser set sizing mirrors curation: usually tiny → AQE broadcasts it
+    # from runtime stats; pathologically duplicated batches stay correct.
+    return new_df.join(losers, id_col, "left_anti")

@@ -1038,11 +1038,30 @@ WHERE e < p.epochs OR ({bucket}) % 1000000 < p.thr
 X26_SQL = _x26_sql()
 
 
+def x27_hll_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path benchmark entry: per-day HLL partials over events
+    rolled up to one global distinct-user estimate
+    (operators/sketches.py) — the mergeable two-level plan a 100 TB daily
+    pipeline runs.  Approximate by construction, so timing-only here
+    (value properties are pinned in tests/test_sketches.py); the DuckDB
+    denominator runs its own approx_count_distinct."""
+    from jurimetria_etl_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = SK.hll_sketch_by(ev, ["day"], "user_id")
+    return SK.hll_rollup(daily, [])
+
+
+X27_SQL = "SELECT approx_count_distinct(user_id) AS approx_distinct FROM events"
+
+
 # Bench-only composites: timed in bench.py with their DuckDB denominator
 # and oracle-checked in the pytest harness, but outside the driver's
-# 50-entry registry window.
+# 50-entry registry window.  x27 is timing-only (approximate estimates
+# differ per engine by design).
 BENCH_ONLY: dict[str, Q] = {
     "x22_training_shards": Q(x22_training_shards, X22_SQL),
+    "x27_hll_daily_uniques": Q(x27_hll_daily_uniques, X27_SQL),
 }
 
 

@@ -162,3 +162,38 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_files: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` on the sort
+    key(s) + ``sortWithinPartitions`` before the write, so every output
+    file covers a TIGHT, near-disjoint slice of the key space.
+
+    This is the layout lever for high-cardinality range-filtered columns
+    (timestamps, ids) where hive partitioning would explode into millions
+    of directories: parquet min/max footer stats then let the reader skip
+    whole files/row-groups for ``WHERE ts BETWEEN …`` — linear clustering,
+    the single-key special case of Z-ordering (for multi-dimensional
+    pruning interleave a computed Z-value column and range-cluster on
+    that).  Range partitioning samples the key distribution, so output
+    files are balanced even under skew — unlike fixed-width bucketing of a
+    skewed timestamp column.
+
+    ``n_files`` bounds the file count (default: current parallelism).  The
+    write itself is one range shuffle — the same cost as any global sort,
+    amortized over every range-pruned read after it."""
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in range_cols]
+    (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )

@@ -340,3 +340,63 @@ def test_near_dup_clusters_raises_when_not_converged(spark):
     # and with enough rounds the same chain collapses to one cluster
     comp = near_dup_clusters(chain, max_iters=10)
     assert {r["cluster_id"] for r in comp.collect()} == {1}
+
+
+def test_minhash_incremental_matches_batch_pair_graph(spark):
+    """Incremental near-dup dedup against a persisted store must drop
+    exactly what the batch operator's pair graph implies: new docs paired
+    with any store doc, plus the greater id of every verified new-new
+    pair.  Expected set derived from minhash_near_duplicates on the full
+    corpus (identical signature pipeline ⇒ identical candidates; hashed
+    vs string shingle jaccard differ only on md5 collisions)."""
+    from jurimetria_etl_spark.operators.dedup import (
+        build_near_dup_store,
+        minhash_dedup_incremental,
+        minhash_near_duplicates,
+    )
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, SF, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert pairs, "fixture corpus should contain planted near-dups"
+    drops = set()
+    for lo, hi in pairs:
+        if lo % 2 == 0 and hi % 2 == 1:
+            drops.add(hi)
+        elif lo % 2 == 1 and hi % 2 == 0:
+            drops.add(lo)
+        elif lo % 2 == 1 and hi % 2 == 1:
+            drops.add(hi)
+    expected = {
+        r["doc_id"] for r in new.select("doc_id").collect()
+    } - drops
+
+    store = build_near_dup_store(base)
+    got = {
+        r["doc_id"]
+        for r in minhash_dedup_incremental(
+            new, store, threshold=0.7
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_near_dup_store_schema_stable(spark):
+    """Store rows from different batches with the same params are
+    union/join-compatible (the append contract)."""
+    from jurimetria_etl_spark.operators.dedup import build_near_dup_store
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, SF, "documents")
+    a = build_near_dup_store(docs.limit(10))
+    b = build_near_dup_store(docs.limit(20))
+    assert a.schema == b.schema
+    assert a.unionByName(b).count() == 30

@@ -5,6 +5,7 @@ the write-side half of the 100 TB story, asserted against the physical plan.
 from __future__ import annotations
 
 import pytest
+from pathlib import Path
 from pyspark.sql import functions as F
 
 from jurimetria_etl_spark.sinks.writers import (
@@ -92,3 +93,42 @@ def test_basic_stats_a3(spark):
     assert float(stats["mean"]) == 2.0
     assert float(stats["min"]) == 1.0 and float(stats["max"]) == 3.0
     assert row_count(df) == 3
+
+
+def test_range_clustered_files_are_tight(spark, tmp_path):
+    """Every output file covers a near-disjoint slice of the key space
+    (footer min/max verified with pyarrow), and the data round-trips."""
+    import pyarrow.parquet as pq
+
+    from jurimetria_etl_spark.sinks.writers import write_range_clustered
+
+    df = spark.range(10_000).selectExpr(
+        "id", "CAST(id * 7919 % 10000 AS LONG) AS k"
+    )
+    out = str(tmp_path / "ranged")
+    write_range_clustered(df, out, ["k"], n_files=8)
+
+    files = sorted(Path(out).glob("*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint up to range-boundary duplicates: each file's max stays
+    # below the next file's min (boundary keys may tie)
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("k")).first()[0] == df.agg(F.sum("k")).first()[0]
