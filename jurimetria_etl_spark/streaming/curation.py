@@ -1,0 +1,116 @@
+"""Streaming corpus curation — the append path as a Structured Streaming
+pipeline (SURVEY §2.12 + §2.10 composed).
+
+Each micro-batch of documents is deduplicated against the corpus so far —
+exact first (fingerprint store, ``dedup_incremental``), then near-dup
+(signature store, ``minhash_dedup_incremental``) — and the survivors are
+appended to the corpus sink plus both stores.  State lives in PARQUET
+STORES, not in Spark streaming state: at 100 TB the seen-fingerprint set
+cannot live in executor memory, and stores double as the restart ledger
+(the checkpoint directory only tracks source offsets).
+
+Delivery semantics (documented, not hand-waved): plain parquet appends are
+at-least-once under foreachBatch retries.  The corpus is appended BEFORE
+the stores, so a crash between the two can duplicate corpus rows on
+retry — but never lose documents — and the duplicate is dropped by any
+downstream exact-dedup pass (its fingerprint is already stored by the
+retried batch).  Swap the sinks for a transactional table format for
+exactly-once; the operator composition is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.dedup import (
+    build_near_dup_store,
+    dedup_incremental,
+    fingerprint,
+    minhash_dedup_incremental,
+)
+
+DOCS_SCHEMA = "doc_id long, source string, lang string, text string"
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based micro-batch source over document parquet drops — one
+    dropped file ≈ one ingest batch."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.head(1)  # force path existence check now, not mid-plan
+        return df
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+_SIG_SCHEMA = (
+    "doc_id long, bands array<struct<band:int,bkey:bigint>>, sh array<bigint>"
+)
+
+
+def curate_document_stream(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    fp_store_dir: str,
+    sig_store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    available_now: bool = True,
+):
+    """Run the incremental curation pipeline over a document stream.
+
+    Per micro-batch: exact-dedup vs the fingerprint store → near-dup vs
+    the signature store (both also dedup within the batch) → append the
+    survivors to ``corpus_dir`` and their fingerprints/signatures to the
+    stores.  Returns the started ``StreamingQuery``.
+
+    ``available_now=True`` drains everything currently in the source then
+    stops — the backfill/test mode; ``False`` runs continuously.
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        fp_store = _read_or_empty(spark, fp_store_dir, "fp bigint")
+        sig_store = _read_or_empty(spark, sig_store_dir, _SIG_SCHEMA)
+        fresh = dedup_incremental(batch_df, fp_store, text_col)
+        survivors = minhash_dedup_incremental(
+            fresh, sig_store, id_col, text_col, threshold, k, bands, n
+        )
+        # One deterministic materialization: everything below appends
+        # pieces of `survivors`; recomputing it per sink would re-run the
+        # dedup joins three times (and could diverge under source retry).
+        survivors = survivors.localCheckpoint()
+        survivors.write.mode("append").parquet(corpus_dir)
+        survivors.select(fingerprint(text_col).alias("fp")).write.mode(
+            "append"
+        ).parquet(fp_store_dir)
+        build_near_dup_store(survivors, id_col, text_col, k, bands, n).write.mode(
+            "append"
+        ).parquet(sig_store_dir)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

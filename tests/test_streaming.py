@@ -267,3 +267,85 @@ def test_scrub_and_quality_rules_run_on_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM scrubbed_stream")
     assert _canon(got) == _canon(batch)
+
+
+def test_streaming_curation_equals_sequential_batches(spark, tmp_path):
+    """curate_document_stream over N file-drops must produce exactly what
+    applying the incremental operators sequentially batch-by-batch
+    produces: same surviving corpus, stores populated, replays none."""
+    from jurimetria_etl_spark.operators.dedup import (
+        build_near_dup_store,
+        dedup_incremental,
+        minhash_dedup_incremental,
+    )
+    from jurimetria_etl_spark.streaming.curation import (
+        curate_document_stream,
+        read_documents_stream,
+    )
+
+    docs = load_fixture(spark, SF, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    src = str(tmp_path / "drops")
+    # deterministic 2-way split on id parity → two micro-batches
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    a.coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    b.coalesce(1).write.mode("append").parquet(f"{src}/b1")
+    # stream over both drop dirs via glob ordering is nondeterministic —
+    # instead drop the files into one dir with lexicographic names
+    import shutil as sh
+    from pathlib import Path
+
+    flat = str(tmp_path / "flat")
+    Path(flat).mkdir()
+    import os
+    import time
+
+    base_t = time.time() - 3600
+    for i, d in enumerate(["b0", "b1"]):
+        part = next(Path(f"{src}/{d}").glob("part-*.parquet"))
+        dst = f"{flat}/{i:03d}.parquet"
+        sh.copy(part, dst)
+        # the file source orders batches by modification time — pin it so
+        # the stream provably processes b0 before b1 (the reference order)
+        os.utime(dst, (base_t + i * 600, base_t + i * 600))
+
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    sigs = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_documents_stream(spark, flat, max_files_per_trigger=1)
+    q = curate_document_stream(stream, corpus, fps, sigs, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    }
+
+    # sequential reference: batch A against empty stores, then batch B
+    # against the stores A produced
+    empty_fp = spark.createDataFrame([], "fp bigint")
+    empty_sig = spark.createDataFrame(
+        [],
+        "doc_id long, bands array<struct<band:int,bkey:bigint>>, sh array<bigint>",
+    )
+    batches = sorted(Path(flat).glob("*.parquet"))
+    surv_all = set()
+    fp_store, sig_store = empty_fp, empty_sig
+    for f in batches:
+        batch = spark.read.parquet(str(f))
+        fresh = dedup_incremental(batch, fp_store)
+        surv = minhash_dedup_incremental(fresh, sig_store)
+        ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        surv_all |= ids
+        from jurimetria_etl_spark.operators.dedup import fingerprint
+
+        fp_store = fp_store.unionByName(
+            surv.select(fingerprint("text").alias("fp"))
+        )
+        sig_store = sig_store.unionByName(build_near_dup_store(surv))
+
+    assert got == surv_all
+    assert spark.read.parquet(fps).count() == len(surv_all)
+    assert spark.read.parquet(sigs).count() == len(surv_all)
