@@ -50,6 +50,8 @@ HEADLINE = [
     "t02_shipping_priority",
     "t03_local_supplier_volume",
     "t04_returned_items",
+    "t06_late_shipments",
+    "t07_promo_revenue",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x09_text_profile",
@@ -69,9 +71,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     from jurimetria_etl_spark.plans.corpus import full_registry
     from jurimetria_etl_spark.plans.extensions import BENCH_ONLY
+    from jurimetria_etl_spark.plans.tpch import TPCH_EXTRA
     from jurimetria_etl_spark.session import get_spark
 
-    registry = {**full_registry(), **BENCH_ONLY}
+    registry = {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
 
     spark = get_spark("bench")
     # Warm the JVM + parquet footers so the first timed query isn't charged

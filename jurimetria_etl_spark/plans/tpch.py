@@ -275,10 +275,91 @@ ORDER BY o_orderpriority
 """
 
 
+def t06_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the fixture carries no shipmode/commitdate, so the
+    two-bucket conditional count rides order priority and ship lag):
+    orders ⨝ lineitem, lines shipped > 90 days after the order date,
+    split into high-priority (1-URGENT/2-HIGH) vs other counts per
+    returnflag.  Plan: both facts widened, one shuffled equi-join, partial
+    agg before the tiny final shuffle."""
+    orders = _fact(spark, sf_dir, "orders")
+    li = _fact(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("bigint")).alias("high_line_count"),
+            F.sum((~hi).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+T06_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate IS NOT NULL
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def t07_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship-month.  part is
+    the broadcast side; the conditional and total sums accumulate in
+    exact decimals and divide as doubles (determinism convention)."""
+    li = _fact(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    disc = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,8)")
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(28,8)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+T07_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+                     ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
 TPCH: dict[str, Q] = {
     "t01_pricing_summary": Q(t01_pricing_summary, T01_SQL),
     "t02_shipping_priority": Q(t02_shipping_priority, T02_SQL),
     "t03_local_supplier_volume": Q(t03_local_supplier_volume, T03_SQL),
     "t04_returned_items": Q(t04_returned_items, T04_SQL),
     "t05_order_priority": Q(t05_order_priority, T05_SQL),
+}
+
+# Outside the driver's 50-entry window: pytest-oracle + bench coverage.
+TPCH_EXTRA: dict[str, Q] = {
+    "t06_late_shipments": Q(t06_late_shipments, T06_SQL),
+    "t07_promo_revenue": Q(t07_promo_revenue, T07_SQL),
 }

@@ -11,6 +11,7 @@ import pytest
 
 from jurimetria_etl_spark.plans import corpus as C
 from jurimetria_etl_spark.plans import extensions as E
+from jurimetria_etl_spark.plans import tpch as T
 
 SF = "/root/testdata/sf0.001"
 TABLES = (
@@ -74,6 +75,9 @@ PAIRS = [
     # q17_setops' tagged union in the driver registry:
     (C.q11_count_distinct, C.Q11_SQL),
     (C.q16_union_all, C.Q16_SQL),
+    # never registered (window full): Q12/Q14-shape composites
+    (T.t06_late_shipments, T.T06_SQL),
+    (T.t07_promo_revenue, T.T07_SQL),
 ]
 
 

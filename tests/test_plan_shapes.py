@@ -192,3 +192,26 @@ def test_mix_corpora_data_path_is_narrow(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Generate" in plan  # the epoch explode
+
+
+def test_widen_partitions_noop_on_well_split_input(spark, tmp_path):
+    """The widen guard must VANISH at scale: an input whose file count
+    already covers cluster width gets no extra Exchange — the local-bench
+    repartition is strictly the unsplittable-single-file remedy."""
+    from jurimetria_etl_spark.operators.dedup import widen_partitions
+
+    cores = spark.sparkContext.defaultParallelism
+    out = str(tmp_path / "many_files")
+    spark.range(10_000).repartition(cores + 4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    many = spark.read.parquet(out)
+    assert len(many.inputFiles()) >= cores
+    widened = widen_partitions(many)
+    assert widened is many  # identical plan object — literally a no-op
+
+    single = str(tmp_path / "one_file")
+    spark.range(10_000).coalesce(1).write.mode("overwrite").parquet(single)
+    narrow = spark.read.parquet(single)
+    plan = _physical(widen_partitions(narrow))
+    assert "Exchange RoundRobinPartitioning" in plan  # the local remedy
