@@ -37,6 +37,13 @@ AUDITED = [
         "nested-loop is the 1-row broadcast probe attach (constant side — "
         "intended)",
     ),
+    ("x23_pii_scrub", "narrow regexp chain fused into the scan; no shuffle"),
+    (
+        "x25_decontaminate",
+        "shingle-hash probe joins; no cartesian; loser set AQE-sized",
+    ),
+    ("t06_late_shipments", "one fact-fact equi-join; partial agg"),
+    ("t07_promo_revenue", "part broadcast; shipdate PushedFilter"),
 ]
 
 
@@ -62,10 +69,12 @@ def summarize(plan: str) -> list[str]:
 
 def main(sf_dir: str) -> None:
     from jurimetria_etl_spark.plans.corpus import full_registry
+    from jurimetria_etl_spark.plans.extensions import BENCH_ONLY
+    from jurimetria_etl_spark.plans.tpch import TPCH_EXTRA
     from jurimetria_etl_spark.session import get_spark
 
     spark = get_spark("plan-audit")
-    registry = full_registry()
+    registry = {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
     print("# Physical-plan audit\n")
     print(f"Generated against `{sf_dir}` — `python tools/plan_audit.py`.\n")
     for name, intent in AUDITED:
