@@ -94,6 +94,35 @@ def hll_rollup(
     return partials.agg(est)
 
 
+# ───────────────────────── quantiles (KLL-style) ───────────────────────────
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: list[float] = (0.25, 0.5, 0.9),
+    accuracy: int = 10_000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Approximate quantiles via Spark's mergeable percentile sketch
+    (``approx_percentile``, Greenwald-Khanna): rank error ≤ 1/accuracy,
+    O(accuracy) state per group instead of the per-group sort exact
+    percentiles cost (q32's documented expensive path).  The sketch
+    partial-aggregates map-side, so shuffled bytes are sketch-sized, not
+    row-sized — the 100 TB latency-percentile query."""
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    agg = F.approx_percentile(col, probs, F.lit(accuracy)).alias("quantiles")
+    out = (
+        df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+    )
+    names = [f"q{str(p).replace('0.', '')}" for p in probabilities]
+    return out.select(
+        *(group_cols or []),
+        *[
+            F.col("quantiles").getItem(i).alias(n)
+            for i, n in enumerate(names)
+        ],
+    )
+
+
 # ──────────────────────── frequency (count-min) ────────────────────────────
 def count_min(
     df: DataFrame,

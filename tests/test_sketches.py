@@ -195,3 +195,25 @@ def test_quantized_topk_recall(embeddings):
         for r in cosine_topk_quantized(embeddings, probe, k=5).collect()
     }
     assert len(exact & quant) >= 4
+
+
+def test_approx_quantiles_within_rank_error(events):
+    """GK sketch rank error ≤ 1/accuracy: each reported quantile's true
+    rank must sit within prob ± 1/accuracy (checked exactly by counting
+    values below the estimate)."""
+    n = events.count()
+    acc = 1000
+    got = SK.approx_quantiles(
+        events, "value", [0.25, 0.5, 0.9], accuracy=acc
+    ).first()
+    for prob, key in [(0.25, "q25"), (0.5, "q5"), (0.9, "q9")]:
+        est = got[key]
+        below = events.where(F.col("value") <= est).count()
+        assert abs(below / n - prob) <= 1 / acc + 1 / n
+
+def test_approx_quantiles_grouped(events):
+    rows = SK.approx_quantiles(
+        events, "value", [0.5], group_cols=["event_type"]
+    ).collect()
+    assert len(rows) == events.select("event_type").distinct().count()
+    assert all(r["q5"] is not None for r in rows)
