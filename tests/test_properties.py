@@ -169,3 +169,38 @@ def test_pack_into_shards_matches_python_reference(spark, token_counts, max_toke
         expect[i] = run // max_tokens
         run += t
     assert got == expect
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_frequent_items_mg_guarantee_random(spark, values, k):
+    """Misra-Gries superset guarantee on arbitrary distributions: every
+    value with frequency > N/(k+1) appears in the output, and recounted
+    counts are exact — independent of partitioning."""
+    from collections import Counter
+
+    from jurimetria_etl_spark.operators.sketches import frequent_items
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], "item_src int"
+    ).repartition(4)
+    got = {
+        r["item"]: r["cnt"]
+        for r in frequent_items(df, "item_src", k=k).collect()
+    }
+    exact = Counter(values)
+    n = len(values)
+    for v, c in exact.items():
+        if c > n / (k + 1):
+            assert v in got
+    for v, c in got.items():
+        assert c == exact[v]
