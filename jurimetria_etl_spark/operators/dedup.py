@@ -518,6 +518,7 @@ def near_dup_clusters(
     right_col: str = "right_id",
     cluster_col: str = "cluster_id",
     max_iters: int = 20,
+    max_driver_pairs: int = 500_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph: every id that
     appears in a pair, labeled with the MINIMUM id reachable from it
@@ -528,20 +529,55 @@ def near_dup_clusters(
     Clustering first, then keeping one doc per cluster, is the transitive
     fix real curation pipelines need.
 
-    Plan shape: iterative min-label propagation — labels start as the id;
-    each round every node takes the min of its own and its neighbours'
-    labels; converged when the (monotonically decreasing) label sum stops
-    changing.  O(cluster diameter) rounds — near-dup clusters are small
-    cliques, so 2-3 in practice.  Scale discipline:
+    Two exact paths, picked by the pair count (ONE count job up front):
 
-    - ONLY ids that occur in a pair enter the iteration; the (vast) corpus
-      remainder never shuffles.  Join the result back and ``coalesce`` to
-      the own id for a full assignment (``assign_near_dup_clusters``).
-    - Each round shuffles (id, label) pairs only — 16 bytes/row.
-    - ``localCheckpoint`` truncates the lineage each round so the plan
-      doesn't compound across iterations (swap for ``checkpoint(dir)``
-      when fault-tolerance across a long job matters).
+    - **Bounded union-find** when the pair graph fits
+      ``max_driver_pairs`` (default 5×10⁵ ≈ 8 MB of id pairs): collect,
+      path-compressing union-find, one createDataFrame back.  The pair
+      graph of a near-dup pass is verified-duplicate EDGES — orders of
+      magnitude smaller than the corpus even at 100 TB — so this is the
+      common case, and it replaces ~3×(join+agg+checkpoint+action) rounds
+      of fixed job latency with one collect.  Same bounded-driver-work
+      policy as the IVF centroid seeds.
+    - **Iterative min-label propagation** above the bound: labels start
+      as the id; each round every node takes the min of its neighbours'
+      labels; converged when the (monotonically decreasing) label sum
+      stops changing.  O(cluster diameter) rounds.  Only paired ids
+      iterate; each round shuffles 16-byte (id, label) rows;
+      ``localCheckpoint`` truncates lineage per round (swap for
+      ``checkpoint(dir)`` when fault-tolerance matters).
+
+    Both paths produce the identical (id, min-reachable-id) labeling —
+    pinned against each other in tests.
     """
+    spark = pairs.sparkSession
+    n_pairs = pairs.count()
+    if n_pairs <= max_driver_pairs:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.select(left_col, right_col).collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the canonical label is deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(
+            rows, f"id long, {cluster_col} long"
+        )
     edges = (
         pairs.select(
             F.col(left_col).alias("__src"), F.col(right_col).alias("__dst")

@@ -336,10 +336,31 @@ def test_near_dup_clusters_raises_when_not_converged(spark):
         [(i, i + 1) for i in range(1, 6)], "left_id long, right_id long"
     )
     with _pytest.raises(RuntimeError, match="not converged"):
-        near_dup_clusters(chain, max_iters=2)
+        near_dup_clusters(chain, max_iters=2, max_driver_pairs=0)
     # and with enough rounds the same chain collapses to one cluster
-    comp = near_dup_clusters(chain, max_iters=10)
+    comp = near_dup_clusters(chain, max_iters=10, max_driver_pairs=0)
     assert {r["cluster_id"] for r in comp.collect()} == {1}
+
+
+def test_near_dup_clusters_paths_agree(spark):
+    """Bounded union-find and iterative label propagation must emit the
+    IDENTICAL (id, min-reachable-id) labeling on the fixture pair graph."""
+    from jurimetria_etl_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dup_clusters,
+    )
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, SF, "documents")
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7)
+    fast = {
+        (r["id"], r["cluster_id"]) for r in near_dup_clusters(pairs).collect()
+    }
+    slow = {
+        (r["id"], r["cluster_id"])
+        for r in near_dup_clusters(pairs, max_driver_pairs=0).collect()
+    }
+    assert fast == slow and fast
 
 
 def test_minhash_incremental_matches_batch_pair_graph(spark):
