@@ -121,6 +121,13 @@ def curate_corpus(
 
     exact = D.dedup_by_fingerprint(gated, text_col, id_col)
 
+    if transitive:
+        # The clustering path is multi-action (pair count + union-find
+        # collect / label-prop rounds, then the final join-back), so the
+        # gates+fingerprint plan above would re-execute once per action.
+        # Persist the deduped corpus across them — memory-and-disk, the
+        # same intermediate a production pipeline would write out anyway.
+        exact = exact.persist()
     near_pairs = D.minhash_near_duplicates(
         exact,
         id_col,
