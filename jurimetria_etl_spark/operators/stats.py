@@ -27,3 +27,49 @@ def basic_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 def row_count(df: DataFrame) -> int:
     """A2 — the reference's collection total (``:362``)."""
     return df.count()
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    distinct_rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass data-quality profile: per column null rate, approximate
+    distinct count (HLL, so the pass stays sketch-sized), and min/max —
+    one row per column, long format.
+
+    A 100 TB profiling job is ONE scan with partial aggregation; the
+    anti-pattern is per-column queries (N scans) or exact distinct counts
+    (N wide shuffles).  Values are rendered as strings so heterogeneous
+    column types share one output schema.
+    """
+    from pyspark.sql import functions as F
+
+    names = cols or df.columns
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for c in names:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"),
+            F.approx_count_distinct(c, rsd=distinct_rsd).alias(f"__dist_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                (
+                    F.col(f"__null_{c}") / F.greatest(F.col("__n"), F.lit(1))
+                ).alias("null_rate"),
+                F.col(f"__dist_{c}").alias("approx_distinct"),
+                F.col(f"__min_{c}").alias("min_str"),
+                F.col(f"__max_{c}").alias("max_str"),
+            )
+            for c in names
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select(
+        "p.column", "p.null_rate", "p.approx_distinct", "p.min_str", "p.max_str"
+    )

@@ -39,11 +39,16 @@ def _davg(col, alias: str, prec: int = 28, scale: int = 8):
     """Deterministic double avg: exact decimal sum → double, ÷ count in
     double arithmetic (plain avg() would accumulate doubles in partition
     order; dividing while still decimal would hit engine-specific
-    division-scale rules)."""
+    division-scale rules).  Rounded to 4 decimals: once the exact decimal
+    sum exceeds 2⁵³ the decimal→double conversion itself is lossy and
+    engines legitimately differ in the last ulp (observed at sf0.1:
+    2828375807.434132 vs ...4341316) — the oracle SQL carries the same
+    ROUND."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
+    return F.round(
         F.sum(c.cast(f"decimal({prec},{scale})")).cast("double")
-        / F.count("*")
+        / F.count("*"),
+        4,
     ).alias(alias)
 
 
@@ -56,13 +61,20 @@ def t01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # The (28,8) group sums exceed 2^53 unscaled at sf0.1, so the exact
+    # decimal->double conversion itself is engine-ulp-sensitive (same
+    # failure mode as _davg) - round to 4 decimals on both sides.
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price", 28, 8),
-            dsum(charge, "sum_charge", 28, 8),
+            F.round(
+                F.sum(disc_price.cast("decimal(28,8)")).cast("double"), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(charge.cast("decimal(28,8)")).cast("double"), 4
+            ).alias("sum_charge"),
             _davg("l_quantity", "avg_qty"),
             _davg("l_extendedprice", "avg_price"),
             _davg("l_discount", "avg_disc"),
@@ -76,11 +88,11 @@ T01_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -217,3 +217,23 @@ def test_approx_quantiles_grouped(events):
     ).collect()
     assert len(rows) == events.select("event_type").distinct().count()
     assert all(r["q5"] is not None for r in rows)
+
+
+def test_profile_columns_one_pass(spark, events):
+    """Profile values match exact per-column queries; the whole profile is
+    ONE aggregation (no join, one exchange pair)."""
+    from jurimetria_etl_spark.operators.stats import profile_columns
+
+    prof = {r["column"]: r for r in profile_columns(events).collect()}
+    assert set(prof) == set(events.columns)
+    n = events.count()
+    for c in ["event_id", "event_type"]:
+        nulls = events.where(F.col(c).isNull()).count()
+        assert abs(prof[c]["null_rate"] - nulls / n) < 1e-9
+        exact_d = events.select(c).distinct().count()
+        assert abs(prof[c]["approx_distinct"] - exact_d) <= 0.2 * exact_d + 2
+    assert prof["event_type"]["min_str"] == events.agg(
+        F.min("event_type")
+    ).first()[0]
+    plan = profile_columns(events)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
