@@ -104,11 +104,15 @@ def main() -> None:
         # Second (warm) run: steady-state latency with plan/codegen caches
         # hot — the number that matters for repeated queries on a cluster.
         # The cold number above stays the headline metric for round-over-
-        # round comparability.
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
+        # round comparability.  Same per-query guard as the cold run.
+        try:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        except Exception as e:
+            errors[f"warm:{name}"] = f"{type(e).__name__}: {e}"[:400]
+            continue
         warm[name] = round(dt, 3)
         warm_total += dt
 
@@ -144,6 +148,11 @@ def main() -> None:
         # A partial loop must not report its accumulated time as a complete
         # baseline total — null the denominator, keep the error marker.
         duck = {"error": str(e)}  # type: ignore[dict-item]
+        duck_total = None
+    # Same policy for per-query duckdb failures: a total missing queries
+    # is not a baseline total (the shared ratio below stays valid — it
+    # only counts queries both engines completed).
+    if any(k.startswith("duckdb:") for k in errors):
         duck_total = None
 
     # Apples-to-apples ratio: only queries BOTH engines completed.

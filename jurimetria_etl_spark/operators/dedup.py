@@ -209,11 +209,13 @@ def add_minhash(
     ).drop("__mh_base")
 
 
-def band_structs(sig_col: str, k: int, bands: int) -> Column:
-    """LSH band keys from a k-length minhash signature: array of
-    ``struct(band, bkey)`` where bkey hashes the band's signature slice.
-    Shared by the batch candidate join and the incremental store so both
-    derive IDENTICAL keys from identical parameters."""
+def band_structs(sig: str | Column, k: int, bands: int) -> Column:
+    """LSH band keys from a k-length minhash signature (column name or
+    expression): array of ``struct(band, bkey)`` where bkey hashes the
+    band's signature slice.  The SINGLE source of band-key derivation —
+    batch candidate join and incremental store both call it, so a store
+    built with the same (k, bands) stays join-compatible forever."""
+    sig_c = F.col(sig) if isinstance(sig, str) else sig
     rows_per_band = k // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -223,9 +225,7 @@ def band_structs(sig_col: str, k: int, bands: int) -> Column:
                 F.concat_ws(
                     ",",
                     F.transform(
-                        F.slice(
-                            F.col(sig_col), b * rows_per_band + 1, rows_per_band
-                        ),
+                        F.slice(sig_c, b * rows_per_band + 1, rows_per_band),
                         lambda v: v.cast("string"),
                     ),
                 )
@@ -551,6 +551,11 @@ def near_dup_clusters(
     pinned against each other in tests.
     """
     spark = pairs.sparkSession
+    # The pair frame's lineage is typically the LSH join + jaccard verify
+    # — the costliest job in a dedup pipeline — and BOTH paths run two
+    # actions over it (count, then collect / edge materialization).
+    # Persist across them; evicted lazily if memory is tight.
+    pairs = pairs.persist()
     n_pairs = pairs.count()
     if n_pairs <= max_driver_pairs:
         parent: dict = {}
@@ -575,8 +580,11 @@ def near_dup_clusters(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
+        # keep the operator generic over id types (string/decimal ids
+        # must not behave differently below vs above the threshold)
+        id_type = pairs.schema[left_col].dataType.simpleString()
         return spark.createDataFrame(
-            rows, f"id long, {cluster_col} long"
+            rows, f"id {id_type}, {cluster_col} {id_type}"
         )
     edges = (
         pairs.select(
@@ -708,24 +716,9 @@ def build_near_dup_store(
 
 def band_structs_from_base(base_col: str, k: int, bands: int) -> Column:
     """``band_structs`` taking the shingle-hash array directly (store
-    path) instead of a precomputed signature column."""
-    sig = _minhash_from_base(F.col(base_col), k)
-    rows_per_band = k // bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            hash60(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                )
-            ).alias("bkey"),
-        ),
-    )
+    path) instead of a precomputed signature column — delegates to the
+    shared derivation so the two can never drift."""
+    return band_structs(_minhash_from_base(F.col(base_col), k), k, bands)
 
 
 def hashed_jaccard(a: Column, b: Column) -> Column:

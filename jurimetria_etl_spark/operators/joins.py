@@ -172,19 +172,41 @@ def range_join_bucketed(
         )
     us = bucket_seconds * 1_000_000
 
-    def _bucket(c):
-        # unix_micros rejects TIMESTAMP_NTZ (driver parquet stores
-        # timestamp[us] without tz metadata, which Spark 4 reads as NTZ).
-        # The cast is a no-op for TIMESTAMP and a monotonic session-tz
-        # interpretation for NTZ; both sides get the identical mapping, so
-        # bucket containment (lo <= t <= hi  =>  bucket(t) covered by the
-        # interval's exploded bucket range) is preserved and the exact
-        # predicate below still compares the original columns.
-        return F.floor(F.unix_micros(c.cast("timestamp")) / us)
+    def _is_ntz(frame: DataFrame, c: Column) -> bool:
+        from pyspark.sql.types import TimestampNTZType
 
-    pts = points.withColumn("__rjb_p", _bucket(point_ts))
+        try:
+            return isinstance(
+                frame.select(c).schema[0].dataType, TimestampNTZType
+            )
+        except Exception:
+            return False
+
+    def _bucket(frame: DataFrame, c: Column):
+        # TIMESTAMP: epoch micros directly.  TIMESTAMP_NTZ (driver parquet
+        # stores timestamp[us] without tz metadata): unix_micros rejects
+        # it, and casting to TIMESTAMP would interpret the wall time in
+        # the session zone — NOT monotonic across a DST spring-forward
+        # gap, where a dropped wall hour can bucket a point outside its
+        # interval's exploded range.  Instead derive a pure WALL-CLOCK
+        # epoch (days × 86 400 + intraday seconds, plus sub-second) —
+        # monotonic in the NTZ value by construction, session-tz-free.
+        if not _is_ntz(frame, c):
+            return F.floor(F.unix_micros(c) / us)
+        days = F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date"))
+        secs = (
+            F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+        ).cast("long")
+        sub_us = F.date_format(c, "SSSSSS").cast("long")
+        wall_us = (days.cast("long") * 86_400 + secs) * 1_000_000 + sub_us
+        return F.floor(wall_us / us)
+
+    pts = points.withColumn("__rjb_p", _bucket(points, point_ts))
     ivs = intervals.withColumn(
-        "__rjb_i", F.explode(F.sequence(_bucket(lo), _bucket(hi)))
+        "__rjb_i",
+        F.explode(
+            F.sequence(_bucket(intervals, lo), _bucket(intervals, hi))
+        ),
     )
     cond = (
         (pts["__rjb_p"] == ivs["__rjb_i"])

@@ -212,9 +212,11 @@ def frequent_items(
        With ``exact_recount=False`` you get the one-pass lower bounds.
 
     Returns (item, cnt) sorted desc; ``min_count`` filters the tail.
-    Exact ``groupBy(col).count()`` remains the right call when the
-    distinct cardinality is known to fit a shuffle — this operator is for
-    the heavy-tailed token/URL/ngram columns where it doesn't."""
+    NULL values are ignored (an exact ``groupBy`` would count them as a
+    group; nulls can't be heavy-hitter *items*).  Exact
+    ``groupBy(col).count()`` remains the right call when the distinct
+    cardinality is known to fit a shuffle — this operator is for the
+    heavy-tailed token/URL/ngram columns where it doesn't."""
     field = df.schema[col]
     out_schema = f"item {field.dataType.simpleString()}, weight long"
     summaries = df.select(F.col(col)).mapInPandas(
@@ -229,11 +231,14 @@ def frequent_items(
         )
     else:
         # candidate set is ≤ k × partitions rows — broadcast it; the
-        # recount is a map-side semi filter + partial agg, no wide shuffle
+        # recount is a map-side semi filter + partial agg, no wide
+        # shuffle.  The input column is isolated first so a source column
+        # literally named "item" can't make the join condition ambiguous.
+        vals = df.select(F.col(col).alias("__fi_val"))
         out = (
-            df.join(
+            vals.join(
                 F.broadcast(candidates.select("item")),
-                df[col] == F.col("item"),
+                F.col("__fi_val") == F.col("item"),
                 "inner",
             )
             .groupBy("item")

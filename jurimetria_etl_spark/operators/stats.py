@@ -52,8 +52,11 @@ def profile_columns(
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"),
             F.approx_count_distinct(c, rsd=distinct_rsd).alias(f"__dist_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+            # aggregate on the NATIVE type, render as string afterwards —
+            # min(cast-to-string) would give lexicographic (wrong) extrema
+            # for numeric/timestamp columns
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(

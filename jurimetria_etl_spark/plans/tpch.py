@@ -21,18 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jurimetria_etl_spark.operators.dedup import widen_partitions
-from jurimetria_etl_spark.plans.corpus import Q, _t, dsum
-
-
-def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Fact-table load widened to cluster parallelism: the fixture files
-    are single-row-group parquet, which Spark cannot split below one task
-    (DuckDB splits inside a row group), so the partial aggregate / join
-    map side would run serial.  ``widen_partitions`` is a no-op whenever
-    file count ≥ cores — any real 100 TB layout — so the scale plan keeps
-    its scan→partial-agg shape with no extra exchange."""
-    return widen_partitions(_t(spark, sf_dir, table))
+from jurimetria_etl_spark.plans.corpus import Q, _fact, _t, dsum
 
 
 def _davg(col, alias: str, prec: int = 28, scale: int = 8):

@@ -10,11 +10,14 @@ cannot live in executor memory, and stores double as the restart ledger
 (the checkpoint directory only tracks source offsets).
 
 Delivery semantics (documented, not hand-waved): plain parquet appends are
-at-least-once under foreachBatch retries.  The corpus is appended BEFORE
-the stores, so a crash between the two can duplicate corpus rows on
-retry — but never lose documents — and the duplicate is dropped by any
-downstream exact-dedup pass (its fingerprint is already stored by the
-retried batch).  Swap the sinks for a transactional table format for
+at-least-once under foreachBatch retries.  Append order is corpus →
+signature store → fingerprint store: the fp store is the exact-dedup
+gatekeeper, so once a doc's fingerprint lands there a retried batch drops
+the doc before reaching any sink — meaning every sink written EARLIER
+must already hold it.  A crash mid-sequence can therefore duplicate
+corpus/signature rows on retry (duplicates die in any downstream exact
+dedup) but can never lose a document or leave a corpus row without its
+signature.  Swap the sinks for a transactional table format for
 exactly-once; the operator composition is unchanged.
 """
 
@@ -46,12 +49,20 @@ def read_documents_stream(
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Empty frame ONLY when the store does not exist yet (first batch).
+    Any other read failure must propagate and fail the micro-batch so the
+    checkpoint retries it — swallowing a transient FS error here would
+    silently skip the dedup pass and append duplicates forever."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         df = spark.read.schema(schema).parquet(path)
         df.head(1)  # force path existence check now, not mid-plan
         return df
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 _SIG_SCHEMA = (
@@ -98,13 +109,21 @@ def curate_document_stream(
         # pieces of `survivors`; recomputing it per sink would re-run the
         # dedup joins three times (and could diverge under source retry).
         survivors = survivors.localCheckpoint()
+        # Append order matters for retry consistency: corpus first (never
+        # lose documents), then the SIGNATURE store, then the fingerprint
+        # store LAST.  The fp store is the exact-dedup gatekeeper — once a
+        # doc's fingerprint lands there, a retried batch drops the doc
+        # before reaching any later sink, so every earlier sink must
+        # already hold it.  (fp-before-sig would leave a crash window
+        # whose retry permanently omits signatures: corpus rows whose
+        # near-dups are never detected again.)
         survivors.write.mode("append").parquet(corpus_dir)
-        survivors.select(fingerprint(text_col).alias("fp")).write.mode(
-            "append"
-        ).parquet(fp_store_dir)
         build_near_dup_store(survivors, id_col, text_col, k, bands, n).write.mode(
             "append"
         ).parquet(sig_store_dir)
+        survivors.select(fingerprint(text_col).alias("fp")).write.mode(
+            "append"
+        ).parquet(fp_store_dir)
 
     writer = (
         docs_stream.writeStream.foreachBatch(handle_batch)

@@ -169,3 +169,41 @@ def test_range_join_rejects_interval_side_outer(spark):
         range_join_bucketed(
             pts, ivs, pts["ts"], ivs["lo"], ivs["hi"], how="full"
         )
+
+
+def test_range_join_ntz_correct_under_dst_session_tz(spark):
+    """NTZ bucketing must be session-tz-free: with a DST-observing session
+    zone and wall times inside the spring-forward gap, the bucket function
+    derived from a session-tz cast would misplace points; the wall-clock
+    derivation keeps every lo <= t < hi pair matched."""
+    from jurimetria_etl_spark.operators.joins import range_join_bucketed
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # 2021-03-14 02:xx does not exist on America/New_York wall clocks
+        # (clocks jump 02:00 -> 03:00); as NTZ values they are plain rows.
+        pts = spark.sql(
+            """SELECT * FROM VALUES
+               (1, TIMESTAMP_NTZ'2021-03-14 02:30:00'),
+               (2, TIMESTAMP_NTZ'2021-03-14 03:00:00')
+               AS t(pid, ts)"""
+        )
+        ivs = spark.sql(
+            """SELECT * FROM VALUES
+               (10, TIMESTAMP_NTZ'2021-03-14 02:00:00',
+                    TIMESTAMP_NTZ'2021-03-14 02:59:00'),
+               (20, TIMESTAMP_NTZ'2021-03-14 02:45:00',
+                    TIMESTAMP_NTZ'2021-03-14 03:40:00')
+               AS t(iid, lo, hi)"""
+        )
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join_bucketed(
+                pts, ivs, pts["ts"], ivs["lo"], ivs["hi"],
+                bucket_seconds=600,
+            ).collect()
+        }
+        assert got == {(1, 10), (2, 20)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
