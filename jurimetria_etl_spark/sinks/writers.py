@@ -197,3 +197,86 @@ def write_range_clustered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def z_value(cols: list[str], bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of pre-scaled non-negative integer
+    columns: bit b of column i lands at output bit ``b*len(cols)+i``.
+    Sorting by this single value gives multi-dimensional locality — the
+    key for ``write_range_clustered`` when MORE THAN ONE column needs
+    file-skipping (a lexicographic sort only bounds the leading column).
+
+    Callers scale each column to ``[0, 2^bits)`` first (see
+    ``write_zordered`` for min/max scaling); 16 bits × up to 4 columns
+    stays inside a signed 64-bit value.
+    """
+    n = len(cols)
+    terms = [
+        F.shiftleft(
+            F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1)),
+            b * n + i,
+        )
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Z-ordered parquet layout: min/max-scale each clustering column to
+    ``bits``-bit integer rank space (one tiny bounded agg for the bounds),
+    interleave with ``z_value``, then range-cluster on the Z value.  Every
+    output file covers a compact HYPER-RECTANGLE-ish region, so parquet
+    footer min/max stats skip files for range predicates on ANY of the
+    clustered columns — the multi-dimensional generalization of
+    ``write_range_clustered`` (which bounds only its leading sort key).
+
+    The scaling bounds collect is 2×len(cols) scalars — bounded driver
+    work, same policy as IVF seeds.  At 100 TB this is one range shuffle
+    at write time, amortized over every pruned read after it.
+    """
+    aggs = []
+    for c in zorder_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    bounds = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    scaled = df
+    names = []
+    for c in zorder_cols:
+        lo, hi = bounds[f"__min_{c}"], bounds[f"__max_{c}"]
+        span = (hi - lo) or 1.0
+        names.append(f"__z_{c}")
+        scaled = scaled.withColumn(
+            f"__z_{c}",
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * F.lit(top + 1)
+                ).cast("long"),
+            ),
+        )
+    zed = scaled.withColumn("__z", z_value(names, bits)).drop(*names)
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        zed.repartitionByRange(parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )

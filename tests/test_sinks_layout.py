@@ -132,3 +132,54 @@ def test_range_clustered_files_are_tight(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 10_000
     assert back.agg(F.sum("k")).first()[0] == df.agg(F.sum("k")).first()[0]
+
+
+def test_zordered_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-order must give every file a compact region in BOTH clustered
+    columns — unlike a lexicographic sort, which leaves the second
+    column's per-file range at full width."""
+    import pyarrow.parquet as pq
+
+    from jurimetria_etl_spark.sinks.writers import (
+        write_range_clustered,
+        write_zordered,
+    )
+
+    # 64×64 grid, row-major ids so neither column is correlated with id
+    df = spark.range(4096).selectExpr(
+        "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y"
+    )
+
+    def file_ranges(path, col):
+        spans = []
+        for f in sorted(Path(path).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    zpath = str(tmp_path / "zord")
+    write_zordered(df, zpath, ["x", "y"], bits=6, n_files=16)
+    lpath = str(tmp_path / "linear")
+    write_range_clustered(df, lpath, ["x"], n_files=16)
+
+    # z-order: each of 16 files covers ~1/16 of the curve → both dims
+    # bounded well below full width (64); linear sort on x leaves y at
+    # full width in every file
+    assert max(file_ranges(zpath, "x")) <= 32
+    assert max(file_ranges(zpath, "y")) <= 32
+    assert max(file_ranges(lpath, "y")) >= 60
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4096
+    assert back.agg(F.sum("x"), F.sum("y")).first() == df.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
