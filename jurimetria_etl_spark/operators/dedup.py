@@ -554,7 +554,7 @@ def near_dup_clusters(
     # The pair frame's lineage is typically the LSH join + jaccard verify
     # — the costliest job in a dedup pipeline — and BOTH paths run two
     # actions over it (count, then collect / edge materialization).
-    # Persist across them; evicted lazily if memory is tight.
+    # Persist across them, release once the second action has consumed it.
     pairs = pairs.persist()
     n_pairs = pairs.count()
     if n_pairs <= max_driver_pairs:
@@ -568,7 +568,9 @@ def near_dup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in pairs.select(left_col, right_col).collect():
+        collected = pairs.select(left_col, right_col).collect()
+        pairs.unpersist()
+        for row in collected:
             a, b = row[0], row[1]
             if a not in parent:
                 parent[a] = a
@@ -599,6 +601,7 @@ def near_dup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    pairs.unpersist()  # edges are materialized; the pair cache is done
     labels = (
         edges.select(F.col("__src").alias("__id"))
         .distinct()
@@ -768,8 +771,14 @@ def minhash_dedup_incremental(
     s_bands = store.select(
         F.col(id_col).alias("__sid"), F.explode("bands").alias("b")
     ).select("__sid", "b.band", "b.bkey")
+    # __bid != __sid: a store row with the SAME id is the same document
+    # (ids are globally unique across batches — they are the dedup
+    # survivor key), not a near-duplicate.  This also makes sink retries
+    # safe: a batch replayed after its signatures were stored must not
+    # drop its own docs via jaccard-1.0 self-matches.
     cross_cand = (
         b_bands.join(s_bands, ["band", "bkey"])
+        .where(F.col("__bid") != F.col("__sid"))
         .select("__bid", "__sid")
         .distinct()
     )

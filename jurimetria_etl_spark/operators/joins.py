@@ -182,7 +182,28 @@ def range_join_bucketed(
         except Exception:
             return False
 
-    def _bucket(frame: DataFrame, c: Column):
+    # All three timestamp columns must share ONE semantics: a mixed
+    # NTZ/TIMESTAMP join would need a session-tz conversion on one side,
+    # which is not monotonic across DST transitions — per-side mappings
+    # would silently block valid pairs at the bucket equi-join.  Refuse
+    # and let the caller cast explicitly (the exact predicate's implicit
+    # mixed-type cast is equally tz-fragile, so this surfaces a real
+    # modeling problem, not a library limitation).
+    ntz_flags = {
+        _is_ntz(points, point_ts),
+        _is_ntz(intervals, lo),
+        _is_ntz(intervals, hi),
+    }
+    if len(ntz_flags) > 1:
+        raise ValueError(
+            "range_join_bucketed: point_ts/lo/hi mix TIMESTAMP and "
+            "TIMESTAMP_NTZ — cast all three to one type first (a "
+            "session-tz conversion is not monotonic across DST, so no "
+            "consistent bucket mapping exists for mixed inputs)."
+        )
+    is_ntz = ntz_flags.pop()
+
+    def _bucket(c: Column):
         # TIMESTAMP: epoch micros directly.  TIMESTAMP_NTZ (driver parquet
         # stores timestamp[us] without tz metadata): unix_micros rejects
         # it, and casting to TIMESTAMP would interpret the wall time in
@@ -191,7 +212,7 @@ def range_join_bucketed(
         # interval's exploded range.  Instead derive a pure WALL-CLOCK
         # epoch (days × 86 400 + intraday seconds, plus sub-second) —
         # monotonic in the NTZ value by construction, session-tz-free.
-        if not _is_ntz(frame, c):
+        if not is_ntz:
             return F.floor(F.unix_micros(c) / us)
         days = F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date"))
         secs = (
@@ -201,12 +222,9 @@ def range_join_bucketed(
         wall_us = (days.cast("long") * 86_400 + secs) * 1_000_000 + sub_us
         return F.floor(wall_us / us)
 
-    pts = points.withColumn("__rjb_p", _bucket(points, point_ts))
+    pts = points.withColumn("__rjb_p", _bucket(point_ts))
     ivs = intervals.withColumn(
-        "__rjb_i",
-        F.explode(
-            F.sequence(_bucket(intervals, lo), _bucket(intervals, hi))
-        ),
+        "__rjb_i", F.explode(F.sequence(_bucket(lo), _bucket(hi)))
     )
     cond = (
         (pts["__rjb_p"] == ivs["__rjb_i"])

@@ -45,6 +45,8 @@ def profile_columns(
     """
     from pyspark.sql import functions as F
 
+    from pyspark.sql.types import MapType
+
     names = cols or df.columns
     total = F.count(F.lit(1))
     aggs = [total.alias("__n")]
@@ -52,12 +54,21 @@ def profile_columns(
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"),
             F.approx_count_distinct(c, rsd=distinct_rsd).alias(f"__dist_{c}"),
+        ]
+        if isinstance(df.schema[c].dataType, MapType):
+            # maps have no ordering — min/max would be an AnalysisException
+            aggs += [
+                F.lit(None).cast("string").alias(f"__min_{c}"),
+                F.lit(None).cast("string").alias(f"__max_{c}"),
+            ]
+        else:
             # aggregate on the NATIVE type, render as string afterwards —
             # min(cast-to-string) would give lexicographic (wrong) extrema
             # for numeric/timestamp columns
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
-        ]
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
     one = df.agg(*aggs)
     rows = F.array(
         *[

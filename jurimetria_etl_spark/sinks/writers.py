@@ -207,10 +207,19 @@ def z_value(cols: list[str], bits: int = 16) -> "F.Column":
     file-skipping (a lexicographic sort only bounds the leading column).
 
     Callers scale each column to ``[0, 2^bits)`` first (see
-    ``write_zordered`` for min/max scaling); 16 bits × up to 4 columns
-    stays inside a signed 64-bit value.
+    ``write_zordered`` for min/max scaling); ``bits × len(cols)`` must
+    stay ≤ 63 so no bit reaches the long SIGN bit — a 64th bit would make
+    the top half of the last dimension sort NEGATIVE, splitting the
+    Z-curve at the wrong point (16 bits supports 3 columns; use 15 bits
+    for 4).
     """
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"z_value: bits*len(cols) = {bits * n} exceeds 63 — bit "
+            f"{bits * n - 1} would land on the long sign bit and invert "
+            f"the curve order; lower bits (e.g. {63 // n}) or drop a column."
+        )
     terms = [
         F.shiftleft(
             F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1)),
@@ -257,17 +266,22 @@ def write_zordered(
     names = []
     for c in zorder_cols:
         lo, hi = bounds[f"__min_{c}"], bounds[f"__max_{c}"]
+        if lo is None or hi is None:  # empty input / all-null column
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         names.append(f"__z_{c}")
         scaled = scaled.withColumn(
             f"__z_{c}",
-            F.least(
-                F.lit(top),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(lo))
-                    / F.lit(span)
-                    * F.lit(top + 1)
-                ).cast("long"),
+            F.coalesce(
+                F.least(
+                    F.lit(top),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(span)
+                        * F.lit(top + 1)
+                    ).cast("long"),
+                ),
+                F.lit(0),  # null values cluster at the curve origin
             ),
         )
     zed = scaled.withColumn("__z", z_value(names, bits)).drop(*names)

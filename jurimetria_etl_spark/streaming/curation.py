@@ -53,7 +53,9 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     Any other read failure must propagate and fail the micro-batch so the
     checkpoint retries it — swallowing a transient FS error here would
     silently skip the dedup pass and append duplicates forever."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    # the PUBLIC base class — catches both classic (captured) and Spark
+    # Connect implementations
+    from pyspark.errors import AnalysisException
 
     try:
         df = spark.read.schema(schema).parquet(path)
@@ -116,7 +118,10 @@ def curate_document_stream(
         # before reaching any later sink, so every earlier sink must
         # already hold it.  (fp-before-sig would leave a crash window
         # whose retry permanently omits signatures: corpus rows whose
-        # near-dups are never detected again.)
+        # near-dups are never detected again.)  A crash between sig and
+        # fp appends is safe because minhash_dedup_incremental excludes
+        # same-id store matches: the replayed doc is not dropped by its
+        # own stored signature, so the fp append eventually lands.
         survivors.write.mode("append").parquet(corpus_dir)
         build_near_dup_store(survivors, id_col, text_col, k, bands, n).write.mode(
             "append"

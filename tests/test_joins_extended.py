@@ -207,3 +207,22 @@ def test_range_join_ntz_correct_under_dst_session_tz(spark):
         assert got == {(1, 10), (2, 20)}
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_range_join_refuses_mixed_timestamp_types(spark):
+    """Mixed NTZ/TIMESTAMP sides have no consistent bucket mapping
+    (session-tz conversion is not DST-monotonic) — must refuse, not
+    silently drop pairs."""
+    import pytest as _pytest
+
+    from jurimetria_etl_spark.operators.joins import range_join_bucketed
+
+    pts = spark.sql(
+        "SELECT 1 AS pid, TIMESTAMP_NTZ'2021-06-01 10:15:00' AS ts"
+    )
+    ivs = spark.sql(
+        "SELECT 10 AS iid, TIMESTAMP'2021-06-01 10:00:00' AS lo, "
+        "TIMESTAMP'2021-06-01 10:30:00' AS hi"
+    )
+    with _pytest.raises(ValueError, match="mix TIMESTAMP"):
+        range_join_bucketed(pts, ivs, pts["ts"], ivs["lo"], ivs["hi"])
