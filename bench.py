@@ -52,6 +52,9 @@ HEADLINE = [
     "t04_returned_items",
     "t06_late_shipments",
     "t07_promo_revenue",
+    "t08_small_qty_revenue",
+    "t09_promotion_suppliers",
+    "t10_idle_rich_customers",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x09_text_profile",

@@ -1090,11 +1090,8 @@ FROM th
 # x13_cosine_join instead).
 EXTENSIONS: dict[str, Q] = {
     "x01_dedup_docs": Q(x01_dedup_docs, X01_SQL),
-    "x03_minhash": Q(x03_minhash, _x03_sql(8)),
-    "x04_minhash_candidates": Q(x04_minhash_candidates, _x04_sql(8, 4)),
     "x05_minhash_near_dups": Q(x05_minhash_near_dups, X05_SQL),
     "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),
-    "x07_simhash": Q(x07_simhash, _x07_sql(48)),
     "x08_simhash_near_dups": Q(x08_simhash_near_dups, _x08_sql(48, 12, 3)),
     "x09_text_profile": Q(x09_text_profile, X09_PROFILE_SQL),
     "x12_cosine_pairs": Q(x12_cosine_pairs, X12_SQL),
@@ -1110,4 +1107,14 @@ EXTENSIONS: dict[str, Q] = {
     # its pytest-oracle row in test_deregistered_queries.py).
     "x23_pii_scrub": Q(x23_pii_scrub, X23_SQL),
     "x25_decontaminate": Q(x25_decontaminate, X25_SQL),
+}
+
+# Round-5 rotation: the minhash/simhash intermediate stages rotated out to
+# admit the correlated-subquery composites t08–t10; their composites
+# (x05/x08) stay registered, and the standalone forms keep the same DuckDB
+# comparison in tests/test_deregistered_queries.py.
+EXT_DEREGISTERED: dict[str, Q] = {
+    "x03_minhash": Q(x03_minhash, _x03_sql(8)),
+    "x04_minhash_candidates": Q(x04_minhash_candidates, _x04_sql(8, 4)),
+    "x07_simhash": Q(x07_simhash, _x07_sql(48)),
 }

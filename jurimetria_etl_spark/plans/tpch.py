@@ -351,12 +351,202 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-0
 """
 
 
+def t08_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a scalar
+    subquery correlated on the join key (``l_quantity < 0.2 * avg(l_quantity)
+    over the same part``).  The fixture carries no p_container, so the part
+    filter is brand-only.
+
+    Spark-first decorrelation: the correlated avg is a per-partkey aggregate
+    of lineitem, computed once as a tiny (≤ #parts rows) frame and broadcast
+    back onto the pruned fact — the classic rewrite Catalyst itself applies
+    to scalar subqueries.  The fact is pruned FIRST by the broadcast part
+    filter, so at 100 TB both the stats pass and the probe pass scan only the
+    brand's slice (parquet PushedFilter on nothing, but partkey-pruned by the
+    broadcast hash join before any shuffle; the only exchange is the ≤ #parts
+    partial agg).
+
+    Determinism: the threshold compare is kept in EXACT arithmetic —
+    ``5·qty·cnt < sum(qty)`` (decimals × bigint) instead of
+    ``qty < 0.2·sum/cnt`` — so no engine ever divides doubles at the
+    boundary.  The oracle states the same predicate as two correlated scalar
+    subqueries, which is the Q17 surface form DuckDB decorrelates itself.
+    """
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    li = _fact(spark, sf_dir, "lineitem")
+    pruned = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    stats = pruned.groupBy("l_partkey").agg(
+        F.sum(qty_dec).alias("sum_q"), F.count("*").alias("cnt_q")
+    )
+    return (
+        pruned.join(F.broadcast(stats), "l_partkey")
+        .where(F.lit(5) * qty_dec * F.col("cnt_q") < F.col("sum_q"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast(
+                    "double"
+                )
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+T08_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND 5 * CAST(l_quantity AS DECIMAL(18,2))
+        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+         WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def t09_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers worth promoting — a nested-IN chain
+    (supplier IN ⟨pairs over lineitem WHERE part IN ⟨name-filtered part⟩⟩)
+    with a correlated quantity threshold.  The fixture has no partsupp, so
+    the pair relation is lineitem itself and "availqty > ½·shipped-in-period"
+    becomes "1996 shipments are the majority of the pair's total shipments".
+
+    Spark-first: each IN level is a LEFT SEMI join — part-name filter
+    broadcast onto lineitem, the HAVING threshold as a post-aggregate filter
+    on the (partkey, suppkey) rollup, then a semi join into supplier (semi
+    ⇒ no duplicate suppliers, no DISTINCT needed).  Nation rides a broadcast.
+    At 100 TB the only shuffle is the pair rollup, which partial-aggregates
+    map-side first.
+
+    Determinism: the majority test is exact decimal arithmetic
+    (``2·sum₉₆ > sum_total``), never a 0.5·double compare.
+    """
+    nations = ["NATION_3", "NATION_8", "NATION_13", "NATION_18", "NATION_21"]
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    li = _fact(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    pairs = (
+        li.join(
+            F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in96, qty_dec).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("q96"),
+            F.sum(qty_dec).alias("q_all"),
+        )
+        .where(F.lit(2) * F.col("q96") > F.col("q_all"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations))
+    return (
+        supp.join(pairs, supp.s_suppkey == pairs.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+T09_SQL = """
+SELECT s_suppkey, s_name, n_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13', 'NATION_18', 'NATION_21')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+    GROUP BY l_partkey, l_suppkey
+    HAVING 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1997-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END)
+        > SUM(CAST(l_quantity AS DECIMAL(18,2))))
+ORDER BY s_suppkey
+"""
+
+
+def t10_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balances and no urgent
+    orders — a global (uncorrelated) scalar-avg subquery over a segment slice
+    plus a NOT EXISTS anti-correlation on orders.  The fixture has no
+    c_phone, so the country-code grouping rides c_mktsegment, and every
+    fixture customer has *some* order, so Q22's "no orders at all" becomes
+    "no 1-URGENT orders" to keep the anti-join population non-vacuous
+    (12/124/1171 customers at sf0.001/0.01/0.1).
+
+    Spark-first: NOT EXISTS is a LEFT ANTI join on the order keys; the
+    scalar average is a 1-row aggregate attached via broadcast cross join
+    (the plan's only nested loop is that 1-row attach — the same intended
+    shape as x14's probe attach).  At 100 TB: customer anti-joins a
+    key-projected orders scan; the threshold agg reads the same pruned
+    customer slice once.
+
+    Determinism: ``bal > avg`` is evaluated as exact
+    ``bal·cnt > sum`` (cnt > 0, so the multiply preserves order);
+    the final balance sum is exact-decimal → double, rounded.
+    """
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment").isin(segs))
+    glob = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_dec).alias("sum_bal"), F.count("*").alias("cnt_bal")
+    )
+    orders_keys = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders_keys, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(glob))
+        .where(bal_dec * F.col("cnt_bal") > F.col("sum_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(bal_dec).cast("double"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+T10_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS totacctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+  AND CAST(c_acctbal AS DECIMAL(18,2))
+        * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0
+           AND c2.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+         WHERE c2.c_acctbal > 0
+         AND c2.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 TPCH: dict[str, Q] = {
     "t01_pricing_summary": Q(t01_pricing_summary, T01_SQL),
     "t02_shipping_priority": Q(t02_shipping_priority, T02_SQL),
     "t03_local_supplier_volume": Q(t03_local_supplier_volume, T03_SQL),
     "t04_returned_items": Q(t04_returned_items, T04_SQL),
     "t05_order_priority": Q(t05_order_priority, T05_SQL),
+    "t08_small_qty_revenue": Q(t08_small_qty_revenue, T08_SQL),
+    "t09_promotion_suppliers": Q(t09_promotion_suppliers, T09_SQL),
+    "t10_idle_rich_customers": Q(t10_idle_rich_customers, T10_SQL),
 }
 
 # Outside the driver's 50-entry window: pytest-oracle + bench coverage.

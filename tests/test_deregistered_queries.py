@@ -78,6 +78,11 @@ PAIRS = [
     # never registered (window full): Q12/Q14-shape composites
     (T.t06_late_shipments, T.T06_SQL),
     (T.t07_promo_revenue, T.T07_SQL),
+    # rotated OUT in round 5 (to admit the correlated-subquery composites
+    # t08-t10); x05/x08 compose these stages and stay in the registry:
+    (E.x03_minhash, E.EXT_DEREGISTERED["x03_minhash"].oracle),
+    (E.x04_minhash_candidates, E.EXT_DEREGISTERED["x04_minhash_candidates"].oracle),
+    (E.x07_simhash, E.EXT_DEREGISTERED["x07_simhash"].oracle),
 ]
 
 
