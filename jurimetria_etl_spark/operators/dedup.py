@@ -318,7 +318,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """E2 variant — exact all-candidate n-gram Jaccard join: explode
     shingles, self-join on shingle (candidates share ≥1 shingle), count
@@ -332,9 +332,12 @@ def ngram_jaccard_pairs(
     self-join.  With a cap the reported jaccard is a LOWER bound (hot
     shingles leave the intersection count but not the set sizes), so pairs
     are never over-reported but near-threshold pairs whose overlap leans on
-    hot shingles may be missed — the standard prefix-filter trade-off.  At
-    100 TB set it (e.g. 1000); unset, the operator is exact but assumes no
-    pathological shingle.
+    hot shingles may be missed — the standard prefix-filter trade-off.
+
+    The cap DEFAULTS ON (1000): an unguarded call on natural text must not
+    detonate on one stopword-like key at scale.  Pass ``max_shingle_df=None``
+    explicitly to go exact — the reported pair set with any cap is always a
+    subset of the exact pair set (property-tested).
     """
     sh = widen_partitions(df).select(
         F.col(id_col), word_shingles(text_col, n).alias("__sh")
@@ -532,7 +535,10 @@ def near_dup_clusters(
     Two exact paths, picked by the pair count (ONE count job up front):
 
     - **Bounded union-find** when the pair graph fits
-      ``max_driver_pairs`` (default 5×10⁵ ≈ 8 MB of id pairs): collect,
+      ``max_driver_pairs`` (default 5×10⁵ pairs — fetched Arrow-batched
+      via ``toPandas``, ≈ 8 MB for integer ids and tens of MB for string
+      ids; there is no per-Row Python-object overhead on the driver, the
+      transient cost is two flat arrays plus the union-find dict): collect,
       path-compressing union-find, one createDataFrame back.  The pair
       graph of a near-dup pass is verified-duplicate EDGES — orders of
       magnitude smaller than the corpus even at 100 TB — so this is the
@@ -568,10 +574,13 @@ def near_dup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        collected = pairs.select(left_col, right_col).collect()
+        # Arrow-batched fetch: two flat columns, not 500k Row objects
+        # (a Row costs ~100+ bytes; the ~8 MB bound in the docstring is
+        # only honest with a columnar transfer).  .tolist() yields plain
+        # Python values, so id-type behavior matches the collect path.
+        pdf = pairs.select(left_col, right_col).toPandas()
         pairs.unpersist()
-        for row in collected:
-            a, b = row[0], row[1]
+        for a, b in zip(pdf[left_col].tolist(), pdf[right_col].tolist()):
             if a not in parent:
                 parent[a] = a
             if b not in parent:

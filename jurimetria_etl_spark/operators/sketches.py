@@ -255,11 +255,20 @@ def heavy_hitters_exact(
     """Exact heavy hitters (share ≥ ``min_share`` of all rows): partial
     agg → shuffle of |distinct| group rows → share filter.  The exactness
     baseline the sketch variants are tested against; right whenever the
-    distinct cardinality fits a shuffle."""
-    total = df.count()
+    distinct cardinality fits a shuffle.
+
+    The total N is derived from the SAME grouped counts (1-row broadcast
+    re-aggregate), not a separate ``df.count()`` action: one job, one pass
+    over the input (the two aggregate branches share the grouped shuffle
+    via ReuseExchange), and the share threshold is always consistent with
+    the counts even on a nondeterministic source."""
+    grouped = df.groupBy(F.col(col).alias("item")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = grouped.agg(F.sum("cnt").alias("__total"))
     return (
-        df.groupBy(F.col(col).alias("item"))
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= float(min_share) * total)
+        grouped.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= float(min_share) * F.col("__total"))
+        .drop("__total")
         .orderBy(F.col("cnt").desc(), F.col("item"))
     )

@@ -30,7 +30,12 @@ from jurimetria_etl_spark.operators.joins import enrich_municipio
 from jurimetria_etl_spark.operators.setops import union_all_by_name
 from jurimetria_etl_spark.schemas import PROCESSO_SCHEMA
 from jurimetria_etl_spark.session import get_spark
-from jurimetria_etl_spark.sinks.writers import persist, plot_horario, render_movimentos_json
+from jurimetria_etl_spark.sinks.writers import (
+    plot_horario,
+    render_movimentos_json,
+    write_csv,
+    write_parquet,
+)
 from jurimetria_etl_spark.sources.datajud import DEFAULT_TRIBUNAIS, DataJudSource
 from jurimetria_etl_spark.sources.municipios import load_municipios
 
@@ -85,7 +90,22 @@ def build_dataframe(
     return df
 
 
-def run(args: argparse.Namespace) -> dict[str, Any]:
+def run(
+    args: argparse.Namespace, source: DataJudSource | None = None
+) -> dict[str, Any]:
+    """EP1: ingest → render → artifacts.
+
+    Sink fan-out strategy: the ingest lineage executes exactly ONCE — into
+    the parquet artifact — and the count, CSV, and chart all derive from
+    re-reading that written table.  A ``.cache()`` of the full corpus would
+    serve the same purpose at fixture scale but is a memory-pressure trap
+    at 100 TB (and re-scanning freshly written local parquet is cheap);
+    test_pipeline_e2e pins that no cache/persist enters this path.  On
+    empty input the parquet dir is rolled back so the reference's K3
+    "no artifacts" contract holds (reference ``:261-263``)."""
+    import shutil
+    from pathlib import Path
+
     spark = get_spark("jurimetria-pipeline")
     df = build_dataframe(
         spark,
@@ -96,13 +116,25 @@ def run(args: argparse.Namespace) -> dict[str, Any]:
         args.ate,
         args.max_processos,
         municipios_path=args.municipios,
+        source=source,
     )
     df = render_movimentos_json(df)
-    df = df.cache()  # two sinks + a count read the same result once
-    total = df.count()
+    out = Path(args.out_dir)
+    pq_path = out / "jurimetria.parquet"
+    out.mkdir(parents=True, exist_ok=True)
+    write_parquet(df, str(pq_path), single_file=True)
+    back = spark.read.parquet(str(pq_path))
+    total = back.count()
+    if total == 0:
+        shutil.rmtree(pq_path, ignore_errors=True)
+        if not any(out.iterdir()):
+            out.rmdir()
+        print("Total de processos: 0")
+        print("Nenhum dado para persistir.")
+        return {"total": 0}
     print(f"Total de processos: {total:,}")
-    persist(df, args.out_dir)
-    plot_horario(df, f"{args.out_dir}/horario_jurimetria.jpg")
+    write_csv(back, str(out / "jurimetria.csv"), single_file=True)
+    plot_horario(back, f"{args.out_dir}/horario_jurimetria.jpg")
     return {"total": total}
 
 

@@ -137,7 +137,16 @@ def curate_corpus(
         bands=minhash_bands,
     )
     if transitive:
-        return D.dedup_keep_one_per_cluster(exact, near_pairs, id_col)
+        kept = D.dedup_keep_one_per_cluster(exact, near_pairs, id_col)
+        # The clustering's eager actions (pair count + union-find collect /
+        # label-prop rounds) have consumed the cache by the time
+        # dedup_keep_one_per_cluster returns — release it instead of
+        # pinning the deduped corpus in executor memory for the rest of
+        # the application.  The caller's final action recomputes the
+        # (narrow, single-pass) gates+fingerprint lineage once; at 100 TB
+        # that rescan is cheap, a corpus-sized resident cache is not.
+        exact.unpersist()
+        return kept
     losers = near_pairs.select(F.col("right_id").alias(id_col)).distinct()
     # No broadcast hint: on a heavily duplicated corpus the loser-id set is
     # corpus-sized — let AQE decide from the runtime size (the same policy

@@ -253,12 +253,38 @@ def write_zordered(
     The scaling bounds collect is 2×len(cols) scalars — bounded driver
     work, same policy as IVF seeds.  At 100 TB this is one range shuffle
     at write time, amortized over every pruned read after it.
+
+    Clustering columns must be numeric / date / timestamp / boolean:
+    anything else (e.g. a string) casts to NULL double, which would
+    silently coalesce every row to rank 0 in that dimension and strip the
+    layout of its pruning power for that column — refused with a
+    ``ValueError`` instead (same explicit-refusal posture as
+    ``range_join_bucketed``).
     """
+    from pyspark.sql import types as T
+
+    def rank_expr(c: str):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(
+            dt,
+            (T.NumericType, T.TimestampType, T.TimestampNTZType, T.BooleanType),
+        ):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"write_zordered: column {c!r} has non-orderable-numeric "
+            f"type {dt.simpleString()}; Z-ordering needs a numeric/"
+            "date/timestamp/boolean column (a string would cast to "
+            "NULL and silently lose all pruning power). Hash or "
+            "dictionary-encode the column first."
+        )
+
     aggs = []
     for c in zorder_cols:
         aggs += [
-            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            F.min(rank_expr(c)).alias(f"__min_{c}"),
+            F.max(rank_expr(c)).alias(f"__max_{c}"),
         ]
     bounds = df.agg(*aggs).first()
     top = (1 << bits) - 1
@@ -276,7 +302,7 @@ def write_zordered(
                 F.least(
                     F.lit(top),
                     F.floor(
-                        (F.col(c).cast("double") - F.lit(lo))
+                        (rank_expr(c) - F.lit(lo))
                         / F.lit(span)
                         * F.lit(top + 1)
                     ).cast("long"),

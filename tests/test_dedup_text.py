@@ -160,13 +160,46 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
         (4, hot + " other unrelated content words too"),
     ]
     df = _docs(spark, rows)
-    uncapped = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01)
+    uncapped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=None
+    )
     assert len(uncapped.collect()) == 6  # all pairs share the hot shingle
     capped = D.ngram_jaccard_pairs(
         df, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=3
     )
     got = sorted((r["left_id"], r["right_id"]) for r in capped.collect())
     assert got == [(1, 2)]  # only the genuinely-overlapping pair survives
+
+
+def test_ngram_jaccard_capped_is_lower_bound(spark):
+    """Property: with ANY df cap, the reported pair set is a subset of the
+    exact pair set, and every reported jaccard is ≤ the exact jaccard for
+    that pair (hot shingles only ever leave the intersection count)."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → many hot shingles
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 20))))
+        for i in range(24)
+    ]
+    df = _docs(spark, rows)
+    exact = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=None
+        ).collect()
+    }
+    for cap in (1, 3, 8):
+        capped = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=cap
+            ).collect()
+        }
+        assert set(capped) <= set(exact), f"cap={cap} reported a non-exact pair"
+        for pair, j in capped.items():
+            assert j <= exact[pair] + 1e-9, f"cap={cap} inflated {pair}"
 
 
 def test_cosine_pairs_exact_guard(spark):
