@@ -1,0 +1,93 @@
+"""Scale-bench: measure how the heavy queries' wall-clock grows when the
+data grows 10x (self-generated sf0.1 -> sf1, same generator both sides —
+tools/gen_testdata.py).
+
+For each query we run once cold (discarded: plan/codegen compile) then
+take the best of two warm runs at each scale, and report
+
+    exponent = log(t_sf1 / t_sf0.1) / log(10)
+
+Exponent ~1.0 means linear scaling (what a banded/partition-pruned plan
+should deliver); ~0 means the sf0.1 time was dominated by fixed
+scheduling/JVM floor; >1.3 flags super-linear growth the plan audit
+could not see (e.g. a candidate-pair blowup).  Results land in
+_scale/scale_results.json and are summarized in SCALE.md.
+
+Usage:
+    python tools/gen_testdata.py --sf 0.1 --out _scale/sf0.1
+    python tools/gen_testdata.py --sf 1   --out _scale/sf1
+    python tools/scale_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "q06_join_star",
+    "t01_pricing_summary",
+    "x05_minhash_near_dups",
+    "x08_simhash_near_dups",
+    "x13_cosine_join",
+    "x18_near_dup_clusters",
+    "x22_training_shards",
+]
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    def once() -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    once()  # cold: plan + codegen compile, parquet footers
+    return min(once(), once())
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = {
+        "sf0.1": os.path.join(root, "_scale", "sf0.1"),
+        "sf1": os.path.join(root, "_scale", "sf1"),
+    }
+    for d in dirs.values():
+        if not os.path.isdir(d):
+            raise SystemExit(f"missing {d}; run tools/gen_testdata.py first")
+
+    from jurimetria_etl_spark.plans.corpus import full_registry
+    from jurimetria_etl_spark.plans.extensions import BENCH_ONLY
+    from jurimetria_etl_spark.plans.tpch import TPCH_EXTRA
+    from jurimetria_etl_spark.session import get_spark
+
+    registry = {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
+    spark = get_spark("scale-bench")
+
+    results: dict[str, dict[str, float]] = {}
+    for name in HEAVY:
+        fn = registry[name].spark
+        row: dict[str, float] = {}
+        for label, d in dirs.items():
+            try:
+                row[label] = round(time_query(fn, spark, d), 3)
+            except Exception as e:  # keep measuring the rest
+                row[f"error:{label}"] = f"{type(e).__name__}: {e}"[:300]  # type: ignore[assignment]
+        if "sf0.1" in row and "sf1" in row and row["sf0.1"] > 0:
+            row["ratio_10x"] = round(row["sf1"] / row["sf0.1"], 2)
+            row["exponent"] = round(math.log(row["sf1"] / row["sf0.1"]) / math.log(10), 2)
+        results[name] = row
+        print(f"{name}: {row}", flush=True)
+
+    out = os.path.join(root, "_scale", "scale_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
