@@ -235,6 +235,30 @@ def add_lsh_signature(
     return df.withColumn(sig_col, sig)
 
 
+def suggest_lsh_planes(
+    n_rows: int, target_bucket_size: int = 200, max_planes: int = 24
+) -> int:
+    """How many hyperplanes per LSH table for a corpus of ``n_rows``.
+
+    A FIXED plane count is a silent quadratic at scale: buckets-per-table
+    is 2^planes, so expected bucket occupancy grows linearly with N and
+    candidate pairs grow as N²/2^planes — measured on the scale bench as
+    a 23× wall-clock for 10× data at n_planes=4 (SCALE.md §Scaling
+    exponents).  Scaling planes with log2(N / target_bucket_size) holds
+    occupancy — and therefore candidates-per-row — constant, restoring
+    ~linear scaling at the cost of a recall dial: each extra plane halves
+    the per-table collision probability for a given similarity, which is
+    what ``n_tables`` (OR over tables) buys back.  Raise
+    ``target_bucket_size`` or ``n_tables`` if recall matters more than
+    candidate volume; the floor of 1 plane keeps tiny corpora exact-ish.
+    """
+    import math as _math
+
+    if n_rows <= target_bucket_size:
+        return 1
+    return min(max_planes, max(1, _math.ceil(_math.log2(n_rows / target_bucket_size))))
+
+
 def lsh_banded_signatures(
     df: DataFrame,
     dim: int,
@@ -386,7 +410,12 @@ def cosine_similarity_join(
     """All-pairs similarity join above a cosine threshold: candidates =
     pairs colliding in ≥1 LSH table (shuffle keyed on (table, bucket)),
     then exact re-score.  At scale this is the difference between O(N²)
-    and O(N²/2^planes · L).
+    and O(N²/2^planes · L) — which is why ``n_planes`` must GROW with the
+    corpus: at a fixed plane count the N²/2^planes term is still
+    quadratic (measured: 17× wall-clock for 10× data at n_planes=4,
+    SCALE.md §Scaling exponents).  Size it with
+    ``suggest_lsh_planes(n_rows)`` to hold bucket occupancy — and
+    candidates-per-row — constant.
 
     ``left_banded``/``right_banded`` accept a precomputed
     ``lsh_banded_signatures`` frame (persisted at ingest / cached per

@@ -160,10 +160,22 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
     }))
 
-    # embeddings: 10 gaussian clusters in 64-d
+    # embeddings: 10 MODERATELY-overlapping gaussian clusters in 64-d
+    # (sigma=2.0 -> same-cluster cosine ~0.2, far below the 0.45 join
+    # threshold, so cluster co-membership alone produces no pairs), plus
+    # ~1% planted near-dup twins (cos ~0.99).  This mirrors real corpora:
+    # each vector has O(1) true near-dups, so a threshold similarity
+    # join's OUTPUT scales linearly with N — a tight-cluster fixture
+    # would make the output itself quadratic and no engine could scale it.
     centroids = rng.normal(0, 1.0, (10, 64))
     labels = rng.integers(0, 10, n_emb)
-    vecs = (centroids[labels] + rng.normal(0, 0.35, (n_emb, 64))).astype(np.float32)
+    vecs = (centroids[labels] + rng.normal(0, 2.0, (n_emb, 64))).astype(np.float32)
+    n_twins = max(n_emb // 100, 4)
+    twin_src = rng.choice(n_emb - n_twins, n_twins, replace=False)
+    vecs[n_emb - n_twins :] = vecs[twin_src] + rng.normal(
+        0, 0.05, (n_twins, 64)
+    ).astype(np.float32)
+    labels[n_emb - n_twins :] = labels[twin_src]
     _write(out, "embeddings", pa.table({
         "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
