@@ -55,6 +55,9 @@ HEADLINE = [
     "t08_small_qty_revenue",
     "t09_promotion_suppliers",
     "t10_idle_rich_customers",
+    "t11_big_orders",
+    "t12_waiting_suppliers",
+    "t13_min_cost_supplier",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x09_text_profile",

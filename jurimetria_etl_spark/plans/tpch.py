@@ -538,6 +538,226 @@ ORDER BY c_mktsegment
 """
 
 
+def t11_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — an IN over a grouped
+    HAVING subquery (orders whose lineitem quantity rollup tops 250),
+    re-joined to customer and order detail, top-100 by order value.
+
+    Spark-first: the subquery's per-order rollup is computed ONCE and its
+    sum carried through (the classic Q18 surface re-aggregates the same
+    rollup after the IN — Catalyst-style decorrelation makes that second
+    pass free by reusing the first).  The rollup is the only data-sized
+    shuffle; the HAVING-filtered tail (~1.5% of orders) then joins orders
+    and broadcast-joins customer, ending in TakeOrderedAndProject.  At
+    100 TB: one lineitem shuffle keyed on l_orderkey, everything after it
+    tail-sized.
+
+    Determinism: the 250 threshold compares an exact decimal sum; top-k
+    orders by (o_totalprice DESC, o_orderkey) — the orderkey tiebreak
+    covers equal prices.
+    """
+    li = _fact(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_dec).alias("sum_q"))
+        .where(F.col("sum_q") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    # No broadcast hint on either side: customer is data-sized at 100 TB
+    # and the HAVING tail (~1.5% of orders) can exceed broadcast size too —
+    # AQE converts this keyed join to broadcast exactly when the measured
+    # tail is small enough, which is the right call at every scale.
+    tail = orders.join(big, orders.o_orderkey == big.l_orderkey)
+    return (
+        cust.join(tail, tail.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+T11_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def t12_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier orders —
+    an EXISTS (another supplier shipped in the same order) combined with a
+    NOT EXISTS (no OTHER supplier shipped late in it).  The fixture has no
+    l_receiptdate/l_commitdate, so "late" is l_shipdate > o_orderdate + 60
+    days; the nation filter keeps Q21's shape (a 4-nation slice standing in
+    for the single-nation filter, sized so sf0.001 still yields rows).
+
+    Spark-first decorrelation: both correlated predicates collapse into ONE
+    per-order aggregate over the order-joined lineitem — n_suppliers
+    (EXISTS ⇔ ≥2) and n_late_suppliers (NOT EXISTS other late ⇔ exactly 1,
+    given the probe row itself is late).  The orders⨝lineitem spine is the
+    only data-sized shuffle; the per-order stats join back onto the late
+    rows on the SAME order key, so the exchange it introduced is reused
+    rather than re-shuffling the spine.  numwait counts late LINES (the
+    Q21 COUNT(*) semantics), not distinct orders.
+
+    Determinism: pure integer counts and timestamp compares; final order by
+    (numwait DESC, s_name) — s_name is unique per supplier.
+    """
+    li = _fact(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    stats = lo.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    blamed = (
+        lo.where(late)
+        .join(
+            stats,
+            (F.col("l_orderkey") == F.col("__ok"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey").isin(5, 6, 7, 8)
+    )
+    return (
+        supp.join(F.broadcast(blamed), supp.s_suppkey == blamed.l_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+T12_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE s_nationkey IN (5, 6, 7, 8)
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def t13_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier per qualifying part — a
+    correlated MIN subquery (offer price = the minimum over all offers for
+    that part within the region).  The fixture has no partsupp, so lineitem
+    rows stand in as the part⨝supplier offer relation with l_extendedprice
+    as the offer price; parts filter to PROMO/size≤10, suppliers to region
+    AMERICA (nation keys ≡ 1 mod 5).
+
+    Spark-first decorrelation: the correlated MIN is a per-partkey
+    aggregate of the region-filtered offers, computed once (part-tail
+    sized after the broadcast part filter) and joined back; rows where the
+    offer price equals the per-part min survive — ties keep ALL minimal
+    suppliers, exactly like Q2.  Supplier, nation, region and the filtered
+    part list all ride broadcasts; the per-part MIN agg is the only
+    shuffle, and it happens AFTER the offers are pruned by both broadcast
+    filters.
+
+    Determinism: the price equality compares parquet-stored doubles with
+    no arithmetic on either engine — bit-exact; final order by
+    (s_acctbal DESC, p_partkey, s_suppkey) fully tiebroken.
+    """
+    region_nations = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(region_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    li = _fact(spark, sf_dir, "lineitem")
+    offers = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+    )
+    mins = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("l_extendedprice").alias("__min_price")
+    )
+    return (
+        offers.join(
+            mins,
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("l_extendedprice") == F.col("__min_price")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("l_extendedprice").alias("offer_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+T13_SQL = """
+SELECT s_acctbal, s_name, n_name, p_partkey, l_extendedprice AS offer_price
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND p_size <= 10 AND r_name = 'AMERICA'
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'AMERICA')
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
 TPCH: dict[str, Q] = {
     "t01_pricing_summary": Q(t01_pricing_summary, T01_SQL),
     "t02_shipping_priority": Q(t02_shipping_priority, T02_SQL),
@@ -547,6 +767,9 @@ TPCH: dict[str, Q] = {
     "t08_small_qty_revenue": Q(t08_small_qty_revenue, T08_SQL),
     "t09_promotion_suppliers": Q(t09_promotion_suppliers, T09_SQL),
     "t10_idle_rich_customers": Q(t10_idle_rich_customers, T10_SQL),
+    "t11_big_orders": Q(t11_big_orders, T11_SQL),
+    "t12_waiting_suppliers": Q(t12_waiting_suppliers, T12_SQL),
+    "t13_min_cost_supplier": Q(t13_min_cost_supplier, T13_SQL),
 }
 
 # Outside the driver's 50-entry window: pytest-oracle + bench coverage.

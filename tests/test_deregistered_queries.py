@@ -83,6 +83,12 @@ PAIRS = [
     (E.x03_minhash, E.EXT_DEREGISTERED["x03_minhash"].oracle),
     (E.x04_minhash_candidates, E.EXT_DEREGISTERED["x04_minhash_candidates"].oracle),
     (E.x07_simhash, E.EXT_DEREGISTERED["x07_simhash"].oracle),
+    # rotated OUT mid-round-5 (to admit the t11-t13 nested-subquery
+    # composites): q18's string fns are composed by x09/x23, q25 tumbling
+    # is q33 sliding's step=size case, q29 salted ≡ plain inner join:
+    (C.q18_string_fns, C.Q18_SQL),
+    (C.q25_window_tumbling, C.Q25_SQL),
+    (C.q29_salted_join, C.Q29_SQL),
 ]
 
 
