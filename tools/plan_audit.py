@@ -44,6 +44,17 @@ AUDITED = [
     ),
     ("t06_late_shipments", "one fact-fact equi-join; partial agg"),
     ("t07_promo_revenue", "part broadcast; shipdate PushedFilter"),
+    ("t11_big_orders", "one rollup shuffle; HAVING tail joins un-hinted (AQE)"),
+    (
+        "t12_waiting_suppliers",
+        "EXISTS/NOT-EXISTS as one per-order agg; stats rejoin reuses the "
+        "order-key exchange",
+    ),
+    (
+        "t13_min_cost_supplier",
+        "correlated MIN as per-part agg over twice-broadcast-pruned "
+        "offers; no cartesian",
+    ),
 ]
 
 
