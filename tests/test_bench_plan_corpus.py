@@ -59,7 +59,7 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "t09_promotion_suppliers": (0, 0, 6, 3),
     "t10_idle_rich_customers": (1, 0, 5, 1),  # 1-row global-avg attach
     "t11_big_orders": (0, 0, 4, 2),
-    "t12_waiting_suppliers": (0, 0, 9, 3),
+    "t12_waiting_suppliers": (0, 0, 10, 3),
     "t13_min_cost_supplier": (0, 0, 13, 8),
     "x05_minhash_near_dups": (0, 0, 10, 3),
     "x08_simhash_near_dups": (0, 0, 4, 1),
