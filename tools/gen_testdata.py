@@ -41,13 +41,14 @@ VOCAB = (
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-BRANDS = [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
-TYPES = [
-    f"{a} {b} {c}"
-    for a in ("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO")
-    for b in ("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
-    for c in ("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")
-]
+# part column value shapes mirror the driver fixture (single-word types,
+# Brand#1..25, "adjective noun" names) so the t-series part filters
+# (p_type='PROMO', p_brand='Brand#4', p_name LIKE 'blue%') select
+# comparable slices on generated data
+BRANDS = [f"Brand#{i}" for i in range(1, 26)]
+TYPES = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+ADJS = ["small", "red", "blue", "green", "large", "shiny", "dark", "light"]
+NOUNS = ["ring", "widget", "bolt", "gear", "plate", "cap", "rod", "pin"]
 EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
 LANGS = ["en", "pt", "es", "zh", "de"]
 
@@ -101,7 +102,10 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     }))
     _write(out, "part", pa.table({
         "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
-        "p_name": [f"part {i} {VOCAB[i % len(VOCAB)]}" for i in range(n_part)],
+        "p_name": [
+            f"{ADJS[i % len(ADJS)]} {NOUNS[(i // len(ADJS)) % len(NOUNS)]}"
+            for i in range(n_part)
+        ],
         "p_brand": pa.array(np.array(BRANDS)[rng.integers(0, len(BRANDS), n_part)]),
         "p_type": pa.array(np.array(TYPES)[rng.integers(0, len(TYPES), n_part)]),
         "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),

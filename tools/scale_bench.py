@@ -32,6 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HEAVY = [
     "q06_join_star",
     "t01_pricing_summary",
+    "t08_small_qty_revenue",
+    "t11_big_orders",
+    "t12_waiting_suppliers",
+    "t13_min_cost_supplier",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x13_cosine_join",
