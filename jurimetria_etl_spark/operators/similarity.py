@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from jurimetria_etl_spark.operators.dedup import widen_partitions
@@ -342,6 +342,106 @@ def lsh_bucket_topk(
         .select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    left_banded: DataFrame | None = None,
+    right_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate k-NN JOIN: the top-``k`` cosine neighbors in ``right``
+    for EVERY row of ``left`` — the batched form of ``lsh_bucket_topk``
+    and the primitive behind SemDeDup-style semantic dedup, kNN-graph
+    construction, and cross-dataset contamination checks.
+
+    Output: (left_id, right_id, cos_sim, rank), rank 1..k per left id.
+
+    Plan: banded LSH signatures both sides (narrow; pass precomputed
+    frames via ``left_banded``/``right_banded`` to amortize at ingest) →
+    equi-join on (table, bucket) → distinct id pairs → exact re-score
+    with per-vector norms staged once → per-left-id top-k via a
+    ``row_number`` window over the CANDIDATE frame only (≈ occupancy
+    rows per left id, never the corpus).  Self-join (``left is right``)
+    excludes the identity pair but keeps both (a,b) and (b,a) — each row
+    wants its own neighbor list.
+
+    ``n_planes=None`` sizes the banding from the right-side row count via
+    ``suggest_lsh_planes`` (costs one count job): fixed plane counts go
+    quadratic at scale (SCALE.md §Scaling exponents).  Recall is tuned by
+    ``n_tables`` — a neighbor is found iff it collides in ≥1 table; a
+    left row with fewer than k collisions yields fewer than k rows
+    (approximate contract, recall floor pinned in tests).
+
+    At 100 TB: both shuffles are keyed — (t, bk) for candidates, left_id
+    for the window — and both move id/scalar rows only.  The vectors ride
+    exactly two id-keyed joins.  Cited vs reference: no counterpart (the
+    reference has no vector ops at all); extends E3 of SURVEY §2.12.
+    """
+    if n_planes is None:
+        n_planes = suggest_lsh_planes(right.count())
+    self_join = left is right
+
+    def banded(df: DataFrame, pre: DataFrame | None, side: str) -> DataFrame:
+        src = (
+            pre
+            if pre is not None
+            else lsh_banded_signatures(
+                df, dim, n_planes, n_tables, seed, id_col, vec_col
+            )
+        )
+        return src.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col("t").alias(f"__{side}_t"),
+            F.col("bk").alias(f"__{side}_bk"),
+        )
+
+    lsig = banded(left, left_banded, "left")
+    rsig = banded(
+        right if not self_join else left,
+        right_banded if not self_join else left_banded,
+        "right",
+    )
+    cond = (F.col("__left_t") == F.col("__right_t")) & (
+        F.col("__left_bk") == F.col("__right_bk")
+    )
+    if self_join:
+        cond = cond & (F.col("left_id") != F.col("right_id"))
+    pairs = (
+        lsig.join(rsig, cond)
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    lvec = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("__lv"),
+        _norm(F.col(vec_col)).alias("__ln"),
+    )
+    rvec = right.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("__rv"),
+        _norm(F.col(vec_col)).alias("__rn"),
+    )
+    sim = _dot(F.col("__lv"), F.col("__rv")) / (F.col("__ln") * F.col("__rn"))
+    scored = (
+        pairs.join(lvec, "left_id")
+        .join(rvec, "right_id")
+        .select("left_id", "right_id", F.round(sim, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cos_sim").desc(), F.col("right_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 
