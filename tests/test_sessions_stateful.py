@@ -1,0 +1,101 @@
+"""transformWithStateInPandas session summaries: streaming close-on-timeout
+must reproduce the batch session_window aggregation for every session the
+final watermark closed; the open tail is withheld, never wrong."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.sources.fixtures import load_fixture
+from jurimetria_etl_spark.streaming.sessions import session_summaries
+
+SF = "/root/testdata/sf0.001"
+GAP = "10 minutes"
+WM = "30 minutes"
+
+
+@pytest.fixture(scope="module")
+def drops(spark):
+    """events as 3 chronologically-arriving single-file drops."""
+    tmp = tempfile.mkdtemp(prefix="sessions_")
+    ev = load_fixture(spark, SF, "events").select("user_id", "ts", "value").persist()
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    base_t = time.time() - 3600
+    out = f"{tmp}/flat"
+    Path(out).mkdir()
+    for i in range(3):
+        sl = ev.where(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi + span))
+        )
+        staging = f"{tmp}/_s{i}"
+        sl.coalesce(1).write.parquet(staging)
+        dst = f"{out}/{i:03d}.parquet"
+        shutil.move(str(next(Path(staging).glob("part-*.parquet"))), dst)
+        os.utime(dst, (base_t + i * 600, base_t + i * 600))
+    ev.unpersist()
+    yield out
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _canon(rows):
+    return sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in rows
+    )
+
+
+def test_stream_sessions_match_batch_closed_set(spark, drops):
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        session_summaries(stream, gap=GAP, watermark=WM)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_tws")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _canon(spark.sql("SELECT * FROM sess_tws").collect())
+
+    batch = session_summaries(spark.read.parquet(drops), gap=GAP)
+    all_batch = _canon(batch.collect())
+    # sessions provably closed by the final watermark (max_ts - WM >= end+gap)
+    max_ts = spark.read.parquet(drops).agg(F.max("ts")).first()[0]
+    wm = max_ts - __import__("datetime").timedelta(minutes=30)
+    deadline = __import__("datetime").timedelta(minutes=10)
+    closed = [r for r in all_batch if r[2] + deadline <= wm]
+
+    assert len(closed) > 50  # the fixture yields plenty of closed sessions
+    got_set = set(got)
+    # every provably-closed batch session was emitted, byte-identical
+    missing = [r for r in closed if r not in got_set]
+    assert not missing, f"{len(missing)} closed sessions not emitted: {missing[:3]}"
+    # nothing emitted that batch doesn't recognize
+    assert got_set <= set(all_batch)
+
+
+def test_batch_mode_is_session_window(spark):
+    ev = load_fixture(spark, SF, "events").select("user_id", "ts", "value")
+    got = session_summaries(ev, gap=GAP)
+    # one row per (user, session); totals add up to the plain aggregate
+    totals = got.agg(
+        F.sum("n_events").alias("n"), F.round(F.sum("total_value"), 4).alias("v")
+    ).first()
+    plain = ev.agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v")
+    ).first()
+    assert totals.n == plain.n
+    assert abs(totals.v - plain.v) < 1e-3
