@@ -1,0 +1,117 @@
+"""Time-series densification: bucketed aggregation with gap filling
+(TimescaleDB `time_bucket_gapfill` / InfluxDB `fill()` semantics),
+DataFrame-native.
+
+Pipeline: bucket events into fixed windows → aggregate per (key, bucket)
+→ DENSIFY — generate every bucket in each key's [min, max] span via
+``sequence`` + ``explode`` — → fill the holes:
+
+- ``locf``: last-observation-carried-forward via
+  ``last(value, ignorenulls=True)`` over an unbounded-preceding window;
+- ``linear``: interpolate between the nearest real observations on both
+  sides — prev/next values and bucket indices come from the same
+  ignorenulls window trick (``last`` looking back, ``first`` looking
+  forward), then ``prev + (next - prev) · (i - i_prev)/(i_next - i_prev)``;
+  leading/trailing holes (no observation on one side) stay NULL, exactly
+  like TimescaleDB's ``interpolate``.
+
+Scale: ONE shuffle for the (key, bucket) aggregate; densification is a
+narrow generator per key row-group (``sequence`` bounded by the key's own
+span — a key idle for years does cost its bucket count, cap spans
+upstream if that matters); the fill windows are per-key sorted scans,
+partitioned on the same key the aggregate shuffled on, so AQE reuses the
+partitioning.  No Python anywhere.
+
+Reference parity: the reference has no time-series surface
+(SURVEY §2.10 — strictly batch, one hour histogram); this extends the
+engine's temporal family (F1/F2, q25/q26/q33 windows, q27 as-of,
+q28 range join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_agg_gapfill(
+    events: DataFrame,
+    bucket_seconds: int,
+    keys: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    agg: str = "avg",
+    fill: str = "locf",
+) -> DataFrame:
+    """Per-key bucketed aggregate with gap filling.
+
+    Returns one row per (keys, bucket_start) for EVERY bucket in each
+    key's observed span, with ``value`` filled per ``fill`` ∈
+    {"none", "locf", "linear"} and ``is_filled`` marking synthesized rows.
+    """
+    if fill not in ("none", "locf", "linear"):
+        raise ValueError(f"fill={fill!r}: use none | locf | linear")
+    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+              "count": lambda c: F.count(c).cast("double")}[agg]
+
+    bucket = (
+        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        * bucket_seconds
+    ).alias("__bucket_s")
+    per_bucket = (
+        events.select(*keys, bucket, F.col(value_col).alias("__v"))
+        .groupBy(*keys, "__bucket_s")
+        .agg(F.round(agg_fn("__v"), 6).alias("__agg"))
+    )
+    spans = per_bucket.groupBy(*keys).agg(
+        F.min("__bucket_s").alias("__lo"), F.max("__bucket_s").alias("__hi")
+    )
+    dense = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(bucket_seconds))
+        ).alias("__bucket_s"),
+    )
+    joined = dense.join(per_bucket, [*keys, "__bucket_s"], "left")
+
+    out_cols = [
+        *keys,
+        F.timestamp_seconds(F.col("__bucket_s")).alias("bucket_start"),
+        F.col("__agg").isNull().alias("is_filled"),
+    ]
+    if fill == "none":
+        filled: Column = F.col("__agg")
+    elif fill == "locf":
+        w_back = (
+            Window.partitionBy(*keys)
+            .orderBy("__bucket_s")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = F.last("__agg", ignorenulls=True).over(w_back)
+    else:  # linear
+        w_back = (
+            Window.partitionBy(*keys)
+            .orderBy("__bucket_s")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_fwd = (
+            Window.partitionBy(*keys)
+            .orderBy("__bucket_s")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        obs_bucket = F.when(F.col("__agg").isNotNull(), F.col("__bucket_s"))
+        prev_v = F.last("__agg", ignorenulls=True).over(w_back)
+        prev_b = F.last(obs_bucket, ignorenulls=True).over(w_back)
+        next_v = F.first("__agg", ignorenulls=True).over(w_fwd)
+        next_b = F.first(obs_bucket, ignorenulls=True).over(w_fwd)
+        filled = F.when(F.col("__agg").isNotNull(), F.col("__agg")).otherwise(
+            F.round(
+                prev_v
+                + (next_v - prev_v)
+                * (F.col("__bucket_s") - prev_b)
+                / (next_b - prev_b),
+                6,
+            )
+        )
+    return joined.select(*out_cols, F.col("__agg").alias("raw_value"),
+                         filled.alias("value"))
