@@ -37,7 +37,7 @@ HEADLINE = [
     "q10_agg_conditional",
     "q12_grouping",
     "q13_window_rank",
-    "q14_window_running",
+    "q36_gapfill",
     "q15_topk",
     "q20_array_agg",
     "q22_dedup_exact",

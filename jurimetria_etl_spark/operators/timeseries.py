@@ -51,8 +51,21 @@ def bucket_agg_gapfill(
     """
     if fill not in ("none", "locf", "linear"):
         raise ValueError(f"fill={fill!r}: use none | locf | linear")
-    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
-              "count": lambda c: F.count(c).cast("double")}[agg]
+
+    # avg/sum accumulate in EXACT decimals and surface as doubles (the
+    # corpus _davg convention): double accumulation is partition-order
+    # dependent, and a .xxxxxx5 boundary rounds differently per engine —
+    # observed as a 1-ulp oracle mismatch at sf0.1 before this.
+    def _avg(c):
+        return F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / F.count(c)
+
+    agg_fn = {
+        "avg": _avg,
+        "sum": lambda c: F.sum(F.col(c).cast("decimal(18,6)")).cast("double"),
+        "min": F.min,
+        "max": F.max,
+        "count": lambda c: F.count(c).cast("double"),
+    }[agg]
 
     bucket = (
         (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")

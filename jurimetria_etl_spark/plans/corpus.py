@@ -1028,6 +1028,57 @@ FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def q36_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q36 — hypertable-style bucketed gap-fill (operators/timeseries.py):
+    hourly avg(value) per event_type, every bucket in each type's span
+    materialized, holes filled by LOCF.  One agg shuffle; densification is
+    a narrow sequence+explode; the fill window rides the same key
+    partitioning.  Bucket surfaces as epoch SECONDS (bigint) so neither
+    engine's timestamp/tz rendering is in the compared values."""
+    from jurimetria_etl_spark.operators.timeseries import bucket_agg_gapfill
+
+    out = bucket_agg_gapfill(
+        _t(spark, sf_dir, "events"),
+        bucket_seconds=3600,
+        keys=["event_type"],
+        value_col="value",
+        agg="avg",
+        fill="locf",
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_start").alias("bucket_s"),
+        "is_filled",
+        F.round("value", 6).alias("value"),
+    )
+
+
+Q36_SQL = """
+WITH per_bucket AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS agg_v
+  FROM events
+  GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi
+  FROM per_bucket GROUP BY 1),
+dense AS (
+  SELECT s.event_type, gs.g AS bucket_s
+  FROM spans s,
+       LATERAL (SELECT unnest(generate_series(s.lo, s.hi, 3600)) AS g) gs),
+joined AS (
+  SELECT d.event_type, d.bucket_s, p.agg_v
+  FROM dense d LEFT JOIN per_bucket p USING (event_type, bucket_s))
+SELECT event_type, bucket_s,
+       agg_v IS NULL AS is_filled,
+       ROUND(last_value(agg_v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM joined
+"""
+
+
 # ───────────────────────────── registry ────────────────────────────────────
 # Exactly 50 oracle-carrying entries (the driver's check window).  Dropped
 # from the registry but kept as functions + pytest coverage: q05 (inner
@@ -1048,7 +1099,7 @@ CORPUS: dict[str, Q] = {
     "q10_agg_conditional": Q(q10_agg_conditional, Q10_SQL),
     "q12_grouping": Q(q12_grouping, Q12_GROUPING_SQL),
     "q13_window_rank": Q(q13_window_rank, Q13_SQL),
-    "q14_window_running": Q(q14_window_running, Q14_SQL),
+    "q36_gapfill": Q(q36_gapfill, Q36_SQL),
     "q15_topk": Q(q15_topk, Q15_SQL),
     "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
     "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
@@ -1079,6 +1130,9 @@ CORPUS_DEREGISTERED: dict[str, Q] = {
     "q18_string_fns": Q(q18_string_fns, Q18_SQL),
     "q25_window_tumbling": Q(q25_window_tumbling, Q25_SQL),
     "q29_salted_join": Q(q29_salted_join, Q29_SQL),
+    # rotated to admit q36_gapfill: the running-sum frame stays exercised
+    # by x20's prefix-sum packing (registered) and the pytest-oracle here
+    "q14_window_running": Q(q14_window_running, Q14_SQL),
 }
 
 

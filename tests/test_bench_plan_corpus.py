@@ -40,7 +40,7 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "q10_agg_conditional": (0, 0, 1, 0),
     "q12_grouping": (0, 0, 3, 0),
     "q13_window_rank": (0, 0, 1, 0),
-    "q14_window_running": (0, 0, 1, 0),
+    "q36_gapfill": (0, 0, 3, 1),
     "q15_topk": (0, 0, 0, 0),
     "q20_array_agg": (0, 0, 2, 0),
     "q22_dedup_exact": (0, 0, 2, 0),

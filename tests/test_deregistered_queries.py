@@ -89,6 +89,8 @@ PAIRS = [
     (C.q18_string_fns, C.Q18_SQL),
     (C.q25_window_tumbling, C.Q25_SQL),
     (C.q29_salted_join, C.Q29_SQL),
+    # rotated OUT to admit q36_gapfill; running-sum frame also rides x20:
+    (C.q14_window_running, C.Q14_SQL),
 ]
 
 
