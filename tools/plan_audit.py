@@ -44,6 +44,11 @@ AUDITED = [
     ),
     ("t06_late_shipments", "one fact-fact equi-join; partial agg"),
     ("t07_promo_revenue", "part broadcast; shipdate PushedFilter"),
+    (
+        "q36_gapfill",
+        "one agg shuffle; densify is a narrow generator; fill window "
+        "reuses the key partitioning",
+    ),
     ("t11_big_orders", "one rollup shuffle; HAVING tail joins un-hinted (AQE)"),
     (
         "t12_waiting_suppliers",
