@@ -44,6 +44,7 @@ def curate_corpus(
     decontam_ngram: int = 5,
     decontam_min_overlap: int = 1,
     decontam_min_ratio: float = 0.0,
+    intermediate_dir: str | None = None,
 ) -> DataFrame:
     """Curated corpus: documents that pass the language and quality gates,
     with exact duplicates collapsed (lowest id wins) and MinHash near-dups
@@ -121,7 +122,17 @@ def curate_corpus(
 
     exact = D.dedup_by_fingerprint(gated, text_col, id_col)
 
-    if transitive:
+    if transitive and intermediate_dir is not None:
+        # The at-scale form of the multi-action problem below: WRITE the
+        # deduped corpus once and re-read it — every later action (pair
+        # count, label-prop rounds, final join-back) scans the compact
+        # parquet instead of re-running the gates or holding a
+        # corpus-sized cache.  This is the production pattern SCALE.md
+        # documents; the cache path below remains for callers without a
+        # scratch location.
+        exact.write.mode("overwrite").parquet(intermediate_dir)
+        exact = docs.sparkSession.read.parquet(intermediate_dir)
+    elif transitive:
         # The clustering path is multi-action (pair count + union-find
         # collect / label-prop rounds, then the final join-back), so the
         # gates+fingerprint plan above would re-execute once per action.
@@ -138,14 +149,16 @@ def curate_corpus(
     )
     if transitive:
         kept = D.dedup_keep_one_per_cluster(exact, near_pairs, id_col)
-        # The clustering's eager actions (pair count + union-find collect /
-        # label-prop rounds) have consumed the cache by the time
-        # dedup_keep_one_per_cluster returns — release it instead of
-        # pinning the deduped corpus in executor memory for the rest of
-        # the application.  The caller's final action recomputes the
-        # (narrow, single-pass) gates+fingerprint lineage once; at 100 TB
-        # that rescan is cheap, a corpus-sized resident cache is not.
-        exact.unpersist()
+        if intermediate_dir is None:
+            # The clustering's eager actions (pair count + union-find
+            # collect / label-prop rounds) have consumed the cache by the
+            # time dedup_keep_one_per_cluster returns — release it instead
+            # of pinning the deduped corpus in executor memory for the
+            # rest of the application.  The caller's final action
+            # recomputes the gates+fingerprint lineage once; at 100 TB
+            # that rescan is cheap, a corpus-sized resident cache is not
+            # (pass intermediate_dir to avoid both).
+            exact.unpersist()
         return kept
     losers = near_pairs.select(F.col("right_id").alias(id_col)).distinct()
     # No broadcast hint: on a heavily duplicated corpus the loser-id set is
@@ -180,6 +193,7 @@ def prepare_training_shards(
     chunk_chars: int = 1000,
     overlap_chars: int = 100,
     max_chars_per_shard: int = 100_000,
+    intermediate_dir: str | None = None,
 ) -> DataFrame:
     """The full corpus→training-shards pipeline: curation gates + dedup
     (``curate_corpus``), overlapping context-window chunking
@@ -196,7 +210,8 @@ def prepare_training_shards(
     from jurimetria_etl_spark.operators.text import chunk_documents
 
     curated = curate_corpus(
-        docs, id_col, text_col, languages, min_quality, near_dup_threshold
+        docs, id_col, text_col, languages, min_quality, near_dup_threshold,
+        intermediate_dir=intermediate_dir,
     )
     chunks = chunk_documents(
         curated, text_col, chunk_chars=chunk_chars, overlap_chars=overlap_chars

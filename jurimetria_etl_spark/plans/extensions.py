@@ -710,9 +710,17 @@ def x22_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bench-only entry (the driver registry stays at its 50-entry window) —
     oracle-checked at sf0.001 in tests/test_deregistered_queries.py and
     timed with its DuckDB denominator in bench.py."""
+    import tempfile
+
     from jurimetria_etl_spark.plans.curation import prepare_training_shards
 
     docs = _t(spark, sf_dir, "documents")
+    # Materialize the curated intermediate to scratch parquet (the
+    # production pattern SCALE.md documents): the clustering's eager
+    # actions and the final consumer all scan the compact intermediate
+    # instead of re-running the gate+dedup lineage per action.
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = f"{tempfile.gettempdir()}/x22_curated_{sf_tag}"
     shards = prepare_training_shards(
         docs,
         languages=("en",),
@@ -721,6 +729,7 @@ def x22_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_chars=240,
         overlap_chars=40,
         max_chars_per_shard=10_000,
+        intermediate_dir=f"{scratch}/curated",
     )
     return shards.select("doc_id", "chunk_idx", "shard_id")
 
