@@ -252,11 +252,10 @@ def suggest_lsh_planes(
     ``target_bucket_size`` or ``n_tables`` if recall matters more than
     candidate volume; the floor of 1 plane keeps tiny corpora exact-ish.
     """
-    import math as _math
 
     if n_rows <= target_bucket_size:
         return 1
-    return min(max_planes, max(1, _math.ceil(_math.log2(n_rows / target_bucket_size))))
+    return min(max_planes, max(1, math.ceil(math.log2(n_rows / target_bucket_size))))
 
 
 def lsh_banded_signatures(
@@ -387,6 +386,16 @@ def knn_join(
     reference has no vector ops at all); extends E3 of SURVEY §2.12.
     """
     if n_planes is None:
+        if left_banded is not None or right_banded is not None:
+            # Precomputed signature frames bake in the plane count used at
+            # ingest; a freshly-suggested count would band the OTHER side
+            # in a different hash space — buckets would compare across
+            # spaces and recall would silently collapse.  The caller must
+            # state the ingest-time value.
+            raise ValueError(
+                "knn_join: pass the n_planes the banded frames were built "
+                "with — it cannot be inferred from a signature frame"
+            )
         n_planes = suggest_lsh_planes(right.count())
     self_join = left is right
 

@@ -67,8 +67,11 @@ def bucket_agg_gapfill(
         "count": lambda c: F.count(c).cast("double"),
     }[agg]
 
+    # floor, not cast("long"): cast truncates toward zero, which
+    # mis-buckets pre-1970 timestamps (epoch -1800 at 1h -> bucket 0
+    # instead of -3600) and diverges from the oracle's floor()
     bucket = (
-        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
         * bucket_seconds
     ).alias("__bucket_s")
     per_bucket = (

@@ -154,9 +154,14 @@ WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
 
 def x06_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join (threshold 0.2 → the 25
-    planted near-dup pairs at sf0.01)."""
+    planted near-dup pairs at sf0.01).  ``max_shingle_df=None`` is
+    explicit: the DuckDB oracle below is the EXACT join, so the
+    library's hot-shingle cap default (which lower-bounds jaccard on
+    corpora with a >1000-df shingle) must not apply here — latent on the
+    fixtures only because their shingle DF stays far below the cap."""
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2,
+        max_shingle_df=None,
     )
 
 
@@ -719,8 +724,14 @@ def x22_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production pattern SCALE.md documents): the clustering's eager
     # actions and the final consumer all scan the compact intermediate
     # instead of re-running the gate+dedup lineage per action.
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    scratch = f"{tempfile.gettempdir()}/x22_curated_{sf_tag}"
+    # key by full-path hash + pid: leaf-name keys collide across datasets
+    # (testdata/sf0.1 vs _scale/sf0.1) and pid isolates concurrent
+    # processes; same-process re-runs still reuse the path (overwrite)
+    import hashlib
+    import os as _os
+
+    tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    scratch = f"{tempfile.gettempdir()}/x22_curated_{tag}_{_os.getpid()}"
     shards = prepare_training_shards(
         docs,
         languages=("en",),

@@ -51,20 +51,40 @@ def _fold_sessions(
     gap_us: int,
 ) -> list[list]:
     """Walk time-sorted (ts_us, value) pairs, splitting on > gap: returns
-    [start, end, n, total] groups; the LAST one is the still-open tail.
-    A single micro-batch can span several gaps for one key, so the
-    within-batch walk must split sessions too, not just extend one."""
-    sessions: list[list] = [list(seed)] if seed is not None else []
+    [start, end, n, total] groups ordered by start; the LAST one is the
+    still-open tail.  A single micro-batch can span several gaps for one
+    key, so the within-batch walk must split sessions too, not just
+    extend one.
+
+    The ``seed`` (the open session carried in state) is merged by
+    INTERVAL, not blindly prepended: a late-but-valid event arriving more
+    than ``gap`` BEFORE the seed's start must form its own session (batch
+    ``session_window`` splits there), and an event inside/adjacent to the
+    seed extends it."""
+    sessions: list[list] = []
     for ts, v in sorted(pairs):
         if sessions and ts <= sessions[-1][1] + gap_us:
             cur = sessions[-1]
-            cur[0] = min(cur[0], ts)
             cur[1] = max(cur[1], ts)
             cur[2] += 1
             cur[3] += v
         else:
             sessions.append([ts, ts, 1, v])
-    return sessions
+    if seed is None:
+        return sessions
+    # interval-merge the seed with the batch's sessions (both sorted):
+    # any session within gap of the seed's span coalesces into it
+    merged: list[list] = []
+    out = sorted(sessions + [list(seed)], key=lambda s: (s[0], s[1]))
+    for s in out:
+        if merged and s[0] <= merged[-1][1] + gap_us:
+            cur = merged[-1]
+            cur[1] = max(cur[1], s[1])
+            cur[2] += s[2]
+            cur[3] += s[3]
+        else:
+            merged.append(s)
+    return merged
 
 
 def _summary_frame(user: int, sessions: list) -> pd.DataFrame:

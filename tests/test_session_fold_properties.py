@@ -37,6 +37,21 @@ def test_fold_partitions_events_with_gap_invariants(pairs):
         assert any(lo <= t <= hi for lo, hi in bounds)
 
 
+def test_late_event_before_seed_splits_not_merges():
+    """An event more than gap BEFORE the open session's start must form
+    its own (closed) session — batch session_window splits there; the
+    pre-fix fold merged it into the seed and emitted a wrong span."""
+    seed = (100 * GAP, 100 * GAP, 1, 5.0)
+    out = _fold_sessions([(50 * GAP, 1.0)], seed, GAP)
+    assert [(int(s[0]), int(s[1]), int(s[2]), s[3]) for s in out] == [
+        (50 * GAP, 50 * GAP, 1, 1.0),
+        (100 * GAP, 100 * GAP, 1, 5.0),
+    ]
+    # adjacent-to-seed events still extend it
+    out2 = _fold_sessions([(100 * GAP + GAP // 2, 1.0)], seed, GAP)
+    assert len(out2) == 1 and out2[0][2] == 2
+
+
 @settings(max_examples=100, deadline=None)
 @given(events, events)
 def test_fold_incremental_equals_batch(first, second):

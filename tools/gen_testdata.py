@@ -84,7 +84,9 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     }))
     _write(out, "nation", pa.table({
         "n_nationkey": pa.array(range(25), pa.int32()),
-        "n_name": [f"NATION_{i:02d}" for i in range(25)],
+        # unpadded, matching the driver fixture's names (t09 filters on
+        # 'NATION_3'; a zero-padded 'NATION_03' would select nothing)
+        "n_name": [f"NATION_{i}" for i in range(25)],
         "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
     }))
     _write(out, "customer", pa.table({
