@@ -77,10 +77,23 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
 
 @pytest.fixture(scope="module")
 def registry():
+    import jurimetria_etl_spark.plans.extensions as E
     from jurimetria_etl_spark.plans.corpus import full_registry
     from jurimetria_etl_spark.plans.extensions import BENCH_ONLY
     from jurimetria_etl_spark.plans.tpch import TPCH_EXTRA
 
+    # The exchange pins below are for the COLD plan.  Other test modules
+    # sharing this session may have populated the plan-level signature
+    # caches (persisted frames), which legitimately replace an exchange
+    # with an InMemoryRelation and would make the pins order-dependent —
+    # start from a known cache state instead.
+    for cache in (E._SIMHASH_SIG_CACHE, E._LSH_BANDED_CACHE, E._IVF_CACHE):
+        for v in cache.values():
+            try:
+                (v[0] if isinstance(v, tuple) else v).unpersist()
+            except Exception:
+                pass
+        cache.clear()
     return {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
 
 
