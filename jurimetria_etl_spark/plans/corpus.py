@@ -1028,6 +1028,46 @@ FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def q37_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q37 — RANGE-frame window: per event, the count and exact-decimal sum
+    of the SAME USER's events in the trailing 30 minutes of EVENT TIME
+    (`RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW`).  The
+    time-based sibling of q14's ROWS frame: the frame size varies per row
+    with data density — the shape behind rate limiting, rolling exposure,
+    and trailing-window features.  Spark's rangeBetween needs a numeric
+    sort key, so the frame orders by epoch seconds (values are
+    tz-independent instants; both engines agree exactly).  One shuffle on
+    user_id; ties on ts are included by RANGE semantics in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-1800, 0)
+    )
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30m"),
+    )
+
+
+Q37_SQL = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_30m,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_30m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q36_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q36 — hypertable-style bucketed gap-fill (operators/timeseries.py):
     hourly avg(value) per event_type, every bucket in each type's span

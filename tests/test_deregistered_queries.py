@@ -91,6 +91,8 @@ PAIRS = [
     (C.q29_salted_join, C.Q29_SQL),
     # rotated OUT to admit q36_gapfill; running-sum frame also rides x20:
     (C.q14_window_running, C.Q14_SQL),
+    # never registered (window full): RANGE-frame trailing-time window
+    (C.q37_range_window, C.Q37_SQL),
 ]
 
 
