@@ -1068,6 +1068,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 """
 
 
+def q38_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q38 — argmax/argmin aggregates (`max_by`/`min_by`): per user, the
+    type and value of their LATEST event and the value of their EARLIEST —
+    the last-touch-attribution shape, one hash aggregate instead of the
+    window+filter detour (q13's shape) when only the extreme row's
+    attributes are needed.  Deterministic because (user_id, ts) is unique
+    in the fixtures (verified at every sf; a production caller breaks ties
+    by ordering on a (ts, unique_id) struct).  One shuffle, partial
+    map-side aggregation — the 100 TB plan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.min_by("value", "ts").alias("first_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+Q38_SQL = """
+SELECT user_id,
+       arg_max(event_type, ts) AS last_type,
+       arg_max(value, ts) AS last_value,
+       arg_min(value, ts) AS first_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
 def q36_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q36 — hypertable-style bucketed gap-fill (operators/timeseries.py):
     hourly avg(value) per event_type, every bucket in each type's span

@@ -92,7 +92,9 @@ PAIRS = [
     # rotated OUT to admit q36_gapfill; running-sum frame also rides x20:
     (C.q14_window_running, C.Q14_SQL),
     # never registered (window full): RANGE-frame trailing-time window
+    # and argmax/argmin aggregates
     (C.q37_range_window, C.Q37_SQL),
+    (C.q38_argmax, C.Q38_SQL),
 ]
 
 
