@@ -74,10 +74,15 @@ def bucket_agg_gapfill(
         F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
         * bucket_seconds
     ).alias("__bucket_s")
+    # No ROUND on the aggregate: the decimal sum is exact, so the IEEE
+    # sum/count quotient is bit-identical across engines — while rounding
+    # a near-tie double to 6 decimals is where engines legitimately
+    # disagree (sf1 oracle run caught exactly one such boundary,
+    # 50.6749975 -> .674997 vs .674998).
     per_bucket = (
         events.select(*keys, bucket, F.col(value_col).alias("__v"))
         .groupBy(*keys, "__bucket_s")
-        .agg(F.round(agg_fn("__v"), 6).alias("__agg"))
+        .agg(agg_fn("__v").alias("__agg"))
     )
     spans = per_bucket.groupBy(*keys).agg(
         F.min("__bucket_s").alias("__lo"), F.max("__bucket_s").alias("__hi")

@@ -1118,7 +1118,7 @@ def q36_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_timestamp("bucket_start").alias("bucket_s"),
         "is_filled",
-        F.round("value", 6).alias("value"),
+        "value",
     )
 
 
@@ -1126,7 +1126,7 @@ Q36_SQL = """
 WITH per_bucket AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS agg_v
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS agg_v
   FROM events
   GROUP BY 1, 2),
 spans AS (
@@ -1141,9 +1141,9 @@ joined AS (
   FROM dense d LEFT JOIN per_bucket p USING (event_type, bucket_s))
 SELECT event_type, bucket_s,
        agg_v IS NULL AS is_filled,
-       ROUND(last_value(agg_v IGNORE NULLS) OVER (
+       last_value(agg_v IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY bucket_s
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
 FROM joined
 """
 

@@ -18,7 +18,7 @@ LOCF_ORACLE = f"""
 WITH per_bucket AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / {BUCKET}) AS BIGINT) * {BUCKET} AS bucket_s,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS agg_v
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS agg_v
   FROM read_parquet('{SF}/events.parquet')
   GROUP BY 1, 2),
 spans AS (
