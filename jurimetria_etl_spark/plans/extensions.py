@@ -373,7 +373,7 @@ JOIN ({X10_SQL}) q USING (doc_id)
 def x12_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, exact baseline: all-pairs cosine ≥ 0.45 through
     ``cosine_pairs_exact`` — O(N²) by design, guarded to refuse inputs
-    beyond 100k rows so the registered query can never launch a cartesian
+    beyond 20k rows so the registered query can never launch a cartesian
     on at-scale data.  The scale path is x13_cosine_join (LSH-pruned),
     which this query verifies."""
     emb = _t(spark, sf_dir, "embeddings")
