@@ -125,14 +125,16 @@ def bucket_agg_gapfill(
         prev_b = F.last(obs_bucket, ignorenulls=True).over(w_back)
         next_v = F.first("__agg", ignorenulls=True).over(w_fwd)
         next_b = F.first(obs_bucket, ignorenulls=True).over(w_fwd)
+        # no ROUND here either (same rationale as the aggregate): the
+        # interpolation arithmetic is deterministic IEEE on identical
+        # operands, while rounding a near-tie is engine-divergent — and
+        # mixing rounded filled values with full-precision observed ones
+        # would put two precisions in one column
         filled = F.when(F.col("__agg").isNotNull(), F.col("__agg")).otherwise(
-            F.round(
-                prev_v
-                + (next_v - prev_v)
-                * (F.col("__bucket_s") - prev_b)
-                / (next_b - prev_b),
-                6,
-            )
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("__bucket_s") - prev_b)
+            / (next_b - prev_b)
         )
     return joined.select(*out_cols, F.col("__agg").alias("raw_value"),
                          filled.alias("value"))

@@ -5,12 +5,8 @@ contract, their file layout is not."""
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
-from pathlib import Path
 
-import pytest
 from pyspark.sql import functions as F
 
 from jurimetria_etl_spark.sinks.maintenance import compact_parquet, dir_stats
@@ -19,18 +15,9 @@ from jurimetria_etl_spark.streaming.curation import (
     curate_document_stream,
     read_documents_stream,
 )
+from tests.conftest import stage_drop as _drop
 
 SF = "/root/testdata/sf0.001"
-
-
-def _drop(df, path: str, name: str, mtime: float) -> None:
-    staging = f"{path}__stage_{name}"
-    df.coalesce(1).write.parquet(staging)
-    Path(path).mkdir(parents=True, exist_ok=True)
-    dst = f"{path}/{name}.parquet"
-    shutil.move(str(next(Path(staging).glob("part-*.parquet"))), dst)
-    os.utime(dst, (mtime, mtime))
-    shutil.rmtree(staging, ignore_errors=True)
 
 
 def test_compaction_between_stream_runs_preserves_dedup(spark, tmp_path):
@@ -49,7 +36,7 @@ def test_compaction_between_stream_runs_preserves_dedup(spark, tmp_path):
     q = curate_document_stream(
         read_documents_stream(spark, flat), corpus, fps, sigs, ckpt
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain before compaction"
     ids_after_b0 = {
         r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
     }
@@ -66,7 +53,7 @@ def test_compaction_between_stream_runs_preserves_dedup(spark, tmp_path):
     q2 = curate_document_stream(
         read_documents_stream(spark, flat), corpus, fps, sigs, ckpt
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "second stream run did not drain"
 
     final = spark.read.parquet(corpus).select("doc_id").collect()
     final_ids = {r.doc_id for r in final}

@@ -4,7 +4,6 @@ final watermark closed; the open tail is withheld, never wrong."""
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 import time
@@ -24,23 +23,20 @@ WM = "30 minutes"
 @pytest.fixture(scope="module")
 def drops(spark):
     """events as 3 chronologically-arriving single-file drops."""
+    from tests.conftest import stage_drop
+
     tmp = tempfile.mkdtemp(prefix="sessions_")
     ev = load_fixture(spark, SF, "events").select("user_id", "ts", "value").persist()
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) / 3
     base_t = time.time() - 3600
     out = f"{tmp}/flat"
-    Path(out).mkdir()
     for i in range(3):
         sl = ev.where(
             (F.col("ts") >= lo + i * span)
             & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi + span))
         )
-        staging = f"{tmp}/_s{i}"
-        sl.coalesce(1).write.parquet(staging)
-        dst = f"{out}/{i:03d}.parquet"
-        shutil.move(str(next(Path(staging).glob("part-*.parquet"))), dst)
-        os.utime(dst, (base_t + i * 600, base_t + i * 600))
+        stage_drop(sl, out, f"{i:03d}", base_t + i * 600)
     ev.unpersist()
     yield out
     shutil.rmtree(tmp, ignore_errors=True)

@@ -26,9 +26,9 @@ def split_events(spark):
     watermark and no buffered row is evicted before its matches arrive.
     (Randomly-ordered file drops DO lose matches to watermark eviction —
     that is correct streaming semantics for late data, not a join bug.)"""
-    import os
     import time
-    from pathlib import Path
+
+    from tests.conftest import stage_drop
 
     tmp = tempfile.mkdtemp(prefix="ss_join_")
     ev = (
@@ -40,20 +40,13 @@ def split_events(spark):
     span = (hi - lo) / 3
     base_t = time.time() - 3600
     for side, etype in (("views", "view"), ("purchases", "purchase")):
-        Path(f"{tmp}/{side}").mkdir(parents=True)
         part = ev.where(F.col("event_type") == etype)
         for i in range(3):
             sl = part.where(
                 (F.col("ts") >= lo + i * span)
                 & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi + span))
             )
-            staging = f"{tmp}/_stage_{side}_{i}"
-            sl.coalesce(1).write.parquet(staging)
-            src = next(Path(staging).glob("part-*.parquet"))
-            dst = f"{tmp}/{side}/{i:03d}.parquet"
-            shutil.move(str(src), dst)
-            os.utime(dst, (base_t + i * 600, base_t + i * 600))
-            shutil.rmtree(staging, ignore_errors=True)
+            stage_drop(sl, f"{tmp}/{side}", f"{i:03d}", base_t + i * 600)
     ev.unpersist()
     yield tmp
     shutil.rmtree(tmp, ignore_errors=True)

@@ -283,33 +283,26 @@ def test_streaming_curation_equals_sequential_batches(spark, tmp_path):
         read_documents_stream,
     )
 
+    import time
+    from pathlib import Path
+
+    from tests.conftest import stage_drop
+
     docs = load_fixture(spark, SF, "documents").select(
         "doc_id", "source", "lang", "text"
     )
-    src = str(tmp_path / "drops")
-    # deterministic 2-way split on id parity → two micro-batches
-    a = docs.where(F.col("doc_id") % 2 == 0)
-    b = docs.where(F.col("doc_id") % 2 == 1)
-    a.coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
-    b.coalesce(1).write.mode("append").parquet(f"{src}/b1")
-    # stream over both drop dirs via glob ordering is nondeterministic —
-    # instead drop the files into one dir with lexicographic names
-    import shutil as sh
-    from pathlib import Path
-
+    # deterministic 2-way split on id parity → two mtime-ordered
+    # micro-batches (stage_drop pins mtimes so the stream provably
+    # processes b0 before b1 — the reference order)
     flat = str(tmp_path / "flat")
-    Path(flat).mkdir()
-    import os
-    import time
-
     base_t = time.time() - 3600
-    for i, d in enumerate(["b0", "b1"]):
-        part = next(Path(f"{src}/{d}").glob("part-*.parquet"))
-        dst = f"{flat}/{i:03d}.parquet"
-        sh.copy(part, dst)
-        # the file source orders batches by modification time — pin it so
-        # the stream provably processes b0 before b1 (the reference order)
-        os.utime(dst, (base_t + i * 600, base_t + i * 600))
+    for i, parity in enumerate([0, 1]):
+        stage_drop(
+            docs.where(F.col("doc_id") % 2 == parity),
+            flat,
+            f"{i:03d}",
+            base_t + i * 600,
+        )
 
     corpus = str(tmp_path / "corpus")
     fps = str(tmp_path / "fps")

@@ -18,8 +18,6 @@ Window 2: crash after corpus + signature appends, before the fingerprint
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 from pathlib import Path
 
@@ -34,20 +32,20 @@ SF = "/root/testdata/sf0.001"
 def _stage_two_drops(spark, tmp_path) -> str:
     """Two lexicographic, mtime-ordered single-file drops (batch 0 = even
     ids, batch 1 = odd ids), mirroring the equality test's setup."""
+    from tests.conftest import stage_drop
+
     docs = load_fixture(spark, SF, "documents").select(
         "doc_id", "source", "lang", "text"
     )
-    src = str(tmp_path / "drops")
-    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b0")
-    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b1")
     flat = str(tmp_path / "flat")
-    Path(flat).mkdir()
     base_t = time.time() - 3600
-    for i, d in enumerate(["b0", "b1"]):
-        part = next(Path(f"{src}/{d}").glob("part-*.parquet"))
-        dst = f"{flat}/{i:03d}.parquet"
-        shutil.copy(part, dst)
-        os.utime(dst, (base_t + i * 600, base_t + i * 600))
+    for i, parity in enumerate([0, 1]):
+        stage_drop(
+            docs.where(F.col("doc_id") % 2 == parity),
+            flat,
+            f"{i:03d}",
+            base_t + i * 600,
+        )
     return flat
 
 
