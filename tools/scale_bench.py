@@ -33,6 +33,7 @@ HEAVY = [
     "q06_join_star",
     "t01_pricing_summary",
     "t08_small_qty_revenue",
+    "t09_promotion_suppliers",
     "t11_big_orders",
     "t12_waiting_suppliers",
     "t13_min_cost_supplier",
