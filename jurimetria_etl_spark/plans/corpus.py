@@ -1097,6 +1097,51 @@ GROUP BY user_id
 """
 
 
+def q39_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q39 — lag/lead offset windows: per event, seconds since the same
+    user's PREVIOUS event and until the NEXT one, then a per-user gap
+    report (count + longest silence) over the >1h gaps.  The offset-window
+    subclass (`lag`/`lead`) distinct from ranking (q13), running frames
+    (q14), and range frames (q37).  One shuffle on user_id; the gap agg
+    reuses the window's partitioning.  Integer second arithmetic — no
+    float boundary anywhere."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        (secs - F.lag(secs).over(w)).alias("since_prev_s"),
+        (F.lead(secs).over(w) - secs).alias("until_next_s"),
+    )
+    return (
+        gapped.where(F.col("since_prev_s") > 3600)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("since_prev_s").alias("longest_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q39_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS since_prev_s
+  FROM events)
+SELECT user_id, COUNT(*) AS n_gaps, MAX(since_prev_s) AS longest_gap_s
+FROM gapped
+WHERE since_prev_s > 3600
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q36_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q36 — hypertable-style bucketed gap-fill (operators/timeseries.py):
     hourly avg(value) per event_type, every bucket in each type's span

@@ -95,6 +95,7 @@ PAIRS = [
     # and argmax/argmin aggregates
     (C.q37_range_window, C.Q37_SQL),
     (C.q38_argmax, C.Q38_SQL),
+    (C.q39_lag_gaps, C.Q39_SQL),
 ]
 
 
