@@ -1142,6 +1142,53 @@ ORDER BY user_id
 """
 
 
+def q40_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q40 — distribution ranking (`ntile` + `percent_rank`): decile of
+    each order's value within its priority class, rolled up to per-decile
+    revenue — the price-banding / cohort-bucketing shape.  Deterministic
+    because the window's ORDER BY carries the unique o_orderkey tiebreak
+    (NTILE on a total order is engine-portable; on ties it is not).  One
+    shuffle on the class key; the rollup reuses it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "decile_revenue"),
+            F.round(F.max("pr"), 9).alias("max_pr"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
+Q40_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         ntile(10) OVER w AS decile,
+         round(percent_rank() OVER w, 9) AS pr,
+         o_totalprice
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+SELECT o_orderpriority, decile, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS decile_revenue,
+       round(MAX(pr), 9) AS max_pr
+FROM ranked
+GROUP BY o_orderpriority, decile
+ORDER BY o_orderpriority, decile
+"""
+
+
 def q36_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q36 — hypertable-style bucketed gap-fill (operators/timeseries.py):
     hourly avg(value) per event_type, every bucket in each type's span

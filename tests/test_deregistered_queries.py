@@ -96,6 +96,7 @@ PAIRS = [
     (C.q37_range_window, C.Q37_SQL),
     (C.q38_argmax, C.Q38_SQL),
     (C.q39_lag_gaps, C.Q39_SQL),
+    (C.q40_ntile_deciles, C.Q40_SQL),
 ]
 
 
