@@ -41,7 +41,6 @@ HEADLINE = [
     "q15_topk",
     "q20_array_agg",
     "q22_dedup_exact",
-    "q23_similarity_topk",
     "q24_top_terms",
     "q27_asof_join",
     "q28_range_join",
@@ -58,15 +57,19 @@ HEADLINE = [
     "t11_big_orders",
     "t12_waiting_suppliers",
     "t13_min_cost_supplier",
+    "t14_customer_distribution",
+    "t15_disjunctive_pricing",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x09_text_profile",
     "x13_cosine_join",
+    "x13b_cosine_join_scaled",
     "x14_ann_ivf",
     "x15_media_metadata",
     "x17_rolling_fingerprint",
     "x18_near_dup_clusters",
     "x20_pack_shards",
+    "x28_duplicate_spans",
     "x22_training_shards",
     "x27_hll_daily_uniques",
 ]
@@ -80,7 +83,18 @@ def main() -> None:
     from jurimetria_etl_spark.plans.tpch import TPCH_EXTRA
     from jurimetria_etl_spark.session import get_spark
 
-    registry = {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
+    # Deregistered forms stay benchable — rotation out of the driver's
+    # 50-entry correctness window must not silently drop a timing series.
+    from jurimetria_etl_spark.plans.corpus import CORPUS_DEREGISTERED
+    from jurimetria_etl_spark.plans.extensions import EXT_DEREGISTERED
+
+    registry = {
+        **CORPUS_DEREGISTERED,
+        **EXT_DEREGISTERED,
+        **full_registry(),
+        **BENCH_ONLY,
+        **TPCH_EXTRA,
+    }
 
     spark = get_spark("bench")
     # Warm the JVM + parquet footers so the first timed query isn't charged

@@ -508,7 +508,7 @@ def cosine_similarity_join(
     right: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -522,9 +522,11 @@ def cosine_similarity_join(
     and O(N²/2^planes · L) — which is why ``n_planes`` must GROW with the
     corpus: at a fixed plane count the N²/2^planes term is still
     quadratic (measured: 17× wall-clock for 10× data at n_planes=4,
-    SCALE.md §Scaling exponents).  Size it with
-    ``suggest_lsh_planes(n_rows)`` to hold bucket occupancy — and
-    candidates-per-row — constant.
+    SCALE.md §Scaling exponents).  ``n_planes=None`` (the default)
+    auto-sizes from the right-side row count via ``suggest_lsh_planes``
+    (one count job) so bucket occupancy — and candidates-per-row — stays
+    constant as the corpus grows; pass an explicit int to pin a hash
+    space (e.g. to match signatures persisted at ingest).
 
     ``left_banded``/``right_banded`` accept a precomputed
     ``lsh_banded_signatures`` frame (persisted at ingest / cached per
@@ -546,6 +548,17 @@ def cosine_similarity_join(
     subplans are identical, so Spark's ReuseExchange computes the
     signatures once."""
     self_join = left is right
+    if n_planes is None:
+        if left_banded is not None or right_banded is not None:
+            # Same contract as knn_join: precomputed signature frames bake
+            # in the ingest-time plane count; auto-sizing here would band
+            # the other side in a different hash space.
+            raise ValueError(
+                "cosine_similarity_join: pass the n_planes the banded "
+                "frames were built with — it cannot be inferred from a "
+                "signature frame"
+            )
+        n_planes = suggest_lsh_planes(right.count())
 
     def banded(
         df: DataFrame, pre: DataFrame | None, side: str
@@ -606,7 +619,7 @@ def dedup_embeddings_keep_one(
     embeddings: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -621,6 +634,10 @@ def dedup_embeddings_keep_one(
     MinHash → ``dedup_keep_one_per_cluster`` path, with the same scale
     discipline: candidates shuffle ids only, clustering touches only
     paired ids, and the removal is an id join against the corpus.
+
+    ``n_planes=None`` (default) auto-sizes via ``suggest_lsh_planes`` —
+    the fixed-plane configuration is quadratic at scale (SCALE.md);
+    pass an explicit int to pin the hash space.
     """
     from jurimetria_etl_spark.operators.dedup import (
         dedup_keep_one_per_cluster,

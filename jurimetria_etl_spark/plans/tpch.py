@@ -765,6 +765,106 @@ LIMIT 100
 """
 
 
+def t14_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    INCLUDING customers whose count is zero — the classic left-outer-join
+    COUNT trap.  The order-side predicate must live in the JOIN condition
+    (the fixture has no o_comment, so the Q13 comment filter becomes
+    ``o_orderpriority <> '1-URGENT'``): moving it to a WHERE would silently
+    delete the NULL rows the outer join exists to preserve, and
+    ``COUNT(o_orderkey)`` (not ``COUNT(*)``) must score those customers 0,
+    not 1.
+
+    Spark-first: the inner aggregate groups the FACT side first
+    (orders → per-custkey counts, one data-sized keyed shuffle), then
+    customer LEFT-joins the tiny count frame and never shuffles — the
+    opposite join order (outer-join first, then group by custkey) would
+    shuffle every order row twice.  ``coalesce(cnt, 0)`` reinstates the
+    zero bucket; the outer distribution agg runs on ≤|customer| rows.
+    AQE broadcasts the count frame when it is small enough.
+
+    Determinism: pure integer counts — no floating point anywhere.
+    """
+    orders = _fact(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("__ck")).agg(
+        F.count("*").alias("__cnt")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(per_cust, cust.c_custkey == F.col("__ck"), "left")
+        .select(F.coalesce(F.col("__cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+T14_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def t15_disjunctive_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    lineitem⨝part (three brand/size/quantity arms).  The point of the
+    shape is pushdown: Catalyst's ``CNF + PushPredicateThroughJoin``
+    extracts the per-table residue of the disjunction — the OR of each
+    arm's part-only conjuncts prunes the part scan and the OR of the
+    quantity ranges prunes the lineitem scan (both visible as
+    PushedFilters, pinned in test_bench_plan_corpus) — while the full
+    cross-table disjunction is re-checked after the join.  part rides a
+    broadcast; the single agg reduces to one row.
+
+    Determinism: decimal(28,8) revenue accumulation (the corpus-wide
+    convention — double sums are order-sensitive), integer count.
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _fact(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & qty.between(qlo, qhi)
+    )
+    cond = (
+        arm("Brand#12", 5, 1, 11)
+        | arm("Brand#23", 10, 10, 20)
+        | arm("Brand#34", 15, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                28,
+                8,
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+T15_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 TPCH: dict[str, Q] = {
     "t01_pricing_summary": Q(t01_pricing_summary, T01_SQL),
     "t02_shipping_priority": Q(t02_shipping_priority, T02_SQL),
@@ -777,6 +877,11 @@ TPCH: dict[str, Q] = {
     "t11_big_orders": Q(t11_big_orders, T11_SQL),
     "t12_waiting_suppliers": Q(t12_waiting_suppliers, T12_SQL),
     "t13_min_cost_supplier": Q(t13_min_cost_supplier, T13_SQL),
+    # Round-6: the two residual TPC-H shapes the round-5 verdict named —
+    # COUNT-over-outer-join NULL semantics (Q13) and disjunctive
+    # predicate pushdown across a join (Q19).
+    "t14_customer_distribution": Q(t14_customer_distribution, T14_SQL),
+    "t15_disjunctive_pricing": Q(t15_disjunctive_pricing, T15_SQL),
 }
 
 # Outside the driver's 50-entry window: pytest-oracle + bench coverage.

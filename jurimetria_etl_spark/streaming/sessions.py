@@ -87,6 +87,21 @@ def _fold_sessions(
     return merged
 
 
+def _round_half_up6(v: float) -> float:
+    """Exactly Spark's ``F.round(double, 6)``: BigDecimal.valueOf uses the
+    SHORTEST decimal repr of the double (= Python ``repr``), then
+    setScale(6, HALF_UP).  Python's builtin ``round`` is banker's
+    rounding and would diverge from the batch oracle on a .xxxxxx5 tie —
+    the exact trap operators/timeseries.py documents."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(v))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _summary_frame(user: int, sessions: list) -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -94,7 +109,7 @@ def _summary_frame(user: int, sessions: list) -> pd.DataFrame:
             "session_start": [pd.Timestamp(int(s), unit="us") for s, *_ in sessions],
             "session_end": [pd.Timestamp(int(e), unit="us") for _, e, *_ in sessions],
             "n_events": [int(n) for _, _, n, _ in sessions],
-            "total_value": [round(float(t), 6) for *_, t in sessions],
+            "total_value": [_round_half_up6(t) for *_, t in sessions],
         }
     )
 

@@ -44,7 +44,6 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "q15_topk": (0, 0, 0, 0),
     "q20_array_agg": (0, 0, 2, 0),
     "q22_dedup_exact": (0, 0, 2, 0),
-    "q23_similarity_topk": (1, 0, 1, 0),  # 1-row probe-vector attach
     "q24_top_terms": (0, 0, 1, 0),
     "q27_asof_join": (0, 0, 1, 0),
     "q28_range_join": (0, 0, 2, 1),
@@ -61,18 +60,87 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "t11_big_orders": (0, 0, 4, 2),
     "t12_waiting_suppliers": (0, 0, 10, 3),
     "t13_min_cost_supplier": (0, 0, 13, 8),
+    # t14: orders per-custkey agg (partial+final), broadcast of the count
+    # frame into customer's left join, distribution agg, final sort.
+    "t14_customer_distribution": (0, 0, 5, 1),
+    # t15: broadcast part into lineitem, single global agg.
+    "t15_disjunctive_pricing": (0, 0, 3, 1),
     "x05_minhash_near_dups": (0, 0, 10, 3),
     "x08_simhash_near_dups": (0, 0, 4, 1),
     "x09_text_profile": (0, 0, 1, 0),
     "x13_cosine_join": (0, 0, 6, 3),
+    # x13b: auto-planes default path — same candidate-join shape as x13
+    # minus the precomputed-banded-frame reuse (signatures derived inline
+    # on both sides of the self-join, deduped by ReuseExchange).
+    "x13b_cosine_join_scaled": (0, 0, 6, 3),
     "x14_ann_ivf": (1, 0, 3, 0),  # 1-row probe attach (intended)
     "x15_media_metadata": (0, 1, 0, 0),  # Arrow mapInPandas boundary
     "x17_rolling_fingerprint": (0, 0, 0, 0),
     "x18_near_dup_clusters": (0, 0, 2, 0),
     "x20_pack_shards": (0, 0, 4, 1),
     "x22_training_shards": (0, 0, 4, 1),
+    # x28: widen → winnow fps (narrow) → windowed fp count → candidate-doc
+    # semi-join (broadcast at this scale) → span-keyed group + in-group
+    # pair expansion.  The winnow fold appears ONCE (no self-join).
+    "x28_duplicate_spans": (0, 0, 6, 1),
     "x27_hll_daily_uniques": (0, 0, 2, 0),
 }
+
+# Unpartitioned Window nodes (the WindowExec "No Partition Defined"
+# warnings in the bench tail) pinned EXACTLY per query, so an accidental
+# all-data single-partition window can never hide among the intended ones.
+# The two that exist are the shard-packing prefix-sum over the bounded
+# #partitions-row per-partition-offsets frame (operators/sampling.py pack
+# path) — ≤ spark.sql.shuffle.partitions rows by construction, documented
+# there.  Every other corpus query must have zero.
+UNPART_WINDOWS: dict[str, int] = {
+    "x20_pack_shards": 1,
+    "x22_training_shards": 1,
+}
+
+
+def _toplevel_groups(s: str) -> list[str]:
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            continue
+        if depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Window nodes with no partition-spec group.  The printed forms:
+    ``[exprs], [part], [order]`` (3 groups — partitioned);
+    ``[exprs], [part]`` (partitioned, no ordering);
+    ``[exprs], [order]`` (UNPARTITIONED — the order group carries
+    ASC/DESC tokens, which a partition-column list never does);
+    ``[exprs]`` (unpartitioned global)."""
+    import re
+
+    n = 0
+    for line in plan.splitlines():
+        if "WindowGroupLimit" in line:
+            continue
+        m = re.search(r"(?:^|[\s:+-])Window (.*)", line)
+        if not m:
+            continue
+        groups = _toplevel_groups(m.group(1))
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", groups[1]):
+            continue  # partitioned, no ordering spec
+        n += 1
+    return n
 
 
 @pytest.fixture(scope="module")
@@ -127,3 +195,9 @@ def test_bench_plan_shape(spark, registry, name):
     assert ex == exact_ex, f"{name}: {ex} exchanges, pinned {exact_ex}"
     bhj = plan.count("BroadcastHashJoin")
     assert bhj >= min_bhj, f"{name}: {bhj} broadcast joins (need >= {min_bhj})"
+    uw = _unpartitioned_windows(plan)
+    want_uw = UNPART_WINDOWS.get(name, 0)
+    assert uw == want_uw, (
+        f"{name}: {uw} unpartitioned Window nodes, pinned {want_uw} — an "
+        "unbounded single-partition window is a scale-killer"
+    )

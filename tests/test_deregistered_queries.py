@@ -97,6 +97,16 @@ PAIRS = [
     (C.q38_argmax, C.Q38_SQL),
     (C.q39_lag_gaps, C.Q39_SQL),
     (C.q40_ntile_deciles, C.Q40_SQL),
+    # rotated OUT in round 6 (to admit x13b_cosine_join_scaled,
+    # x28_duplicate_spans, t14, t15): q23's SQL remains x14's driver-gate
+    # oracle; q21/q34/x12 are floor-dominated single-op forms:
+    (C.q21_json, C.Q21_SQL),
+    (C.q23_similarity_topk, C.Q23_SQL),
+    (C.q34_pivot, C.Q34_SQL),
+    (E.x12_cosine_pairs, E.X12_SQL),
+    # never registered (window full): the boilerplate strip-list
+    # aggregate companion of the registered x28_duplicate_spans:
+    (E.x29_boilerplate_spans, E.X29_SQL),
 ]
 
 

@@ -33,6 +33,60 @@ def test_suggested_planes_monotone_in_n():
     assert ps[0] == 1  # tiny corpora stay near-exact
 
 
+def test_default_n_planes_is_auto_sized(spark):
+    """The DEFAULT path must be the scale-safe one: n_planes=None
+    auto-sizes from the right-side count (the round-5 scale bench measured
+    the old fixed-4 default at 15.2× wall-clock for 10× data).  Pin that
+    the default produces exactly the pairs of an explicit
+    suggest_lsh_planes(count) call — same hash space, same candidates."""
+    import numpy as np
+
+    from jurimetria_etl_spark.operators.similarity import (
+        dedup_embeddings_keep_one,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 1, (300, 16))
+    vecs[250:] = vecs[:50] + rng.normal(0, 0.01, (50, 16))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    expected_planes = suggest_lsh_planes(300)
+    auto = cosine_similarity_join(emb, emb, threshold=0.9, dim=16).collect()
+    explicit = cosine_similarity_join(
+        emb, emb, threshold=0.9, dim=16, n_planes=expected_planes
+    ).collect()
+    assert {(r.left_id, r.right_id) for r in auto} == {
+        (r.left_id, r.right_id) for r in explicit
+    }
+    assert len(auto) >= 50  # the planted twins all survive the auto banding
+    # the embedding-dedup wrapper rides the same default
+    kept = dedup_embeddings_keep_one(emb, 0.9, dim=16).count()
+    assert kept <= 250
+
+
+def test_auto_planes_refuses_precomputed_banded_frame(spark):
+    """Auto-sizing cannot infer the hash space a precomputed signature
+    frame was built in — mixing spaces silently collapses recall, so the
+    combination must raise (same contract as knn_join)."""
+    import pytest
+
+    from jurimetria_etl_spark.operators.similarity import (
+        lsh_banded_signatures,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    banded = lsh_banded_signatures(emb, dim=2, n_planes=2)
+    with pytest.raises(ValueError, match="n_planes"):
+        cosine_similarity_join(
+            emb, emb, threshold=0.5, dim=2, left_banded=banded
+        )
+
+
 def test_planted_twins_survive_scaled_planes(spark):
     """With planes scaled for N=2000 (~4 planes at target 200, but force a
     finer 8-plane banding), a cos~0.99 planted twin must still collide in

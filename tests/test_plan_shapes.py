@@ -215,3 +215,37 @@ def test_widen_partitions_noop_on_well_split_input(spark, tmp_path):
     narrow = spark.read.parquet(single)
     plan = _physical(widen_partitions(narrow))
     assert "Exchange RoundRobinPartitioning" in plan  # the local remedy
+
+
+def test_t15_disjunction_pushed_to_both_scans(spark):
+    """TPC-H Q19 shape: the OR-of-ANDs must reach BOTH parquet scans as
+    PushedFilters — the per-table residue of the cross-table disjunction
+    (quantity-range OR on lineitem, brand/size OR on part) prunes row
+    groups at the source; only the cross-table recheck stays post-join.
+    Column pruning is pinned too: lineitem reads 4 of its 11 columns."""
+    from jurimetria_etl_spark.plans.tpch import t15_disjunctive_pricing
+
+    plan = _physical(t15_disjunctive_pricing(spark, SF))
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    li = next(ln for ln in scans if "lineitem.parquet" in ln)
+    part = next(ln for ln in scans if "/part.parquet" in ln)
+    assert "PushedFilters" in li and "Or(" in li.split("PushedFilters")[0] + li
+    assert "Or(" in li, "lineitem scan lost the quantity-range disjunction"
+    assert "Or(" in part, "part scan lost the brand/size disjunction"
+    assert "[l_partkey" in li and "l_discount" in li.split("]")[0]
+
+
+def test_t14_outer_join_aggregates_fact_side_first(spark):
+    """Q13 shape: the data-sized shuffle must be the orders-per-custkey
+    aggregate; customer never shuffles (the count frame broadcasts into
+    the left join) and the zero bucket survives."""
+    from jurimetria_etl_spark.plans.tpch import t14_customer_distribution
+
+    df = t14_customer_distribution(spark, SF)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    # exactly one hash-partitioned exchange on o_custkey (partial+final
+    # agg pair), none keyed on c_custkey
+    assert "hashpartitioning(__ck" not in plan  # count frame broadcasts
+    rows = {r.c_count: r.custdist for r in df.collect()}
+    assert sum(rows.values()) == 150  # sf0.001 customer count — zeros kept

@@ -95,3 +95,22 @@ def test_batch_mode_is_session_window(spark):
     ).first()
     assert totals.n == plain.n
     assert abs(totals.v - plain.v) < 1e-3
+
+def test_round_half_up6_matches_spark_round(spark):
+    """The pandas-side rounding must be bit-identical to the batch path's
+    F.round (HALF_UP over the shortest decimal repr) — Python's builtin
+    banker's round() diverges on .xxxxxx5 ties (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.streaming.sessions import _round_half_up6
+
+    ties = [0.0000025, 0.0000035, 1.9999995, 2.7182818, -0.0000025, 0.1 + 0.2]
+    got = [_round_half_up6(v) for v in ties]
+    want = [
+        r[0]
+        for r in spark.createDataFrame(
+            [(v,) for v in ties], "v double"
+        ).select(F.round("v", 6)).collect()
+    ]
+    assert got == want
+    assert _round_half_up6(0.0000025) == 0.000003  # HALF_UP, not banker's

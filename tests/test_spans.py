@@ -1,0 +1,108 @@
+"""Cross-document duplicate-span detection (operators/spans.py): exact
+parity with the brute-force L-gram self-join, the winnowing no-false-
+negative guarantee, the stop-fingerprint cap contract, and the
+boilerplate aggregation — on planted fixtures and the real documents
+table (DuckDB oracle in test_deregistered_queries.py / registered x28).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jurimetria_etl_spark.operators.spans import (
+    boilerplate_spans,
+    duplicate_spans,
+    lgram_set,
+    winnowed_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+BOILER = "This material is licensed under CC-BY-4.0 terms."  # 48 chars
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Four docs: 0 and 1 share the planted 48-char boilerplate inside
+    distinct prose; 2 shares nothing; 3 is too short to hold a span."""
+    return _docs(
+        spark,
+        [
+            (0, "alpha beta gamma. " + BOILER + " delta epsilon zeta."),
+            (1, "one two three four five. " + BOILER + " six seven."),
+            (2, "completely unrelated content with no repeats at all here."),
+            (3, "tiny"),
+        ],
+    )
+
+
+def _brute(spark, df, span_len):
+    g = lgram_set(df, span_len)
+    a = g.selectExpr("doc_id AS left_id", "span AS s1")
+    b = g.selectExpr("doc_id AS right_id", "span AS s2")
+    return (
+        a.join(b, (a.s1 == b.s2) & (a.left_id < b.right_id))
+        .selectExpr("left_id", "right_id", "s1 AS span")
+        .collect()
+    )
+
+
+def test_duplicate_spans_matches_bruteforce_on_planted(spark, planted):
+    got = duplicate_spans(planted, span_len=40, k=8).collect()
+    want = _brute(spark, planted, 40)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    pairs = {(r.left_id, r.right_id) for r in got}
+    assert pairs == {(0, 1)}  # only the boilerplate-sharing pair
+    # the shared region is '. ' + BOILER + ' ' = 51 chars → 51-40+1 spans
+    assert len(got) == 12
+    assert any(BOILER[:40] == r.span for r in got)
+
+
+def test_duplicate_spans_matches_bruteforce_on_documents_table(spark):
+    """Real word-salad corpus (dense with repeats): winnow-pruned result
+    must equal the exact self-join, proving the candidate stage is
+    lossless below the df cap."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = duplicate_spans(docs, span_len=30, k=8, max_fp_df=None).collect()
+    want = _brute(spark, docs, 30)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0  # the fixture genuinely exercises the join
+
+
+def test_winnowing_guarantee_shared_fp(spark, planted):
+    """Docs sharing a ≥span_len span MUST share a fingerprint value —
+    the lossless-pruning invariant the whole design rests on."""
+    fps = winnowed_fingerprints(planted, span_len=40, k=8)
+    by_doc = {
+        r.doc_id: set(rr.fp for rr in fps.where(fps.doc_id == r.doc_id).collect())
+        for r in planted.select("doc_id").collect()
+    }
+    assert by_doc[0] & by_doc[1]
+    assert not by_doc[3]  # too-short doc emits no fingerprints (no error)
+
+
+def test_stop_fingerprint_cap_trades_recall_not_correctness(spark):
+    """A span shared by MORE than max_fp_df docs is dropped by the cap
+    (documented recall trade) and found again with max_fp_df=None."""
+    rows = [(i, f"prefix {i} " + BOILER + f" suffix {i}") for i in range(6)]
+    df = _docs(spark, rows)
+    capped = duplicate_spans(df, span_len=40, k=8, max_fp_df=3).collect()
+    assert capped == []  # every fingerprint of the span has df=6 > 3
+    uncapped = duplicate_spans(df, span_len=40, k=8, max_fp_df=None)
+    assert uncapped.select("left_id", "right_id").distinct().count() == 15
+
+def test_boilerplate_spans_counts_distinct_docs(spark, planted):
+    bp = boilerplate_spans(planted, span_len=40, min_df=2).collect()
+    assert len(bp) == 12 and all(r.n_docs == 2 for r in bp)
+    # repeated occurrence INSIDE one doc counts once
+    dup_inside = _docs(spark, [(7, BOILER + " filler " + BOILER)])
+    solo = boilerplate_spans(dup_inside, span_len=40, min_df=2).collect()
+    assert solo == []
+
+
+def test_span_len_must_exceed_k(spark, planted):
+    with pytest.raises(ValueError, match="span_len"):
+        winnowed_fingerprints(planted, span_len=8, k=8)
