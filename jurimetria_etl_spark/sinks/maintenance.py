@@ -11,11 +11,30 @@ that takes seconds and one that takes hours).
 files: size the output file count from the CURRENT bytes on disk, rewrite
 via one round-robin repartition (or per-partition for hive layouts), then
 swap directories.  The swap is two renames — NOT atomic: a reader racing
-the swap can see a missing directory.  That is inherent to bare
-parquet-on-filesystem; run compaction in the maintenance window the same
-way the incremental dedup stores are rebuilt, or adopt a transactional
-table format when concurrent readers matter.  Correctness (row multiset
-identical, partition layout preserved, pruning still effective) is
+the swap can see a missing directory.  For stores with concurrent
+readers, use the MANIFESTED-STORE api below instead: data lives in
+version directories under ``<store>/_versions/<hex>/`` and a single
+``<store>/_MANIFEST`` file names the current one; publishing a new
+version is ONE ``os.replace`` (atomic on POSIX), and old version
+directories are retained until an explicit ``store_prune`` — a reader
+that resolved the previous version keeps a fully-intact directory for as
+long as the pruning grace lasts.  The underscore prefixes mean Spark's
+file listing ignores the internals, so a legacy plain-directory reader
+pointed at the store root still sees exactly the legacy root files.
+
+Compaction never deletes data it has not verified: the rewritten tree's
+row count must equal the source's or the swap is abandoned (original
+kept, report says so).
+
+What this does NOT solve: coordination with concurrent WRITERS.  An
+appender that resolved the current version, then raced a compaction and
+a prune, appends into a directory the prune deletes.  Bare
+parquet-on-filesystem has no transaction log; run compaction+prune in
+the writer's maintenance window (streaming/curation.py appends re-resolve
+per micro-batch, so between-batch compaction is safe and prune needs one
+retained generation of grace), or adopt a transactional table format.
+Correctness (row multiset identical, partition layout preserved, pruning
+still effective, manifest atomicity under a racing reader) is
 value-tested in tests/test_maintenance.py.
 """
 
@@ -73,15 +92,24 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_file_bytes))
     df: DataFrame = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    if partition_cols:
-        (
-            df.repartition(n_out, *partition_cols)
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(tmp)
-        )
-    else:
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    _rewrite(df, tmp, n_out, partition_cols)
+    # Verify BEFORE destroying anything: a silently short rewrite (lost
+    # task output, truncated write) must abandon the swap, not delete the
+    # only good copy.  Row count is the cheap sufficient check here — the
+    # rewrite is a pure repartition, so any loss shows up as a count
+    # mismatch.
+    src_rows = _rows_in(spark, path)
+    new_rows = _rows_in(spark, tmp)
+    if new_rows != src_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total,
+            "skipped": True,
+            "verified": False,
+            "reason": f"rewrite rows {new_rows} != source rows {src_rows}",
+        }
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -92,4 +120,146 @@ def compact_parquet(
         "files_after": files_after,
         "bytes": total,
         "skipped": False,
+        "verified": True,
     }
+
+
+def _rewrite(
+    df: DataFrame, out: str, n_out: int, partition_cols: list[str] | None
+) -> None:
+    if partition_cols:
+        (
+            df.repartition(n_out, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(out)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(out)
+
+
+def _rows_in(spark: SparkSession, path: str) -> int:
+    """Row count of a parquet tree (parquet metadata count — no data scan)."""
+    return spark.read.parquet(path).count()
+
+
+# ───────────────────── manifested store (atomic swap) ──────────────────────
+
+_MANIFEST = "_MANIFEST"
+_VERSIONS = "_versions"
+
+
+def _manifest_file(store: str) -> str:
+    return os.path.join(store, _MANIFEST)
+
+
+def store_data_dir(store: str) -> str:
+    """Resolve the directory readers should scan.
+
+    Manifested store → the version directory the ``_MANIFEST`` names.
+    Plain directory (no manifest) → the directory itself, so every
+    consumer can resolve through this unconditionally and legacy stores
+    keep working unchanged."""
+    mf = _manifest_file(store)
+    try:
+        with open(mf, encoding="utf-8") as f:
+            version = f.read().strip()
+    except FileNotFoundError:
+        return store
+    return os.path.join(store, _VERSIONS, version)
+
+
+def _publish(store: str, version: str) -> None:
+    """Atomically point the manifest at ``version`` — one ``os.replace``
+    of a same-filesystem temp file, so a reader sees either the old or
+    the new manifest in full, never a torn or missing one."""
+    os.makedirs(store, exist_ok=True)
+    tmp = _manifest_file(store) + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_file(store))
+
+
+def compact_store(
+    spark: SparkSession,
+    store: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Reader-safe compaction: rewrite the store's current data into a NEW
+    version directory, verify the row count, then atomically publish it.
+    The previous data (old version dir, or the legacy root files when
+    upgrading a plain directory) is RETAINED so any reader that resolved
+    it mid-compaction keeps an intact directory; reclaim space later with
+    ``store_prune`` once in-flight readers have drained.
+
+    Works on both layouts: a plain append directory is upgraded to a
+    manifested store on first compaction (legacy root files stay behind
+    for legacy readers until pruned — Spark ignores the ``_``-prefixed
+    internals, so those readers see exactly what they saw before the
+    upgrade)."""
+    src = store_data_dir(store)
+    files_before, total = dir_stats(src)
+    if files_before < min_files_to_compact:
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total,
+            "skipped": True,
+        }
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(store, _VERSIONS, version)
+    _rewrite(spark.read.parquet(src), vdir, n_out, partition_cols)
+    src_rows = _rows_in(spark, src)
+    new_rows = _rows_in(spark, vdir)
+    if new_rows != src_rows:
+        shutil.rmtree(vdir, ignore_errors=True)
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total,
+            "skipped": True,
+            "verified": False,
+            "reason": f"rewrite rows {new_rows} != source rows {src_rows}",
+        }
+    _publish(store, version)
+    files_after, _ = dir_stats(vdir)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total,
+        "skipped": False,
+        "verified": True,
+        "version": version,
+    }
+
+
+def store_prune(store: str) -> list[str]:
+    """Delete every non-current generation: old version directories and —
+    once a manifest exists — the legacy root parquet files a plain-dir
+    upgrade left behind.  Call AFTER the reader grace period; the current
+    version and the manifest are never touched.  Returns removed paths."""
+    mf = _manifest_file(store)
+    if not os.path.exists(mf):
+        return []
+    current = store_data_dir(store)
+    removed: list[str] = []
+    vroot = os.path.join(store, _VERSIONS)
+    if os.path.isdir(vroot):
+        for name in os.listdir(vroot):
+            full = os.path.join(vroot, name)
+            if os.path.abspath(full) != os.path.abspath(current):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+    for name in os.listdir(store):
+        full = os.path.join(store, name)
+        if name.startswith("_") or os.path.isdir(full):
+            continue
+        if name.endswith(".parquet") or name.endswith(".crc"):
+            os.remove(full)
+            removed.append(full)
+    return removed

@@ -52,7 +52,15 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Empty frame ONLY when the store does not exist yet (first batch).
     Any other read failure must propagate and fail the micro-batch so the
     checkpoint retries it — swallowing a transient FS error here would
-    silently skip the dedup pass and append duplicates forever."""
+    silently skip the dedup pass and append duplicates forever.
+
+    ``path`` resolves through ``store_data_dir``: once a store has been
+    compacted into the manifested layout (sinks/maintenance.py), each
+    micro-batch re-resolves the CURRENT version — which is what makes
+    between-batch compaction safe for this stream."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    path = store_data_dir(path)
     # the PUBLIC base class — catches both classic (captured) and Spark
     # Connect implementations
     from pyspark.errors import AnalysisException
@@ -122,13 +130,18 @@ def curate_document_stream(
         # fp appends is safe because minhash_dedup_incremental excludes
         # same-id store matches: the replayed doc is not dropped by its
         # own stored signature, so the fp append eventually lands.
-        survivors.write.mode("append").parquet(corpus_dir)
+        # Appends resolve the store manifests too (no-op for plain dirs):
+        # re-resolving per batch means a between-batch compaction's new
+        # version receives every later append.
+        from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+        survivors.write.mode("append").parquet(store_data_dir(corpus_dir))
         build_near_dup_store(survivors, id_col, text_col, k, bands, n).write.mode(
             "append"
-        ).parquet(sig_store_dir)
+        ).parquet(store_data_dir(sig_store_dir))
         survivors.select(fingerprint(text_col).alias("fp")).write.mode(
             "append"
-        ).parquet(fp_store_dir)
+        ).parquet(store_data_dir(fp_store_dir))
 
     writer = (
         docs_stream.writeStream.foreachBatch(handle_batch)

@@ -68,3 +68,99 @@ def test_noop_below_threshold(spark, tmp_path):
     report = compact_parquet(spark, out)
     assert report["skipped"] is True
     assert report["files_before"] == report["files_after"] == 1
+
+def test_rewrite_verification_abandons_swap_on_short_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """A silently short rewrite must NOT replace (or delete) the source:
+    the row-count verification abandons the swap and reports it."""
+    import jurimetria_etl_spark.sinks.maintenance as M
+
+    out = str(tmp_path / "frag")
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    before = _multiset(spark.read.parquet(out))
+
+    real = M._rows_in
+    calls = {"n": 0}
+
+    def short_count(s, p):
+        calls["n"] += 1
+        # second call is the rewritten tmp tree — lie that it lost rows
+        return real(s, p) - 7 if calls["n"] == 2 else real(s, p)
+
+    monkeypatch.setattr(M, "_rows_in", short_count)
+    report = M.compact_parquet(spark, out, target_file_bytes=10**9)
+    assert report["skipped"] is True and report["verified"] is False
+    assert "rows" in report["reason"]
+    # original untouched, tmp reclaimed
+    assert _multiset(spark.read.parquet(out)) == before
+    assert not [p for p in tmp_path.iterdir() if "__compact_" in p.name]
+
+
+def test_manifested_store_atomic_swap_keeps_racing_reader_alive(
+    spark, tmp_path
+):
+    """compact_store publishes through one atomic manifest replace: a
+    reader that resolved the OLD version before the swap keeps a fully
+    intact directory until an explicit prune, while new resolutions see
+    the compacted version with the same rows."""
+    from jurimetria_etl_spark.sinks.maintenance import (
+        compact_store,
+        dir_stats,
+        store_data_dir,
+        store_prune,
+    )
+
+    store = str(tmp_path / "store")
+    for i in range(12):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(store)
+    before = _multiset(spark.read.parquet(store))
+
+    # a "racing reader": resolves (and holds) the pre-compaction location
+    old_dir = store_data_dir(store)
+    assert old_dir == store  # plain dir before first compaction
+
+    report = compact_store(spark, store, target_file_bytes=10**9)
+    assert report["verified"] is True and report["skipped"] is False
+
+    new_dir = store_data_dir(store)
+    assert new_dir != old_dir and "_versions" in new_dir
+    # new resolution: compacted, same rows
+    assert _multiset(spark.read.parquet(new_dir)) == before
+    assert dir_stats(new_dir)[0] < 12
+    # the racing reader's legacy root files are STILL there (Spark ignores
+    # the _-prefixed internals, so the legacy read sees the old data only)
+    assert _multiset(spark.read.parquet(old_dir)) == before
+
+    # second compaction: old VERSION dir survives until prune too
+    spark.range(1000, 1010).coalesce(1).write.mode("append").parquet(new_dir)
+    spark.range(1010, 1020).coalesce(1).write.mode("append").parquet(new_dir)
+    report2 = compact_store(spark, store, target_file_bytes=10**9)
+    assert report2["verified"] is True
+    held = new_dir
+    assert store_data_dir(store) != held
+    assert len(_multiset(spark.read.parquet(held))) == 120 + 20
+
+    removed = store_prune(store)
+    assert removed  # old version dir + legacy root files reclaimed
+    import os
+
+    assert not os.path.exists(held)
+    cur = store_data_dir(store)
+    assert len(_multiset(spark.read.parquet(cur))) == 140
+    # manifest always resolves to an existing dir at every step
+    assert os.path.isdir(cur)
+
+
+def test_store_prune_noop_on_plain_dir(spark, tmp_path):
+    from jurimetria_etl_spark.sinks.maintenance import store_prune
+
+    out = str(tmp_path / "plain")
+    spark.range(10).write.parquet(out)
+    assert store_prune(out) == []  # never touches an un-manifested dir
+    assert len(_multiset(spark.read.parquet(out))) == 10

@@ -40,8 +40,10 @@ HEAVY = [
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x13_cosine_join",
+    "x13b_cosine_join_scaled",
     "x18_near_dup_clusters",
     "x22_training_shards",
+    "x28_duplicate_spans",
 ]
 
 
@@ -73,21 +75,12 @@ def main() -> None:
     registry = {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
     spark = get_spark("scale-bench")
 
-    # x13 contrast pair: the registry form uses FIXED n_planes=4 (16
-    # buckets/table — quadratic candidate growth, the measured 23×/10×),
-    # this variant scales planes with log2(N) via suggest_lsh_planes so
-    # bucket occupancy stays constant.  Same threshold, same tables.
-    def x13_scaled_planes(spark, sf_dir):
-        from jurimetria_etl_spark.operators import similarity as S
-        from jurimetria_etl_spark.sources.fixtures import load_fixture
-
-        emb = load_fixture(spark, sf_dir, "embeddings")
-        planes = S.suggest_lsh_planes(emb.count())
-        return S.cosine_similarity_join(
-            emb, emb, threshold=0.45, dim=64, n_planes=planes, n_tables=8
-        )
-
-    extra = {"x13_scaled_planes": x13_scaled_planes}
+    # x13 contrast pair: the registry x13 form pins FIXED n_planes=4 (16
+    # buckets/table — quadratic candidate growth, the measured 23×/10×);
+    # x13b (in HEAVY above) is the auto-scaled DEFAULT path, registered
+    # since round 6.  tools/occupancy_probe.py decomposes its residual
+    # exponent into candidate volume vs floor.
+    extra: dict = {}
 
     results: dict[str, dict[str, float]] = {}
     for name in HEAVY + list(extra):
