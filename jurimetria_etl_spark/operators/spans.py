@@ -33,9 +33,11 @@ Scale design — no all-pairs stage anywhere:
    stop-fingerprint is missed; the planted-boilerplate test pins both
    sides of this contract).
 3. **Exact verify keyed by span**: candidate documents explode their
-   distinct L-grams and equi-join on the span text itself.  Output rows
-   are exactly the true duplicate spans — the join is keyed by span, so
-   its cost is Σ df(span)² over ACTUAL duplicates, not candidates.
+   distinct L-grams, ONE aggregation groups the doc ids per span, and
+   ordered pairs expand in-group (a gram self-join would plant the
+   winnow subplan twice in the physical plan and shuffle the grams
+   twice).  Output rows are exactly the true duplicate spans — cost is
+   Σ df(span)² over ACTUAL duplicates, the answer's own size.
 
 At 100 TB: stage 1 is narrow (no shuffle); stage 2 shuffles 8-byte
 (fp, doc) rows keyed by fp; stage 3 shuffles (span, doc) rows keyed by
@@ -204,6 +206,42 @@ def duplicate_spans(
     return grouped.select(
         F.explode(pair_structs).alias("__p"), "span"
     ).select("__p.left_id", "__p.right_id", "span")
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_col: str = "span",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Subtract a strip-list from every document: fold
+    ``replace(text, span, '')`` over the spans in CANONICAL (lexicographic)
+    order — deterministic and engine-portable (DuckDB ``list_reduce`` +
+    ``replace`` reproduce it exactly; pytest-oracle x30).  Spans from
+    ``boilerplate_spans`` all share one length, so lexicographic order is
+    also unambiguous w.r.t. overlap resolution.
+
+    The strip-list rides a single-row broadcast attach (the t10
+    global-scalar pattern): one ``collect_list`` aggregate cross-joined
+    into the corpus — no per-row join, no collect on the driver, and the
+    fold itself is a narrow Catalyst expression.  The list is expected
+    BOUNDED (top boilerplate spans, e.g. ``min_df`` filtered); a
+    corpus-sized strip-list would belong in an Aho-Corasick pass instead
+    (out of scope, documented)."""
+    strip = spans.agg(
+        F.sort_array(F.collect_list(span_col)).alias("__spans")
+    )
+    folded = F.aggregate(
+        F.col("__spans"),
+        F.col(text_col),
+        lambda acc, s: F.replace(acc, s, F.lit("")),
+    )
+    return (
+        docs.crossJoin(F.broadcast(strip))
+        .select(F.col(id_col), folded.alias(out_col))
+    )
 
 
 def boilerplate_spans(

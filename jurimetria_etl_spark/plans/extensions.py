@@ -1126,10 +1126,28 @@ def x13b_cosine_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     at BOTH oracle scales (driver sf0.01 and pytest sf0.001), so one
     static SQL covers both; the scale bench re-derives literals per scale
     (tools/scale_bench.py) and proved the auto-scaled form hash-matches
-    at sf0.1 and sf1 too."""
+    at sf0.1 and sf1 too.
+
+    The suggested plane count keys the same per-session banded-signature
+    cache x13 uses (``_lsh_banded``) — computing the fold once per
+    (scale, planes) is the ingest-time persistence story; passing the
+    frame requires passing its explicit plane count (the
+    auto-vs-precomputed guard in ``cosine_similarity_join``), which is
+    byte-identical to what the default path would derive."""
     emb = _t(spark, sf_dir, "embeddings")
+    planes = S.suggest_lsh_planes(emb.count())
+    banded = _lsh_banded(
+        spark, sf_dir, dim=64, n_planes=planes, n_tables=8, seed=42
+    )
     return S.cosine_similarity_join(
-        emb, emb, threshold=0.45, dim=64, n_tables=8, seed=42
+        emb,
+        emb,
+        threshold=0.45,
+        dim=64,
+        n_planes=planes,
+        n_tables=8,
+        seed=42,
+        left_banded=banded,
     )
 
 
@@ -1183,6 +1201,36 @@ SELECT span, COUNT(*) AS n_docs FROM g GROUP BY span HAVING COUNT(*) >= 2
 """
 
 
+def x30_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end boilerplate removal: build the strip-list
+    (``boilerplate_spans``, 40-char spans in ≥2 docs) and subtract it
+    from every document via the canonical lexicographic replace fold
+    (``strip_boilerplate``).  The oracle re-derives the same list and
+    fold with DuckDB ``list_reduce``/``replace`` — string-identical
+    output, so the whole broadcast-attach + fold plumbing is
+    value-checked.  pytest-oracle (registry window full)."""
+    from jurimetria_etl_spark.operators import spans as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    bp = SP.boilerplate_spans(docs, span_len=40, min_df=2)
+    return SP.strip_boilerplate(docs, bp)
+
+
+X30_SQL = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substring(text, i, 40) AS span
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+),
+bp AS (SELECT span FROM g GROUP BY span HAVING COUNT(*) >= 2),
+strip AS (SELECT COALESCE(list_sort(list(span)), []) AS spans FROM bp)
+SELECT d.doc_id,
+       list_reduce(list_prepend(d.text, s.spans),
+                   (acc, x) -> replace(acc, x, '')) AS clean_text
+FROM documents d CROSS JOIN strip s
+"""
+
+
 # 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
@@ -1232,6 +1280,7 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # sf0.001 in test_deregistered_queries.py.
     "x12_cosine_pairs": Q(x12_cosine_pairs, X12_SQL),
     # Never registered (window full): the boilerplate strip-list
-    # aggregate companion of x28.
+    # aggregate companion of x28 and its application to the corpus.
     "x29_boilerplate_spans": Q(x29_boilerplate_spans, X29_SQL),
+    "x30_strip_boilerplate": Q(x30_strip_boilerplate, X30_SQL),
 }

@@ -105,8 +105,10 @@ PAIRS = [
     (C.q34_pivot, C.Q34_SQL),
     (E.x12_cosine_pairs, E.X12_SQL),
     # never registered (window full): the boilerplate strip-list
-    # aggregate companion of the registered x28_duplicate_spans:
+    # aggregate companion of the registered x28_duplicate_spans, and its
+    # application (replace-fold boilerplate removal):
     (E.x29_boilerplate_spans, E.X29_SQL),
+    (E.x30_strip_boilerplate, E.X30_SQL),
 ]
 
 

@@ -106,3 +106,40 @@ def test_boilerplate_spans_counts_distinct_docs(spark, planted):
 def test_span_len_must_exceed_k(spark, planted):
     with pytest.raises(ValueError, match="span_len"):
         winnowed_fingerprints(planted, span_len=8, k=8)
+
+
+def test_strip_boilerplate_removes_planted_spans(spark, planted):
+    from jurimetria_etl_spark.operators.spans import strip_boilerplate
+
+    bp = boilerplate_spans(planted, span_len=40, min_df=2)
+    cleaned = {
+        r.doc_id: r.clean_text
+        for r in strip_boilerplate(planted, bp).collect()
+    }
+    # the shared license sentence is gone from both carriers…
+    assert BOILER[:40] not in cleaned[0] and BOILER[:40] not in cleaned[1]
+    # …while untouched docs come back verbatim
+    assert cleaned[2].startswith("completely unrelated")
+    assert cleaned[3] == "tiny"
+    # plan: strip-list rides ONE single-row broadcast attach, fold is
+    # narrow — no per-row join, no extra shuffle beyond the span agg
+    plan = (
+        strip_boilerplate(planted, bp)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row attach
+    assert "CartesianProduct" not in plan
+
+
+def test_strip_boilerplate_empty_striplist_is_identity(spark, planted):
+    from jurimetria_etl_spark.operators.spans import strip_boilerplate
+
+    empty = boilerplate_spans(planted, span_len=40, min_df=99)
+    got = {
+        r.doc_id: r.clean_text
+        for r in strip_boilerplate(planted, empty).collect()
+    }
+    want = {r.doc_id: r.text for r in planted.collect()}
+    assert got == want
