@@ -59,6 +59,10 @@ HEADLINE = [
     "t13_min_cost_supplier",
     "t14_customer_distribution",
     "t15_disjunctive_pricing",
+    "t16_important_parts",
+    "t17_top_supplier",
+    "t18_supplier_cnt_by_part",
+    "t19_nation_volume",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x09_text_profile",

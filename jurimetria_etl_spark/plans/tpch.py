@@ -884,8 +884,215 @@ TPCH: dict[str, Q] = {
     "t15_disjunctive_pricing": Q(t15_disjunctive_pricing, T15_SQL),
 }
 
+def t16_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value with a HAVING threshold derived from
+    a GLOBAL aggregate of the same relation ("parts worth more than 0.1%
+    of total traded value"; the fixture has no partsupp, so lineitem
+    revenue stands in for stocked value).
+
+    Spark-first: one per-partkey decimal aggregation (the only data-sized
+    shuffle); the global total is a 1-row aggregate attached by broadcast
+    cross-join (the t10 scalar pattern) — NOT a second scan-heavy
+    subquery per group.  The threshold compare stays in EXACT decimal:
+    per-part sums are cast to decimal(28,8) then ×1000 (precision 33 ≤
+    38, no rounding) against the cast total — a double comparison here is
+    the canonical nondeterminism trap on near-threshold keys.
+
+    Determinism: decimal arithmetic end-to-end; final order (value DESC,
+    l_partkey) fully tiebroken."""
+    li = _fact(spark, sf_dir, "lineitem")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec).cast("decimal(28,8)").alias("__v")
+    )
+    total = li.agg(F.sum(dec).cast("decimal(28,8)").alias("__t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("__v") * 1000 > F.col("__t"))
+        .select("l_partkey", F.col("__v").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+T16_SQL = """
+SELECT l_partkey,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS DOUBLE) AS value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DECIMAL(28,8)) * 1000
+     > (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DECIMAL(28,8)) FROM lineitem)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def t17_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue in a quarter
+    — an argmax JOIN-BACK (the view + max + equality form), ties kept.
+
+    Spark-first: one per-suppkey decimal aggregation over the
+    quarter-pruned fact (predicate reaches the scan), the scalar max is a
+    1-row broadcast attach, the equality filter keeps all maximal rows,
+    and the supplier dim broadcasts into the tiny tail.  The decimal
+    equality is exact on both engines — the reason the revenue stays
+    decimal until the final double render."""
+    li = _fact(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec).cast("decimal(28,8)").alias("__r")
+    )
+    mx = rev.agg(F.max("__r").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("__r") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("__r").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+T17_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def t18_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute with a
+    NOT-IN supplier exclusion.  The NOT IN decorrelates to a broadcast
+    ANTI join on the (tiny) excluded-supplier set — the semantics trap is
+    that NOT IN with NULLs differs from anti-join, but suppkeys are
+    non-null by schema, making the rewrite exact.
+
+    Spark-first: exclusion anti-join runs FIRST (broadcast, prunes the
+    fact), part attributes broadcast in, then one distinct-aggregate
+    (Spark's two-stage rewrite of a single COUNT DISTINCT partial-
+    aggregates map-side; only multi-distinct plans pay the Expand)."""
+    li = _fact(spark, sf_dir, "lineitem")
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("__ex"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") != "PROMO")
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li.l_suppkey == F.col("__ex"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_type", "p_size")
+    )
+
+
+T18_SQL = """
+SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+GROUP BY p_type, p_size
+ORDER BY supplier_cnt DESC, p_type, p_size
+"""
+
+
+def t19_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year
+    — the paired-predicate multi-dim join ((supp,cust) nation in
+    {(1,2),(2,1)}) with a date-part GROUP BY.
+
+    Spark-first: both nation-filtered dims broadcast (supplier AND
+    customer pre-pruned to the two nations before touching facts), the
+    pair disjunction evaluates on the joined row, and the only
+    data-sized shuffles are the orders⨝lineitem spine and the final
+    3-key aggregation.  ``year()`` is a Catalyst date-part, identical to
+    DuckDB's ``year()`` on the same timestamps."""
+    nations = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey").isin(1, 2))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _fact(spark, sf_dir, "lineitem")
+    orders = _fact(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                28,
+                8,
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
+
+
+T19_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((s_nationkey = 1 AND c_nationkey = 2) OR (s_nationkey = 2 AND c_nationkey = 1))
+GROUP BY supp_nation, cust_nation, o_year
+ORDER BY supp_nation, cust_nation, o_year
+"""
+
+
 # Outside the driver's 50-entry window: pytest-oracle + bench coverage.
 TPCH_EXTRA: dict[str, Q] = {
     "t06_late_shipments": Q(t06_late_shipments, T06_SQL),
     "t07_promo_revenue": Q(t07_promo_revenue, T07_SQL),
+    # Round-6 widening: global-scalar HAVING (Q11), argmax join-back
+    # (Q15), distinct-count + NOT-IN exclusion (Q16), bilateral
+    # paired-predicate volume (Q7).
+    "t16_important_parts": Q(t16_important_parts, T16_SQL),
+    "t17_top_supplier": Q(t17_top_supplier, T17_SQL),
+    "t18_supplier_cnt_by_part": Q(t18_supplier_cnt_by_part, T18_SQL),
+    "t19_nation_volume": Q(t19_nation_volume, T19_SQL),
 }

@@ -65,6 +65,17 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "t14_customer_distribution": (0, 0, 5, 1),
     # t15: broadcast part into lineitem, single global agg.
     "t15_disjunctive_pricing": (0, 0, 3, 1),
+    # t16: per-part decimal agg + 1-row global-total broadcast attach
+    # (the intended BNLJ) + exact-decimal threshold filter + sort.
+    "t16_important_parts": (1, 0, 6, 0),
+    # t17: quarter-pruned per-supplier agg, 1-row max attach, equality
+    # tail, broadcast supplier join.
+    "t17_top_supplier": (0, 0, 8, 2),
+    # t18: broadcast ANTI exclusion + broadcast part + one distinct agg.
+    "t18_supplier_cnt_by_part": (0, 0, 6, 2),
+    # t19: two nation-pruned broadcast dims into the orders⨝lineitem
+    # spine + 3-key agg + sort.
+    "t19_nation_volume": (0, 0, 9, 5),
     "x05_minhash_near_dups": (0, 0, 10, 3),
     "x08_simhash_near_dups": (0, 0, 4, 1),
     "x09_text_profile": (0, 0, 1, 0),

@@ -78,6 +78,12 @@ PAIRS = [
     # never registered (window full): Q12/Q14-shape composites
     (T.t06_late_shipments, T.T06_SQL),
     (T.t07_promo_revenue, T.T07_SQL),
+    # never registered (window full, r6): Q11 global-scalar HAVING, Q15
+    # argmax join-back, Q16 distinct-count + NOT-IN, Q7 bilateral volume
+    (T.t16_important_parts, T.T16_SQL),
+    (T.t17_top_supplier, T.T17_SQL),
+    (T.t18_supplier_cnt_by_part, T.T18_SQL),
+    (T.t19_nation_volume, T.T19_SQL),
     # rotated OUT in round 5 (to admit the correlated-subquery composites
     # t08-t10); x05/x08 compose these stages and stay in the registry:
     (E.x03_minhash, E.EXT_DEREGISTERED["x03_minhash"].oracle),

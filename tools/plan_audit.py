@@ -60,6 +60,42 @@ AUDITED = [
         "correlated MIN as per-part agg over twice-broadcast-pruned "
         "offers; no cartesian",
     ),
+    (
+        "t14_customer_distribution",
+        "fact aggregated BEFORE the outer join; count frame broadcasts "
+        "into customer; zero bucket kept",
+    ),
+    (
+        "t15_disjunctive_pricing",
+        "OR-of-ANDs residue pushed to BOTH scans; part broadcast; one "
+        "global agg",
+    ),
+    (
+        "t16_important_parts",
+        "global total as 1-row broadcast attach; exact-decimal HAVING",
+    ),
+    (
+        "t17_top_supplier",
+        "argmax join-back: 1-row max attach + decimal equality, ties kept",
+    ),
+    (
+        "t18_supplier_cnt_by_part",
+        "NOT-IN as broadcast ANTI before the fact join; single distinct agg",
+    ),
+    (
+        "t19_nation_volume",
+        "both nation-pruned dims broadcast; only spine + 3-key agg shuffle",
+    ),
+    (
+        "x13b_cosine_join_scaled",
+        "auto-sized planes; banded signature cache; keyed (t,bk) candidate "
+        "join; no cartesian",
+    ),
+    (
+        "x28_duplicate_spans",
+        "winnow fold ONCE; windowed fp-count candidacy; span-keyed group "
+        "verify (no gram self-join)",
+    ),
 ]
 
 

@@ -80,7 +80,22 @@ def main() -> None:
     # x13b (in HEAVY above) is the auto-scaled DEFAULT path, registered
     # since round 6.  tools/occupancy_probe.py decomposes its residual
     # exponent into candidate volume vs floor.
-    extra: dict = {}
+    def knn_join_top5(spark, sf_dir):
+        # the batched k-NN primitive on its production path: auto planes
+        # + the per-session banded-signature cache (ingest-time pattern)
+        from jurimetria_etl_spark.operators import similarity as S
+        from jurimetria_etl_spark.plans.extensions import _lsh_banded
+        from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        planes = S.suggest_lsh_planes(emb.count())
+        banded = _lsh_banded(spark, sf_dir, dim=64, n_planes=planes)
+        return S.knn_join(
+            emb, emb, k=5, dim=64, n_planes=planes,
+            left_banded=banded, right_banded=banded,
+        )
+
+    extra: dict = {"knn_join_top5": knn_join_top5}
 
     results: dict[str, dict[str, float]] = {}
     for name in HEAVY + list(extra):
