@@ -208,6 +208,74 @@ def duplicate_spans(
     ).select("__p.left_id", "__p.right_id", "span")
 
 
+def duplicate_spans_against(
+    left: DataFrame,
+    right: DataFrame,
+    span_len: int = 40,
+    k: int = 8,
+    max_fp_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    left_fps: DataFrame | None = None,
+    right_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-CORPUS duplicate spans: every ``span_len``-char span present
+    in a ``left`` document AND a ``right`` document, as
+    (left_id, right_id, span).  Two first-class uses:
+
+    - **Span-level decontamination**: left = training corpus, right =
+      benchmark/eval set — exact long-span leakage that token-shingle
+      overlap (operators/decontaminate.py) can miss or over-flag.
+    - **Incremental ingest**: left = the new batch, right = the ingested
+      corpus, with ``right_fps`` a persisted ``winnowed_fingerprints``
+      store appended per batch (the fingerprint-store pattern of
+      ``dedup_incremental``) — the batch never rescans corpus text except
+      for the docs a shared fingerprint implicates.
+
+    Same three-stage scale shape as ``duplicate_spans``: winnow (lossless
+    for ≥span_len matches) → candidate DOCS per side via the shared-
+    fingerprint set (fp df computed over BOTH sides together; stop-
+    fingerprints above ``max_fp_df`` dropped with the documented recall
+    trade) → exact span-keyed gram join between the two candidate
+    subsets only."""
+    lf = (
+        left_fps
+        if left_fps is not None
+        else winnowed_fingerprints(left, span_len, k, id_col, text_col)
+    )
+    rf = (
+        right_fps
+        if right_fps is not None
+        else winnowed_fingerprints(right, span_len, k, id_col, text_col)
+    )
+    both = lf.select(F.col("fp"), F.lit(0).alias("__side")).unionByName(
+        rf.select(F.col("fp"), F.lit(1).alias("__side"))
+    )
+    shared = (
+        both.groupBy("fp")
+        .agg(
+            F.count("*").alias("__df"),
+            F.min("__side").alias("__mn"),
+            F.max("__side").alias("__mx"),
+        )
+        .where((F.col("__mn") == 0) & (F.col("__mx") == 1))
+    )
+    if max_fp_df is not None:
+        shared = shared.where(F.col("__df") <= max_fp_df)
+    shared = shared.select("fp")
+    cand_l = lf.join(shared, "fp", "left_semi").select(id_col).distinct()
+    cand_r = rf.join(shared, "fp", "left_semi").select(id_col).distinct()
+    grams_l = lgram_set(
+        left.join(cand_l, id_col, "left_semi"), span_len, id_col, text_col
+    ).select(F.col(id_col).alias("left_id"), F.col("span").alias("__ls"))
+    grams_r = lgram_set(
+        right.join(cand_r, id_col, "left_semi"), span_len, id_col, text_col
+    ).select(F.col(id_col).alias("right_id"), F.col("span").alias("__rs"))
+    return grams_l.join(
+        grams_r, F.col("__ls") == F.col("__rs")
+    ).select("left_id", "right_id", F.col("__ls").alias("span"))
+
+
 def strip_boilerplate(
     docs: DataFrame,
     spans: DataFrame,

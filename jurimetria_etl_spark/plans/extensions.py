@@ -1231,6 +1231,36 @@ FROM documents d CROSS JOIN strip s
 """
 
 
+def x31_cross_corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate spans (``duplicate_spans_against``) with the
+    documents table split even/odd as the two corpora — the span-level
+    decontamination / incremental-ingest shape, value-checked against the
+    brute-force cross L-gram join.  pytest-oracle (registry window
+    full)."""
+    from jurimetria_etl_spark.operators import spans as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    return SP.duplicate_spans_against(even, odd, span_len=40, k=8, max_fp_df=None)
+
+
+X31_SQL = """
+WITH gl AS (
+  SELECT DISTINCT doc_id, substring(text, i, 40) AS span
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+  WHERE doc_id % 2 = 0),
+gr AS (
+  SELECT DISTINCT doc_id, substring(text, i, 40) AS span
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+  WHERE doc_id % 2 = 1)
+SELECT gl.doc_id AS left_id, gr.doc_id AS right_id, gl.span AS span
+FROM gl JOIN gr ON gl.span = gr.span
+"""
+
+
 # 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
@@ -1283,4 +1313,5 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # aggregate companion of x28 and its application to the corpus.
     "x29_boilerplate_spans": Q(x29_boilerplate_spans, X29_SQL),
     "x30_strip_boilerplate": Q(x30_strip_boilerplate, X30_SQL),
+    "x31_cross_corpus_spans": Q(x31_cross_corpus_spans, X31_SQL),
 }

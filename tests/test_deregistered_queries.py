@@ -115,6 +115,7 @@ PAIRS = [
     # application (replace-fold boilerplate removal):
     (E.x29_boilerplate_spans, E.X29_SQL),
     (E.x30_strip_boilerplate, E.X30_SQL),
+    (E.x31_cross_corpus_spans, E.X31_SQL),
 ]
 
 

@@ -204,3 +204,42 @@ def test_frequent_items_mg_guarantee_random(spark, values, k):
             assert v in got
     for v, c in got.items():
         assert c == exact[v]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=4, max_value=12),
+)
+def test_duplicate_spans_equals_python_bruteforce(spark, texts, span_len):
+    """duplicate_spans == the pure-Python all-L-grams model on arbitrary
+    small corpora (3-letter alphabet maximizes collisions): the winnowing
+    candidate stage must be lossless and the verify stage exact, for
+    every (corpus, span_len, k) — not just the planted fixtures."""
+    from jurimetria_etl_spark.operators.spans import duplicate_spans
+
+    k = min(3, span_len - 1)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r.left_id, r.right_id, r.span)
+        for r in duplicate_spans(
+            df, span_len=span_len, k=k, max_fp_df=None
+        ).collect()
+    }
+    grams = [
+        {t[i : i + span_len] for i in range(len(t) - span_len + 1)}
+        for t in texts
+    ]
+    want = {
+        (i, j, s)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        for s in grams[i] & grams[j]
+    }
+    assert got == want

@@ -143,3 +143,54 @@ def test_strip_boilerplate_empty_striplist_is_identity(spark, planted):
     }
     want = {r.doc_id: r.text for r in planted.collect()}
     assert got == want
+
+
+def test_cross_corpus_spans_decontamination_shape(spark):
+    """duplicate_spans_against: left=train right=eval — the planted eval
+    passage leaked into one training doc must surface; disjoint docs must
+    not; and a persisted right-side fingerprint store (the incremental
+    pattern) must yield the identical answer."""
+    from jurimetria_etl_spark.operators.spans import (
+        duplicate_spans_against,
+        winnowed_fingerprints,
+    )
+
+    leak = "The quick brown fox jumps over the lazy dog again."  # 50 chars
+    train = _docs(
+        spark,
+        [
+            (0, "some training prose. " + leak + " more prose here."),
+            (1, "entirely original training document number one."),
+        ],
+    )
+    eval_set = _docs(
+        spark,
+        [
+            (100, "eval question: " + leak + " what does the fox do?"),
+            (101, "an uncontaminated evaluation item goes here."),
+        ],
+    )
+    got = duplicate_spans_against(train, eval_set, span_len=40, k=8).collect()
+    pairs = {(r.left_id, r.right_id) for r in got}
+    assert pairs == {(0, 100)}
+    assert any(leak[:40] == r.span for r in got)
+
+    # incremental form: right side served from a precomputed fp store
+    store = winnowed_fingerprints(eval_set, span_len=40, k=8)
+    via_store = duplicate_spans_against(
+        train, eval_set, span_len=40, k=8, right_fps=store
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, via_store))
+
+
+def test_cross_corpus_spans_requires_both_sides(spark):
+    """A span repeated on ONE side only (within-corpus duplicate) must
+    not appear — the op reports cross-corpus sharing exclusively."""
+    from jurimetria_etl_spark.operators.spans import duplicate_spans_against
+
+    left = _docs(
+        spark,
+        [(0, "padding. " + BOILER + " end."), (1, "intro " + BOILER + " out.")],
+    )
+    right = _docs(spark, [(9, "totally different right-corpus content here.")])
+    assert duplicate_spans_against(left, right, span_len=40, k=8).count() == 0
