@@ -1189,6 +1189,139 @@ ORDER BY o_orderpriority, decile
 """
 
 
+def q41_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q41 — FULL OUTER join reconciliation (the two-ledger compare):
+    per-nation counts of mid-balance suppliers vs rich customers — the
+    thresholds are tuned so BOTH null-extension directions occur in the
+    sf0.001 fixture (4 supplier-only and 2 customer-only nations) — keys
+    COALESCEd and missing counts reinstated as 0.  The corpus's only
+    full-outer shape.  Both inputs aggregate BEFORE the join (tiny
+    frames; the join itself is broadcast-able), never outer-joining raw
+    facts."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 2000)
+        .groupBy(F.col("s_nationkey").alias("__sk"))
+        .agg(F.count("*").alias("__ns"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9500)
+        .groupBy(F.col("c_nationkey").alias("__ck"))
+        .agg(F.count("*").alias("__nc"))
+    )
+    return (
+        supp.join(cust, supp.__sk == cust.__ck, "full_outer")
+        .select(
+            F.coalesce(F.col("__sk"), F.col("__ck")).alias("nationkey"),
+            F.coalesce(F.col("__ns"), F.lit(0)).alias("n_suppliers"),
+            F.coalesce(F.col("__nc"), F.lit(0)).alias("n_rich_customers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q41_SQL = """
+WITH s AS (SELECT s_nationkey AS k, COUNT(*) AS n FROM supplier
+           WHERE s_acctbal > 2000 GROUP BY 1),
+     c AS (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer
+           WHERE c_acctbal > 9500 GROUP BY 1)
+SELECT COALESCE(s.k, c.k) AS nationkey,
+       COALESCE(s.n, 0) AS n_suppliers,
+       COALESCE(c.n, 0) AS n_rich_customers
+FROM s FULL OUTER JOIN c ON s.k = c.k
+ORDER BY nationkey
+"""
+
+
+def q42_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q42 — BAG-semantics set ops (`intersectAll` / `exceptAll`):
+    multiplicity-preserving intersection and difference of the priority
+    multisets of two order-status slices, tagged-union'd and re-counted.
+    Distinct-semantics INTERSECT/EXCEPT are q17; the ALL variants keep
+    min(m,n) / m−n copies per value — the multiset arithmetic is exactly
+    what the count verifies.  Both engines implement them natively
+    (Spark rewrites to a count-compare aggregate — no join explosion)."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    ia = (
+        f.intersectAll(o)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("which", F.lit("intersect_all"))
+    )
+    ea = (
+        f.exceptAll(o)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("which", F.lit("except_all"))
+    )
+    return ia.unionByName(ea).orderBy("which", "o_orderpriority")
+
+
+Q42_SQL = """
+SELECT o_orderpriority, COUNT(*) AS cnt, 'intersect_all' AS which FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, COUNT(*) AS cnt, 'except_all' AS which FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+GROUP BY o_orderpriority
+ORDER BY which, o_orderpriority
+"""
+
+
+def q43_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q43 — UNPIVOT (the q34 pivot's inverse): per-priority status
+    counts computed wide (one conditional-agg pass), then melted to
+    (priority, status, cnt) rows with Spark's native ``unpivot``
+    operator — the long⇄wide round-trip every reporting pipeline hits.
+    The oracle rebuilds the same long form with a UNION ALL of the three
+    status columns."""
+    orders = _t(spark, sf_dir, "orders")
+    cnt = lambda s: F.sum(  # noqa: E731
+        (F.col("o_orderstatus") == s).cast("long")
+    ).alias(f"cnt_{s}")
+    wide = orders.groupBy("o_orderpriority").agg(
+        cnt("F"), cnt("O"), cnt("P")
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["cnt_F", "cnt_O", "cnt_P"],
+            "status_col",
+            "cnt",
+        )
+        .select(
+            "o_orderpriority",
+            F.substring("status_col", 5, 1).alias("o_orderstatus"),
+            "cnt",
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+Q43_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
+         SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, 'F' AS o_orderstatus, cnt_f AS cnt FROM wide
+UNION ALL
+SELECT o_orderpriority, 'O', cnt_o FROM wide
+UNION ALL
+SELECT o_orderpriority, 'P', cnt_p FROM wide
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
 def q36_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q36 — hypertable-style bucketed gap-fill (operators/timeseries.py):
     hourly avg(value) per event_type, every bucket in each type's span

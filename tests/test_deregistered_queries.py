@@ -103,6 +103,11 @@ PAIRS = [
     (C.q38_argmax, C.Q38_SQL),
     (C.q39_lag_gaps, C.Q39_SQL),
     (C.q40_ntile_deciles, C.Q40_SQL),
+    # never registered (window full, r6): FULL OUTER reconciliation,
+    # bag-semantics set ops, UNPIVOT (q34's inverse)
+    (C.q41_full_outer_reconcile, C.Q41_SQL),
+    (C.q42_bag_setops, C.Q42_SQL),
+    (C.q43_unpivot, C.Q43_SQL),
     # rotated OUT in round 6 (to admit x13b_cosine_join_scaled,
     # x28_duplicate_spans, t14, t15): q23's SQL remains x14's driver-gate
     # oracle; q21/q34/x12 are floor-dominated single-op forms:
