@@ -37,6 +37,8 @@ HEAVY = [
     "t11_big_orders",
     "t12_waiting_suppliers",
     "t13_min_cost_supplier",
+    "t14_customer_distribution",
+    "t18_supplier_cnt_by_part",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x13_cosine_join",
