@@ -1322,6 +1322,53 @@ ORDER BY o_orderpriority, o_orderstatus
 """
 
 
+def q44_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q44 — ordinality-preserving explode (`posexplode`): rebuild each
+    order's shipdate-sorted line sequence (the q20 array), explode WITH
+    POSITION, and keep each line's rank-within-order — the
+    explode-with-index idiom (DuckDB: ``unnest … WITH ORDINALITY``).
+    The position is semantic (shipdate order, orderkey-unique), not an
+    artifact of row order, which is what makes it hash-comparable."""
+    li = _fact(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    arr = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_shipdate", "l_linenumber"))
+            ).alias("__seq")
+        )
+    )
+    return (
+        arr.select(
+            "l_orderkey",
+            F.posexplode(F.col("__seq.l_linenumber")).alias(
+                "ship_rank0", "l_linenumber"
+            ),
+        )
+        .select(
+            "l_orderkey",
+            (F.col("ship_rank0") + 1).alias("ship_rank"),
+            "l_linenumber",
+        )
+        .orderBy("l_orderkey", "ship_rank")
+    )
+
+
+Q44_SQL = """
+WITH seq AS (
+  SELECT l_orderkey,
+         list_transform(
+           list_sort(list({'d': l_shipdate, 'ln': l_linenumber})),
+           s -> s.ln) AS lines
+  FROM lineitem
+  WHERE l_orderkey % 100 = 0
+  GROUP BY l_orderkey)
+SELECT l_orderkey, i AS ship_rank, lines[i] AS l_linenumber
+FROM seq, LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)
+ORDER BY l_orderkey, ship_rank
+"""
+
+
 def q36_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q36 — hypertable-style bucketed gap-fill (operators/timeseries.py):
     hourly avg(value) per event_type, every bucket in each type's span

@@ -93,6 +93,9 @@ def curate_document_stream(
     bands: int = 4,
     n: int = 3,
     available_now: bool = True,
+    span_fp_store_dir: str | None = None,
+    span_len: int = 40,
+    span_k: int = 8,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -100,6 +103,16 @@ def curate_document_stream(
     the signature store (both also dedup within the batch) → append the
     survivors to ``corpus_dir`` and their fingerprints/signatures to the
     stores.  Returns the started ``StreamingQuery``.
+
+    ``span_fp_store_dir`` (optional) additionally maintains a WINNOWED
+    span-fingerprint store (operators/spans.py) over the curated corpus:
+    each batch appends its survivors' fingerprints, so
+    ``duplicate_spans_against(new, corpus, right_fps=store)`` runs
+    cross-batch span detection without re-winnowing history — the
+    fingerprint-store pattern applied to the suffix-array-dedup axis.
+    Append order: LAST (the store is advisory candidate pruning; fps are
+    distinct per doc, so a retried batch's duplicate rows only repeat
+    candidacy hints and are deduplicated on read).
 
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
@@ -142,6 +155,14 @@ def curate_document_stream(
         survivors.select(fingerprint(text_col).alias("fp")).write.mode(
             "append"
         ).parquet(store_data_dir(fp_store_dir))
+        if span_fp_store_dir is not None:
+            from jurimetria_etl_spark.operators.spans import (
+                winnowed_fingerprints,
+            )
+
+            winnowed_fingerprints(
+                survivors, span_len, span_k, id_col, text_col
+            ).write.mode("append").parquet(store_data_dir(span_fp_store_dir))
 
     writer = (
         docs_stream.writeStream.foreachBatch(handle_batch)

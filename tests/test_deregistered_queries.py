@@ -108,6 +108,7 @@ PAIRS = [
     (C.q41_full_outer_reconcile, C.Q41_SQL),
     (C.q42_bag_setops, C.Q42_SQL),
     (C.q43_unpivot, C.Q43_SQL),
+    (C.q44_posexplode, C.Q44_SQL),
     # rotated OUT in round 6 (to admit x13b_cosine_join_scaled,
     # x28_duplicate_spans, t14, t15): q23's SQL remains x14's driver-gate
     # oracle; q21/q34/x12 are floor-dominated single-op forms:

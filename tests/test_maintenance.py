@@ -164,3 +164,47 @@ def test_store_prune_noop_on_plain_dir(spark, tmp_path):
     spark.range(10).write.parquet(out)
     assert store_prune(out) == []  # never touches an un-manifested dir
     assert len(_multiset(spark.read.parquet(out))) == 10
+
+
+def test_orphan_version_dir_crash_recovery(spark, tmp_path):
+    """A crash AFTER the rewrite but BEFORE the manifest publish leaves an
+    orphan version dir: readers must be unaffected (manifest still names
+    the old generation), a later compaction must succeed normally, and
+    prune must reclaim the orphan."""
+    import os
+
+    from jurimetria_etl_spark.sinks.maintenance import (
+        _VERSIONS,
+        compact_store,
+        store_data_dir,
+        store_prune,
+    )
+
+    store = str(tmp_path / "store")
+    for i in range(4):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(store)
+    before = _multiset(spark.read.parquet(store))
+
+    # first compaction -> manifested
+    compact_store(spark, store, target_file_bytes=1 << 30, min_files_to_compact=1)
+    current = store_data_dir(store)
+
+    # simulate the crash window: a fully-written version dir, never published
+    orphan = os.path.join(store, _VERSIONS, "deadbeefcafe")
+    spark.range(5).coalesce(1).write.parquet(orphan)
+
+    assert store_data_dir(store) == current  # readers never see the orphan
+    assert _multiset(spark.read.parquet(store_data_dir(store))) == before
+
+    # next compaction proceeds normally despite the orphan
+    spark.range(100, 110).coalesce(1).write.mode("append").parquet(current)
+    report = compact_store(
+        spark, store, target_file_bytes=1 << 30, min_files_to_compact=1
+    )
+    assert report["verified"] is True
+    removed = store_prune(store)
+    assert not os.path.exists(orphan)  # orphan reclaimed with old gens
+    assert any("deadbeefcafe" in p for p in removed)
+    assert len(_multiset(spark.read.parquet(store_data_dir(store)))) == 50

@@ -1,0 +1,89 @@
+"""Streaming × spans integration: the optional winnowed span-fingerprint
+store maintained by curate_document_stream must equal a from-scratch
+winnow of the curated corpus (incremental ≡ batch), and serve
+duplicate_spans_against for cross-batch leak detection without
+re-winnowing history."""
+
+from __future__ import annotations
+
+import time
+
+from jurimetria_etl_spark.operators.spans import (
+    duplicate_spans_against,
+    winnowed_fingerprints,
+)
+from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+from jurimetria_etl_spark.streaming.curation import (
+    curate_document_stream,
+    read_documents_stream,
+)
+from tests.conftest import stage_drop as _drop
+
+LEAK = "All rights reserved under the MIT license terms."  # 48 chars
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, "drop", "en", t) for i, t in rows],
+        "doc_id bigint, source string, lang string, text string",
+    )
+
+
+def test_span_store_incremental_equals_batch(spark, tmp_path):
+    flat = str(tmp_path / "flat")
+    base_t = time.time() - 3600
+    batch0 = [
+        (0, "first document with plain original prose inside it and " + LEAK),
+        (1, "second document, entirely unrelated words all the way down."),
+    ]
+    batch1 = [
+        (10, "later arrival quoting the notice: " + LEAK + " plus extras."),
+        (11, "another later doc with its own fresh content only here."),
+    ]
+    _drop(_docs(spark, batch0), flat, "000", base_t)
+
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    sigs = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+    spans_store = str(tmp_path / "span_fps")
+
+    q = curate_document_stream(
+        read_documents_stream(spark, flat), corpus, fps, sigs, ckpt,
+        span_fp_store_dir=spans_store,
+    )
+    assert q.awaitTermination(120)
+
+    # cross-batch detection BEFORE ingesting batch1: new batch vs the
+    # ingested corpus via the persisted store — no re-winnow of history
+    store = spark.read.parquet(store_data_dir(spans_store))
+    corpus_df = spark.read.parquet(store_data_dir(corpus))
+    hits = duplicate_spans_against(
+        _docs(spark, batch1).select("doc_id", "text"),
+        corpus_df.select("doc_id", "text"),
+        span_len=40,
+        k=8,
+        right_fps=store,
+    )
+    pairs = {(r.left_id, r.right_id) for r in hits.collect()}
+    assert pairs == {(10, 0)}  # the planted leak, nothing else
+
+    # ingest batch1; the accumulated store must equal a from-scratch
+    # winnow of the final corpus (incremental ≡ batch)
+    _drop(_docs(spark, batch1), flat, "001", base_t + 600)
+    q2 = curate_document_stream(
+        read_documents_stream(spark, flat), corpus, fps, sigs, ckpt,
+        span_fp_store_dir=spans_store,
+    )
+    assert q2.awaitTermination(120)
+    got = {
+        (r.doc_id, r.fp)
+        for r in spark.read.parquet(store_data_dir(spans_store)).collect()
+    }
+    want = {
+        (r.doc_id, r.fp)
+        for r in winnowed_fingerprints(
+            spark.read.parquet(store_data_dir(corpus)), 40, 8
+        ).collect()
+    }
+    assert got == want
