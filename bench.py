@@ -159,6 +159,22 @@ def main() -> None:
             sql = registry[name].oracle
             if sql is None:
                 continue
+            if name == "x13b_cosine_join_scaled":
+                # The registered oracle pins plane literals for the
+                # 500-row GATE fixtures; at bench scale the Spark side
+                # auto-derives a different plane count.  Re-derive the
+                # literals here so DuckDB times the SAME plan — otherwise
+                # its denominator runs a coarser banding and the ratio
+                # flatters Spark.
+                from jurimetria_etl_spark.operators.similarity import (
+                    suggest_lsh_planes,
+                )
+                from jurimetria_etl_spark.plans.extensions import (
+                    _x13_join_sql,
+                )
+
+                n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+                sql = _x13_join_sql(n_planes=suggest_lsh_planes(n))
             try:
                 t0 = time.time()
                 con.sql(sql).fetchall()
