@@ -238,6 +238,35 @@ def compact_store(
     }
 
 
+def maintain_stores(
+    spark: SparkSession,
+    stores: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+    prune_previous: bool = True,
+) -> dict[str, dict]:
+    """One maintenance-window pass over a set of append stores (the
+    streaming-curation corpus + fp/sig/span stores): reader-safe
+    ``compact_store`` each, then — when ``prune_previous`` — reclaim the
+    generations left by the PREVIOUS pass.  Prune-before-compact order
+    gives every generation one full maintenance interval of reader
+    grace: a reader that resolved generation N keeps it intact until the
+    N+2 pass.  Returns per-store reports (compaction report plus a
+    ``pruned`` count)."""
+    reports: dict[str, dict] = {}
+    for store in stores:
+        pruned = store_prune(store) if prune_previous else []
+        report = compact_store(
+            spark,
+            store,
+            target_file_bytes=target_file_bytes,
+            min_files_to_compact=min_files_to_compact,
+        )
+        report["pruned"] = len(pruned)
+        reports[store] = report
+    return reports
+
+
 def store_prune(store: str) -> list[str]:
     """Delete every non-current generation: old version directories and —
     once a manifest exists — the legacy root parquet files a plain-dir

@@ -208,3 +208,46 @@ def test_orphan_version_dir_crash_recovery(spark, tmp_path):
     assert not os.path.exists(orphan)  # orphan reclaimed with old gens
     assert any("deadbeefcafe" in p for p in removed)
     assert len(_multiset(spark.read.parquet(store_data_dir(store)))) == 50
+
+
+def test_maintain_stores_prunes_previous_generation_only(spark, tmp_path):
+    """The scheduled pass: each generation survives exactly one extra
+    maintenance interval (prune-before-compact), so readers holding the
+    previous generation never lose files mid-scan."""
+    import os
+
+    from jurimetria_etl_spark.sinks.maintenance import (
+        maintain_stores,
+        store_data_dir,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    for s in (a, b):
+        for i in range(3):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(s)
+
+    r1 = maintain_stores(spark, [a, b], min_files_to_compact=1)
+    assert all(v["verified"] for v in r1.values())
+    gen1 = {s: store_data_dir(s) for s in (a, b)}
+
+    # append + second pass: gen1 must STILL exist right after (it is the
+    # previous generation a reader may hold) …
+    for s in (a, b):
+        spark.range(100, 105).coalesce(1).write.mode("append").parquet(
+            store_data_dir(s)
+        )
+    r2 = maintain_stores(spark, [a, b], min_files_to_compact=1)
+    assert all(v["verified"] for v in r2.values())
+    assert all(os.path.isdir(g) for g in gen1.values())
+
+    # … and is reclaimed by the THIRD pass's prune step
+    r3 = maintain_stores(spark, [a, b], min_files_to_compact=1)
+    assert all(not os.path.isdir(g) for g in gen1.values())
+    assert all(v["pruned"] >= 1 for v in r3.values())
+    for s in (a, b):
+        assert len(
+            {tuple(r) for r in spark.read.parquet(store_data_dir(s)).collect()}
+        ) == 35
