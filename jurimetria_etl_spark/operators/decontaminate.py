@@ -118,3 +118,38 @@ def remove_contaminated(
         .select(id_col)
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+def remove_span_contaminated(
+    docs: DataFrame,
+    bench: DataFrame,
+    span_len: int = 40,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Span-level decontamination gate: drop every document sharing an
+    EXACT ``span_len``-char span with the benchmark
+    (operators/spans.py:duplicate_spans_against) — the complement of the
+    token-shingle overlap above: shingle overlap catches paraphrase-ish
+    reuse, exact-span catches verbatim leakage that tokenization can
+    split differently.  Anti-join on the flagged id set, AQE-sized;
+    ``bench_fps`` accepts the benchmark's persisted winnowed-fingerprint
+    frame so repeated gates never re-winnow the benchmark."""
+    from jurimetria_etl_spark.operators.spans import duplicate_spans_against
+
+    flagged = (
+        duplicate_spans_against(
+            docs,
+            bench,
+            span_len=span_len,
+            k=k,
+            id_col=id_col,
+            text_col=text_col,
+            right_fps=bench_fps,
+        )
+        .select(F.col("left_id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(flagged, id_col, "left_anti")

@@ -194,3 +194,35 @@ def test_cross_corpus_spans_requires_both_sides(spark):
     )
     right = _docs(spark, [(9, "totally different right-corpus content here.")])
     assert duplicate_spans_against(left, right, span_len=40, k=8).count() == 0
+
+
+def test_remove_span_contaminated_gate(spark):
+    """The span-level decontamination gate drops exactly the documents
+    sharing a verbatim >=span_len span with the benchmark, keeps the
+    rest with all columns, and accepts a persisted benchmark fingerprint
+    frame."""
+    from jurimetria_etl_spark.operators.decontaminate import (
+        remove_span_contaminated,
+    )
+    from jurimetria_etl_spark.operators.spans import winnowed_fingerprints
+
+    leak = "What is the airspeed velocity of an unladen swallow, friend?"
+    corpus = spark.createDataFrame(
+        [
+            (0, "train doc quoting: " + leak + " end of quote.", "web"),
+            (1, "a perfectly clean training document with no leaks.", "web"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "q1: " + leak)], "doc_id bigint, text string"
+    )
+    kept = remove_span_contaminated(corpus, bench, span_len=40, k=8)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert kept.columns == ["doc_id", "text", "source"]  # columns preserved
+
+    store = winnowed_fingerprints(bench, 40, 8)
+    kept2 = remove_span_contaminated(
+        corpus, bench, span_len=40, k=8, bench_fps=store
+    )
+    assert [r.doc_id for r in kept2.collect()] == [1]
