@@ -1,0 +1,73 @@
+"""Raw-JSON landing ingest (sources/landing.py): reading a landed
+JSON-lines tree must produce the SAME flattened frame as the live
+adapter path, tribunal resolved from the hive partition dirs, malformed
+lines tolerated."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from jurimetria_etl_spark.sources.landing import (
+    read_hits_jsonl,
+    read_processos_landing,
+)
+from tests.test_reference_parity import SAMPLE_HIT, _hits_df
+
+
+def _land(dir_path: Path, hits):
+    dir_path.mkdir(parents=True, exist_ok=True)
+    (dir_path / "page-000.json").write_text(
+        "\n".join(json.dumps(h) for h in hits) + "\n"
+    )
+
+
+def _hit(numero):
+    h = json.loads(json.dumps(SAMPLE_HIT))
+    h["_source"]["numeroProcesso"] = numero
+    return h
+
+
+def test_landing_equals_adapter_flatten(spark, tmp_path):
+    from jurimetria_etl_spark.operators.flatten import flatten_hits
+
+    hits = [_hit("0000001-00.2023.8.26.0000"), _hit("0000002-00.2023.8.26.0000")]
+    _land(tmp_path / "land", hits)
+    got = read_processos_landing(
+        spark, str(tmp_path / "land"), tribunal="TJCE"
+    ).collect()
+    want = flatten_hits(_hits_df(spark, hits), "TJCE").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_landing_tribunal_from_partition_dirs(spark, tmp_path):
+    land = tmp_path / "land"
+    _land(land / "tribunal=TJCE", [_hit("0000001-00.2023.8.26.0000")])
+    _land(land / "tribunal=TJSP", [_hit("0000009-00.2023.8.26.0000")])
+    df = read_processos_landing(spark, str(land))
+    rows = {(r.tribunal, r.numero_processo) for r in df.collect()}
+    assert rows == {
+        ("TJCE", "0000001-00.2023.8.26.0000"),
+        ("TJSP", "0000009-00.2023.8.26.0000"),
+    }
+    # per-tribunal query prunes at the file listing (PartitionFilters)
+    plan = (
+        df.where(df.tribunal == "TJCE")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(tribunal" in plan
+
+
+def test_landing_tolerates_malformed_lines(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "page-000.json").write_text(
+        json.dumps(_hit("0000001-00.2023.8.26.0000"))
+        + "\n{not json at all\n"
+    )
+    hits = read_hits_jsonl(spark, str(land))
+    # PERMISSIVE mode: the bad line is an all-NULL row, the good one parses
+    ok = hits.where(hits["_source"].isNotNull())
+    assert ok.count() == 1
