@@ -47,3 +47,20 @@ def read_processos_landing(
         )
         return flatten_hits(hits, F.col("tribunal"))
     return flatten_hits(read_hits_jsonl(spark, path), tribunal)
+
+
+def land_hits(hits_with_tribunal: DataFrame, out_dir: str) -> None:
+    """The WRITE half of the landing loop: persist a
+    ``DataJudSource.parallel_scan`` frame — (tribunal, hit-struct) rows —
+    as tribunal-partitioned JSON-lines that ``read_processos_landing``
+    reads back byte-compatibly.  Append mode: each scheduled pull lands
+    its pages next to earlier ones; executors write their own partitions
+    (no driver collect), and the partitionBy dirs are exactly the
+    pruning layout the readers exploit.  Compact with
+    ``sinks.maintenance`` once a landing zone accumulates small files."""
+    (
+        hits_with_tribunal.select("tribunal", "hit.*")
+        .write.mode("append")
+        .partitionBy("tribunal")
+        .json(out_dir)
+    )

@@ -71,3 +71,28 @@ def test_landing_tolerates_malformed_lines(spark, tmp_path):
     # PERMISSIVE mode: the bad line is an all-NULL row, the good one parses
     ok = hits.where(hits["_source"].isNotNull())
     assert ok.count() == 1
+
+
+def test_full_landing_loop_adapter_to_engine(spark, tmp_path):
+    """adapter (injected transport) → land_hits → read back: the engine
+    sees exactly the rows the live scan produced, partitioned by
+    tribunal."""
+    from jurimetria_etl_spark.sources.datajud import DataJudSource
+    from jurimetria_etl_spark.sources.landing import land_hits
+    from tests.test_sources import _paged_transport
+
+    pages = {
+        (): [dict(_hit("0000001-00.2023.8.26.0000"), sort=[1])],
+        (1,): [],
+    }
+    src = DataJudSource(spark, transport=_paged_transport(pages))
+    scanned = src.parallel_scan(["TJCE", "TJSP"])
+    land = str(tmp_path / "land")
+    land_hits(scanned, land)
+
+    back = read_processos_landing(spark, land)
+    rows = {(r.tribunal, r.numero_processo) for r in back.collect()}
+    assert rows == {
+        ("TJCE", "0000001-00.2023.8.26.0000"),
+        ("TJSP", "0000001-00.2023.8.26.0000"),
+    }
