@@ -128,6 +128,7 @@ def remove_span_contaminated(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_fps: DataFrame | None = None,
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Span-level decontamination gate: drop every document sharing an
     EXACT ``span_len``-char span with the benchmark
@@ -136,7 +137,17 @@ def remove_span_contaminated(
     reuse, exact-span catches verbatim leakage that tokenization can
     split differently.  Anti-join on the flagged id set, AQE-sized;
     ``bench_fps`` accepts the benchmark's persisted winnowed-fingerprint
-    frame so repeated gates never re-winnow the benchmark."""
+    frame so repeated gates never re-winnow the benchmark.
+
+    ``max_fp_df=None`` (the default) deliberately OVERRIDES
+    ``duplicate_spans_against``'s production stop-fingerprint cap: a
+    benchmark span that leaked into MORE documents than the cap is
+    exactly the hottest contamination, and a cap would silently KEEP
+    every one of those documents.  Exactness matters more than the
+    shuffle bound here — the benchmark side is small, so the shared-
+    fingerprint set stays benchmark-bounded even uncapped.  Set a cap
+    only if you accept that recall trade, and the docs it drops are the
+    most-leaked ones."""
     from jurimetria_etl_spark.operators.spans import duplicate_spans_against
 
     flagged = (
@@ -145,6 +156,7 @@ def remove_span_contaminated(
             bench,
             span_len=span_len,
             k=k,
+            max_fp_df=max_fp_df,
             id_col=id_col,
             text_col=text_col,
             right_fps=bench_fps,

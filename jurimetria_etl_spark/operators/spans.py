@@ -161,7 +161,14 @@ def duplicate_spans(
     # where file count ≥ cores; see widen_partitions).
     df = widen_partitions(df)
     if fps is not None:
-        shared = fps.groupBy("fp").agg(F.count("*").alias("__df"))
+        # countDistinct, not count(*): a persisted store can legitimately
+        # hold duplicate (id, fp) rows — a retried streaming micro-batch
+        # appends the same fingerprints twice — and raw row counts would
+        # both inflate df past max_fp_df (silently dropping real
+        # duplicate spans) and fake df≥2 for a single-document span.
+        shared = fps.groupBy("fp").agg(
+            F.countDistinct(F.col(id_col)).alias("__df")
+        )
         shared = shared.where(F.col("__df") >= 2)
         if max_fp_df is not None:
             shared = shared.where(F.col("__df") <= max_fp_df)
@@ -237,7 +244,41 @@ def duplicate_spans_against(
     fingerprint set (fp df computed over BOTH sides together; stop-
     fingerprints above ``max_fp_df`` dropped with the documented recall
     trade) → exact span-keyed gram join between the two candidate
-    subsets only."""
+    subsets only.
+
+    The verify join is HASH-KEYED: candidate docs can be large while the
+    span they share is one line, so shuffling their full L-gram sets as
+    raw strings would byte-amplify the exchange ~span_len×.  Instead the
+    distinct 8-byte ``xxhash64(span)`` sets of the two sides are
+    intersected first (exchanges carry longs only), the intersection —
+    bounded by the SMALLER side's distinct grams, i.e. benchmark-sized in
+    the decontamination use and batch-sized in the incremental use — is
+    broadcast back as a semi-filter, and only rows whose hash appears on
+    both sides reach the final exact string-equality join.  A collision
+    can only let a non-matching gram THROUGH the filter (removed by the
+    exact join), never drop a match, so the answer is unchanged; the gram
+    explode is recomputed once per side for the hash pass (narrow —
+    cheaper than the shuffle it replaces).
+
+    The three BOUNDED frames referenced from multiple plan branches —
+    the per-side candidate-id lists and the shared-hash set (all
+    output-bounded under the stop-fingerprint posture) — are persisted
+    (MEMORY_AND_DISK) so each is computed once instead of replayed per
+    branch; without that, every reference would replant the whole
+    winnow+candidacy subplan (Catalyst reuses exchanges, not arbitrary
+    subtrees — the same reason ``duplicate_spans``' inline path uses one
+    windowed count instead of a semi-join-back).  Corpus-sized frames
+    are never cached."""
+    from jurimetria_etl_spark.operators.dedup import widen_partitions
+
+    # The winnow fold and gram explode are CPU-dense narrow stages: when
+    # fingerprints are derived inline, parallelize by cluster width (same
+    # policy as duplicate_spans; a few large input files would otherwise
+    # run them at file-count parallelism).
+    if left_fps is None:
+        left = widen_partitions(left)
+    if right_fps is None:
+        right = widen_partitions(right)
     lf = (
         left_fps
         if left_fps is not None
@@ -248,13 +289,18 @@ def duplicate_spans_against(
         if right_fps is not None
         else winnowed_fingerprints(right, span_len, k, id_col, text_col)
     )
-    both = lf.select(F.col("fp"), F.lit(0).alias("__side")).unionByName(
-        rf.select(F.col("fp"), F.lit(1).alias("__side"))
+    both = lf.select(
+        F.col(id_col), F.col("fp"), F.lit(0).alias("__side")
+    ).unionByName(
+        rf.select(F.col(id_col), F.col("fp"), F.lit(1).alias("__side"))
     )
+    # Distinct (side, id) per fp, not count(*): persisted stores may carry
+    # duplicate (id, fp) rows from retried micro-batch appends, which must
+    # not inflate df past max_fp_df (see duplicate_spans).
     shared = (
         both.groupBy("fp")
         .agg(
-            F.count("*").alias("__df"),
+            F.countDistinct(F.col("__side"), F.col(id_col)).alias("__df"),
             F.min("__side").alias("__mn"),
             F.max("__side").alias("__mx"),
         )
@@ -263,16 +309,47 @@ def duplicate_spans_against(
     if max_fp_df is not None:
         shared = shared.where(F.col("__df") <= max_fp_df)
     shared = shared.select("fp")
-    cand_l = lf.join(shared, "fp", "left_semi").select(id_col).distinct()
-    cand_r = rf.join(shared, "fp", "left_semi").select(id_col).distinct()
+    from pyspark import StorageLevel
+
+    cand_l = (
+        lf.join(shared, "fp", "left_semi")
+        .select(id_col)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand_r = (
+        rf.join(shared, "fp", "left_semi")
+        .select(id_col)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     grams_l = lgram_set(
         left.join(cand_l, id_col, "left_semi"), span_len, id_col, text_col
     ).select(F.col(id_col).alias("left_id"), F.col("span").alias("__ls"))
     grams_r = lgram_set(
         right.join(cand_r, id_col, "left_semi"), span_len, id_col, text_col
     ).select(F.col(id_col).alias("right_id"), F.col("span").alias("__rs"))
-    return grams_l.join(
-        grams_r, F.col("__ls") == F.col("__rs")
+    # Hash phase: 8-byte exchanges + broadcast intersection (docstring).
+    # hl/hr are built from the SAME grams_l/grams_r objects so the two
+    # broadcast sides are identical subplans and ReuseExchange dedupes
+    # the second broadcast.
+    hl = grams_l.select(F.xxhash64(F.col("__ls")).alias("__h")).distinct()
+    hr = grams_r.select(F.xxhash64(F.col("__rs")).alias("__h")).distinct()
+    shared_h = hl.join(hr, "__h", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    kept_l = grams_l.join(
+        F.broadcast(shared_h),
+        F.xxhash64(F.col("__ls")) == F.col("__h"),
+        "left_semi",
+    )
+    kept_r = grams_r.join(
+        F.broadcast(shared_h),
+        F.xxhash64(F.col("__rs")) == F.col("__h"),
+        "left_semi",
+    )
+    return kept_l.join(
+        kept_r, F.col("__ls") == F.col("__rs")
     ).select("left_id", "right_id", F.col("__ls").alias("span"))
 
 
@@ -321,15 +398,48 @@ def boilerplate_spans(
 ) -> DataFrame:
     """Corpus-level boilerplate table: (span, n_docs) for every
     ``span_len``-char span occurring in ≥ ``min_df`` distinct documents
-    — the strip-list a curation pipeline subtracts from documents.  One
-    span-keyed aggregation, fully linear; at 100 TB shuffle width can be
-    halved again by pre-aggregating on xxhash64(span) and resolving the
-    span text per surviving hash, but the plain form keeps the plan a
-    single exchange."""
+    — the strip-list a curation pipeline subtracts from documents.
+
+    HASH-KEYED two-pass plan: this op runs corpus-WIDE by design (unlike
+    ``duplicate_spans``, whose span stage sees candidate docs only), so
+    the one exchange that touches every document must not carry raw
+    ``span_len``-char strings — at span_len=40 that is a ~40× byte
+    amplification of the corpus through a single shuffle.
+
+    - **Pass 1** explodes 8-byte ``xxhash64(span)`` longs (the span text
+      never leaves the narrow stage) and counts document frequency per
+      hash — the only corpus-wide exchange carries longs.
+    - **Pass 2** re-derives the grams (narrow recompute — cheaper than
+      shuffling them) and keeps only rows whose hash is in the surviving
+      set, which is broadcast: it is strip-list-sized (the OUTPUT bound,
+      the same boundedness ``strip_boilerplate`` already requires).  The
+      final span-keyed aggregation therefore shuffles only actual
+      boilerplate occurrences.
+
+    Exact despite hashing: a 64-bit collision can only ADD a span to the
+    survivor superset (hash df ≥ span df), never drop one, and the final
+    per-span recount re-applies ``min_df`` on true counts."""
     from jurimetria_etl_spark.operators.dedup import widen_partitions
 
+    df = widen_partitions(df)
+    span_hashes = F.transform(
+        F.array_distinct(_lgram_array(F.col(text_col), span_len)),
+        lambda s: F.xxhash64(s),
+    )
+    surviving = (
+        df.select(F.explode(span_hashes).alias("__h"))
+        .groupBy("__h")
+        .agg(F.count("*").alias("__hc"))
+        .where(F.col("__hc") >= min_df)
+        .select("__h")
+    )
+    grams = lgram_set(df, span_len, id_col, text_col)
     return (
-        lgram_set(widen_partitions(df), span_len, id_col, text_col)
+        grams.join(
+            F.broadcast(surviving),
+            F.xxhash64(F.col("span")) == F.col("__h"),
+            "left_semi",
+        )
         .groupBy("span")
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= min_df)

@@ -269,9 +269,14 @@ def maintain_stores(
 
 def store_prune(store: str) -> list[str]:
     """Delete every non-current generation: old version directories and —
-    once a manifest exists — the legacy root parquet files a plain-dir
-    upgrade left behind.  Call AFTER the reader grace period; the current
-    version and the manifest are never touched.  Returns removed paths."""
+    once a manifest exists — the legacy root files a plain-dir upgrade
+    left behind, INCLUDING root-level subdirectories (a hive-partitioned
+    legacy layout's ``col=value`` dirs: once a manifest exists those are
+    by construction a pre-compaction generation, and leaving them would
+    both leak disk unboundedly and keep legacy-path readers on stale
+    data forever).  Call AFTER the reader grace period; the current
+    version, the manifest, and everything ``_``-prefixed are never
+    touched.  Returns removed paths."""
     mf = _manifest_file(store)
     if not os.path.exists(mf):
         return []
@@ -286,9 +291,13 @@ def store_prune(store: str) -> list[str]:
                 removed.append(full)
     for name in os.listdir(store):
         full = os.path.join(store, name)
-        if name.startswith("_") or os.path.isdir(full):
-            continue
-        if name.endswith(".parquet") or name.endswith(".crc"):
+        if name.startswith("_"):
+            continue  # manifest, _versions, _SUCCESS-style markers
+        if os.path.isdir(full):
+            # legacy hive partition dir from the pre-manifest layout
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+        elif name.endswith(".parquet") or name.endswith(".crc"):
             os.remove(full)
             removed.append(full)
     return removed

@@ -251,3 +251,43 @@ def test_maintain_stores_prunes_previous_generation_only(spark, tmp_path):
         assert len(
             {tuple(r) for r in spark.read.parquet(store_data_dir(s)).collect()}
         ) == 35
+
+
+def test_store_prune_reclaims_legacy_hive_partition_dirs(spark, tmp_path):
+    """A hive-partitioned PLAIN store upgraded to the manifested layout:
+    once a manifest exists, the legacy ``col=value`` root subdirectories
+    are a pre-compaction generation — prune must reclaim them (they were
+    previously skipped, an unbounded disk leak that also left legacy-path
+    readers on stale data forever)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.sinks.maintenance import (
+        compact_store,
+        store_data_dir,
+        store_prune,
+    )
+
+    store = str(tmp_path / "hive_store")
+    df = spark.range(40).withColumn("part", (F.col("id") % 4).cast("string"))
+    for _ in range(3):
+        df.coalesce(1).write.mode("append").partitionBy("part").parquet(store)
+    before = _multiset(spark.read.parquet(store).select("id"))
+
+    report = compact_store(
+        spark, store, target_file_bytes=10**9, partition_cols=["part"]
+    )
+    assert report["verified"] is True
+    # legacy partition dirs still present pre-prune (reader grace)
+    legacy = [
+        n for n in os.listdir(store) if n.startswith("part=")
+    ]
+    assert legacy
+    removed = store_prune(store)
+    assert any("part=" in r for r in removed)
+    assert not [n for n in os.listdir(store) if n.startswith("part=")]
+    # current version intact, layout + rows preserved
+    cur = store_data_dir(store)
+    assert _multiset(spark.read.parquet(cur).select("id")) == before
+    assert [n for n in os.listdir(cur) if n.startswith("part=")]

@@ -226,3 +226,121 @@ def test_remove_span_contaminated_gate(spark):
         corpus, bench, span_len=40, k=8, bench_fps=store
     )
     assert [r.doc_id for r in kept2.collect()] == [1]
+
+
+def test_store_duplicate_fp_rows_do_not_change_answers(spark, planted):
+    """A persisted fingerprint store can hold duplicate (id, fp) rows —
+    a retried streaming micro-batch appends the same page twice.  df is
+    counted over DISTINCT doc ids, so duplicates must neither inflate df
+    past max_fp_df (silently dropping real duplicate spans) nor fake
+    df>=2 for a single-document span."""
+    from jurimetria_etl_spark.operators.spans import duplicate_spans_against
+
+    fps = winnowed_fingerprints(planted, span_len=40, k=8)
+    doubled = fps.unionByName(fps)  # every (id, fp) row twice
+
+    want = sorted(
+        map(tuple, duplicate_spans(planted, span_len=40, k=8, fps=fps).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            duplicate_spans(planted, span_len=40, k=8, fps=doubled).collect(),
+        )
+    )
+    assert got == want and want  # identical, and non-trivially so
+
+    # cap exactly at the true df (2 docs share the boilerplate): raw row
+    # counts over the doubled store would see 4 and drop everything
+    capped = duplicate_spans(
+        planted, span_len=40, k=8, max_fp_df=2, fps=doubled
+    ).collect()
+    assert sorted(map(tuple, capped)) == want
+
+    # same contract on the cross-corpus form's store path
+    left = _docs(spark, [(0, "padding text here. " + BOILER + " tail.")])
+    right = _docs(spark, [(9, "other corpus intro " + BOILER + " outro.")])
+    rf = winnowed_fingerprints(right, span_len=40, k=8)
+    rf_doubled = rf.unionByName(rf)
+    base = sorted(
+        map(
+            tuple,
+            duplicate_spans_against(
+                left, right, span_len=40, k=8, max_fp_df=2, right_fps=rf
+            ).collect(),
+        )
+    )
+    dup = sorted(
+        map(
+            tuple,
+            duplicate_spans_against(
+                left, right, span_len=40, k=8, max_fp_df=2, right_fps=rf_doubled
+            ).collect(),
+        )
+    )
+    # true df is 2 (one doc per side); doubled store rows would read 3
+    # under raw row counts and the cap would drop the real leak
+    assert base == dup and base
+
+
+def test_boilerplate_exchange_carries_longs(spark, planted):
+    """The corpus-wide aggregation exchange of boilerplate_spans must be
+    keyed on the 8-byte xxhash64(span), never the raw span string; the
+    only span-keyed exchange is the survivor-sized final recount behind
+    the broadcast semi-filter."""
+    plan = (
+        boilerplate_spans(planted, span_len=40, min_df=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning(__h") == 1  # pass-1: longs
+    assert plan.count("hashpartitioning(span") == 1  # survivors only
+    # the survivor set rides a broadcast semi-join back into the grams
+    assert "LeftSemi, BuildRight" in plan
+
+
+def test_cross_corpus_verify_join_is_hash_prefiltered(spark):
+    """duplicate_spans_against's exact verify join must be preceded by
+    the 8-byte hash intersection (long-keyed exchanges) so only rows
+    whose span hash appears on BOTH sides shuffle as strings."""
+    from jurimetria_etl_spark.operators.spans import duplicate_spans_against
+
+    left = _docs(spark, [(0, "padding text here. " + BOILER + " tail.")])
+    right = _docs(spark, [(9, "other corpus intro " + BOILER + " outro.")])
+    plan = (
+        duplicate_spans_against(left, right, span_len=40, k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(__h" in plan  # long-keyed intersection
+    assert plan.count("InMemoryTableScan") >= 2  # bounded frames cached once
+
+
+def test_remove_span_contaminated_is_uncapped_by_default(spark):
+    """The decontamination gate must default to the EXACT form: a
+    benchmark span leaked into more documents than the production
+    stop-fingerprint cap is the hottest leakage, and the default-capped
+    form would silently keep every one of those documents."""
+    from jurimetria_etl_spark.operators.decontaminate import (
+        remove_span_contaminated,
+    )
+
+    leak = "Benchmark answer: the mitochondria is the powerhouse, yes."
+    corpus = _docs(
+        spark,
+        [(i, f"doc {i} prose. " + leak + f" trailer {i}.") for i in range(6)]
+        + [(100, "a clean training document with nothing shared at all.")],
+    )
+    bench = _docs(spark, [(900, "eval item: " + leak)])
+
+    kept_default = remove_span_contaminated(corpus, bench, span_len=40, k=8)
+    assert [r.doc_id for r in kept_default.collect()] == [100]
+
+    # an explicit cap below the leak's df documents the recall trade:
+    # every shared fingerprint sits above it, so the leaked docs survive
+    kept_capped = remove_span_contaminated(
+        corpus, bench, span_len=40, k=8, max_fp_df=1
+    )
+    assert kept_capped.count() == 7
