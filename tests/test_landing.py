@@ -96,3 +96,60 @@ def test_full_landing_loop_adapter_to_engine(spark, tmp_path):
         ("TJCE", "0000001-00.2023.8.26.0000"),
         ("TJSP", "0000001-00.2023.8.26.0000"),
     }
+
+
+def test_landing_pull_id_rerun_is_idempotent(spark, tmp_path):
+    """A retried scheduler pull (same pull_id) must land exactly-once:
+    running land_hits twice yields the identical analytic frame, not
+    doubled rows — and a second DISTINCT pull appends next to the first.
+    Mixed zones (legacy flat appends + pull dirs) read as the union."""
+    from jurimetria_etl_spark.sources.datajud import DataJudSource
+    from jurimetria_etl_spark.sources.landing import land_hits
+    from tests.test_sources import _paged_transport
+
+    pages = {
+        (): [dict(_hit("0000001-00.2023.8.26.0000"), sort=[1])],
+        (1,): [],
+    }
+    land = str(tmp_path / "land")
+
+    def scan():
+        return DataJudSource(
+            spark, transport=_paged_transport(pages)
+        ).parallel_scan(["TJCE"])
+
+    land_hits(scan(), land, pull_id="2026-08-14T00")
+    once = sorted(map(tuple, read_processos_landing(spark, land).collect()))
+    land_hits(scan(), land, pull_id="2026-08-14T00")  # the retry
+    twice = sorted(map(tuple, read_processos_landing(spark, land).collect()))
+    assert twice == once and len(once) == 1  # byte-identical, not doubled
+
+    # a different pull lands NEXT TO the first
+    pages2 = {
+        (): [dict(_hit("0000002-00.2023.8.26.0000"), sort=[1])],
+        (1,): [],
+    }
+    src2 = DataJudSource(spark, transport=_paged_transport(pages2))
+    land_hits(src2.parallel_scan(["TJCE"]), land, pull_id="2026-08-14T01")
+    both = read_processos_landing(spark, land)
+    assert {r.numero_processo for r in both.collect()} == {
+        "0000001-00.2023.8.26.0000",
+        "0000002-00.2023.8.26.0000",
+    }
+
+    # mixed zone: a legacy blind append unions in
+    src3 = DataJudSource(spark, transport=_paged_transport(pages))
+    land_hits(src3.parallel_scan(["TJSP"]), land)  # no pull_id
+    mixed = read_processos_landing(spark, land)
+    assert mixed.count() == 3
+    assert {r.tribunal for r in mixed.collect()} == {"TJCE", "TJSP"}
+
+
+def test_landing_pull_id_must_be_fs_safe(spark):
+    import pytest
+
+    from jurimetria_etl_spark.sources.landing import land_hits
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="pull_id"):
+        land_hits(df, "/tmp/x", pull_id="a/../b")
