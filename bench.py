@@ -63,6 +63,8 @@ HEADLINE = [
     "t17_top_supplier",
     "t18_supplier_cnt_by_part",
     "t19_nation_volume",
+    "t20_market_share",
+    "t21_product_profit",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x09_text_profile",
@@ -77,6 +79,74 @@ HEADLINE = [
     "x22_training_shards",
     "x27_hll_daily_uniques",
 ]
+
+
+def _x13b_oracle_for(con, registry) -> str:
+    """Re-derive x13b's oracle plane literals for the corpus in ``con`` —
+    the registered SQL pins the 500-row gate fixtures' plane count, and
+    DuckDB must time the SAME banding the Spark side auto-derives."""
+    from jurimetria_etl_spark.operators.similarity import suggest_lsh_planes
+    from jurimetria_etl_spark.plans.extensions import _x13_join_sql
+
+    n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    return _x13_join_sql(n_planes=suggest_lsh_planes(n))
+
+
+def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
+    """Second headline tier: the full corpus at the self-generated sf1
+    (10× the driver's bench scale) — the measured answer to "does the
+    per-query >2× floor story amortize", previously argued only from
+    per-query exponents (SCALE.md).  Same protocol as the main tier:
+    cold+warm Spark through the noop sink, DuckDB denominator on the
+    same files, ratio over the queries both engines completed."""
+    import duckdb
+
+    warm: dict[str, float] = {}
+    duck: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        fn = registry[name].spark
+        try:
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf1_dir}/{t}.parquet')"
+        )
+    for name in HEADLINE:
+        sql = registry[name].oracle
+        if sql is None:
+            continue
+        if name == "x13b_cosine_join_scaled":
+            sql = _x13b_oracle_for(con, registry)
+        try:
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            duck[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
+    shared = [n for n in HEADLINE if n in warm and n in duck]
+    sw = sum(warm[n] for n in shared)
+    sd = sum(duck[n] for n in shared)
+    return {
+        "sf_dir": sf1_dir,
+        "warm_queries": warm,
+        "duckdb_queries": duck,
+        "errors": errors,
+        "warm_total_sec": round(sum(warm.values()), 3),
+        "duckdb_total_sec": round(sum(duck.values()), 3),
+        "n_shared": len(shared),
+        "warm_vs_duckdb_ratio": round(sw / sd, 3) if sd else None,
+    }
 
 
 def main() -> None:
@@ -232,6 +302,30 @@ def main() -> None:
             round(shared_warm / shared_duck, 3) if shared_duck else None
         ),
     }
+    # Second headline: the sf1 tier.  Run LIVE with SPARK_GRAFT_SF1=1
+    # (writes BENCH_SF1.json; ~15-20 min — the DuckDB denominators for
+    # the exact-oracle queries are minutes each at sf1); otherwise embed
+    # the committed artifact's totals so the driver's bounded-time bench
+    # still publishes the measured 10×-scale ratio, clearly labeled.
+    root = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(root, "_scale", "sf1")
+    )
+    sf1_path = os.path.join(root, "BENCH_SF1.json")
+    sf1: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SF1") == "1" and os.path.isdir(sf1_dir):
+        sf1 = run_sf1_tier(spark, registry, sf1_dir)
+        with open(sf1_path, "w") as f:
+            json.dump(sf1, f, indent=1, sort_keys=True)
+        summary["sf1_source"] = "live"
+    elif os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            sf1 = json.load(f)
+        summary["sf1_source"] = "artifact:BENCH_SF1.json"
+    if sf1 is not None:
+        summary["sf1_warm_total_sec"] = sf1["warm_total_sec"]
+        summary["sf1_duckdb_total_sec"] = sf1["duckdb_total_sec"]
+        summary["sf1_warm_vs_duckdb_ratio"] = sf1["warm_vs_duckdb_ratio"]
     if errors:
         summary["n_errors"] = len(errors)
     line = json.dumps(summary, separators=(",", ":"))

@@ -1445,7 +1445,6 @@ CORPUS: dict[str, Q] = {
     "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
     "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
     "q20_array_agg": Q(q20_array_agg, Q20_SQL),
-    "q22_dedup_exact": Q(q22_dedup_exact, Q22_SQL),
     "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
     "q26_session_window": Q(q26_session_window, Q26_SQL),
     "q27_asof_join": Q(q27_asof_join, Q27_SQL),
@@ -1481,6 +1480,10 @@ CORPUS_DEREGISTERED: dict[str, Q] = {
     "q21_json": Q(q21_json, Q21_SQL),
     "q23_similarity_topk": Q(q23_similarity_topk, Q23_SQL),
     "q34_pivot": Q(q34_pivot, Q34_SQL),
+    # Round-7 rotation (to admit t16/t17/t20 — the r6 verdict's ask):
+    # q22's exact dedup keeps its OTHER driver row (x01, same operator on
+    # the documents table) plus the standalone comparison here.
+    "q22_dedup_exact": Q(q22_dedup_exact, Q22_SQL),
 }
 
 

@@ -1286,8 +1286,6 @@ EXTENSIONS: dict[str, Q] = {
     # missing LLM-curation capability per the round-5 verdict).
     "x28_duplicate_spans": Q(x28_duplicate_spans, X28_SQL),
     "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
-    "x16_frame_sample": Q(x16_frame_sample, X16_SQL),
-    "x17_rolling_fingerprint": Q(x17_rolling_fingerprint, X17_SQL),
     "x18_near_dup_clusters": Q(x18_near_dup_clusters, X18_SQL),
     "x20_pack_shards": Q(x20_pack_shards, X20_SQL),
     # Round-4 rotation: driver-grade rows for the curation-stage operators
@@ -1314,4 +1312,11 @@ EXT_DEREGISTERED: dict[str, Q] = {
     "x29_boilerplate_spans": Q(x29_boilerplate_spans, X29_SQL),
     "x30_strip_boilerplate": Q(x30_strip_boilerplate, X30_SQL),
     "x31_cross_corpus_spans": Q(x31_cross_corpus_spans, X31_SQL),
+    # Round-7 rotation (to admit t16/t17/t20): two floor-dominated
+    # single-op forms — E5 keeps x15 (the Arrow mapInPandas boundary) in
+    # the driver window, E4 keeps x09; the frame-sample explode and the
+    # Karp-Rabin fold keep the identical DuckDB comparison here and stay
+    # on the bench.
+    "x16_frame_sample": Q(x16_frame_sample, X16_SQL),
+    "x17_rolling_fingerprint": Q(x17_rolling_fingerprint, X17_SQL),
 }

@@ -76,6 +76,14 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # t19: two nation-pruned broadcast dims into the orders⨝lineitem
     # spine + 3-key agg + sort.
     "t19_nation_volume": (0, 0, 9, 5),
+    # t20: Q8's 8-table spine — region→nation→customer, part, and
+    # supplier→nation chains ALL collapse to broadcasts (7 BHJs); the
+    # only data-sized exchanges are the orders⨝lineitem spine and the
+    # 2-group year agg + sort.
+    "t20_market_share": (0, 0, 11, 7),
+    # t21: Q9 shape — name-pruned part and supplier⨝nation broadcast
+    # into lineitem, orders on the spine, 2-key agg + sort.
+    "t21_product_profit": (0, 0, 8, 4),
     "x05_minhash_near_dups": (0, 0, 10, 3),
     "x08_simhash_near_dups": (0, 0, 4, 1),
     "x09_text_profile": (0, 0, 1, 0),
@@ -157,8 +165,14 @@ def _unpartitioned_windows(plan: str) -> int:
 @pytest.fixture(scope="module")
 def registry():
     import jurimetria_etl_spark.plans.extensions as E
-    from jurimetria_etl_spark.plans.corpus import full_registry
-    from jurimetria_etl_spark.plans.extensions import BENCH_ONLY
+    from jurimetria_etl_spark.plans.corpus import (
+        CORPUS_DEREGISTERED,
+        full_registry,
+    )
+    from jurimetria_etl_spark.plans.extensions import (
+        BENCH_ONLY,
+        EXT_DEREGISTERED,
+    )
     from jurimetria_etl_spark.plans.tpch import TPCH_EXTRA
 
     # The exchange pins below are for the COLD plan.  Other test modules
@@ -173,7 +187,15 @@ def registry():
             except Exception:
                 pass
         cache.clear()
-    return {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
+    # Same merge bench.py uses: deregistered forms stay on the bench, so
+    # their plan contracts stay pinned too.
+    return {
+        **CORPUS_DEREGISTERED,
+        **EXT_DEREGISTERED,
+        **full_registry(),
+        **BENCH_ONLY,
+        **TPCH_EXTRA,
+    }
 
 
 def test_every_bench_query_has_a_pinned_expectation():

@@ -122,6 +122,15 @@ PAIRS = [
     (E.x29_boilerplate_spans, E.X29_SQL),
     (E.x30_strip_boilerplate, E.X30_SQL),
     (E.x31_cross_corpus_spans, E.X31_SQL),
+    # rotated OUT in round 7 (to admit t16/t17/t20): q22's exact dedup
+    # keeps its x01 driver row; x16/x17 are floor-dominated single-op
+    # forms whose families keep x15/x09 registered:
+    (C.q22_dedup_exact, C.Q22_SQL),
+    (E.x16_frame_sample, E.X16_SQL),
+    (E.x17_rolling_fingerprint, E.X17_SQL),
+    # never registered (window full, r7): Q9 product-profit shape —
+    # its sibling t20 (Q8 market share) is driver-registered:
+    (T.t21_product_profit, T.T21_SQL),
 ]
 
 

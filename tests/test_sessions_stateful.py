@@ -114,3 +114,44 @@ def test_round_half_up6_matches_spark_round(spark):
     ]
     assert got == want
     assert _round_half_up6(0.0000025) == 0.000003  # HALF_UP, not banker's
+
+
+def test_tws_gate_raises_documented_error_when_dep_missing(spark, drops):
+    """The Spark-4 transformWithStateInPandas path is import-gated on
+    google.protobuf.  This test can never rot silently: when the
+    dependency is absent it pins the documented ImportError; when a CI
+    image carries protobuf it runs the REAL path against the same
+    closed-session oracle as the applyInPandasWithState test."""
+    from jurimetria_etl_spark.streaming import sessions as SESS
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    if not SESS._HAVE_TWS:
+        with pytest.raises(ImportError, match="protobuf"):
+            session_summaries(
+                stream, gap=GAP, watermark=WM, use_transform_with_state=True
+            )
+        pytest.skip("google.protobuf absent: TWS gate pinned, path skipped")
+
+    q = (
+        session_summaries(
+            stream, gap=GAP, watermark=WM, use_transform_with_state=True
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_tws_real")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = set(_canon(spark.sql("SELECT * FROM sess_tws_real").collect()))
+    all_batch = _canon(session_summaries(spark.read.parquet(drops), gap=GAP).collect())
+    max_ts = spark.read.parquet(drops).agg(F.max("ts")).first()[0]
+    wm = max_ts - __import__("datetime").timedelta(minutes=30)
+    deadline = __import__("datetime").timedelta(minutes=10)
+    closed = [r for r in all_batch if r[2] + deadline <= wm]
+    assert not [r for r in closed if r not in got]
+    assert got <= set(all_batch)

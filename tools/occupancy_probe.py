@@ -56,18 +56,120 @@ def probe(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_spans(spark, sf_dir: str) -> dict:
+    """Decompose x28 (duplicate_spans): how much of the work is the
+    winnow (linear in corpus chars) vs the candidate/verify stages
+    (proportional to how many documents genuinely share a 40-char span)
+    vs the OUTPUT itself (Σ df(span)² over true duplicate spans — the
+    answer's own size, which no plan can undercut)."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.spans import (
+        duplicate_spans,
+        lgram_set,
+        winnowed_fingerprints,
+    )
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    total_chars = docs.agg(F.sum(F.length("text"))).first()[0]
+    fps = winnowed_fingerprints(docs, span_len=40, k=8)
+    fp_df = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    fp_stats = fp_df.agg(
+        F.count("*").alias("n_fps"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("shared_fps"),
+        F.max("df").alias("max_df"),
+    ).first()
+    cand_ids = (
+        fps.join(
+            fp_df.where(F.col("df") >= 2).select("fp"), "fp", "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    cand_docs = cand_ids.count()
+    cand_grams = lgram_set(
+        docs.join(cand_ids, "doc_id", "left_semi"), 40
+    ).count()
+    out_rows = duplicate_spans(docs, span_len=40, k=8, max_fp_df=None).count()
+    return {
+        "n_docs": n_docs,
+        "total_chars": int(total_chars),
+        "winnow_fps": int(fp_stats["n_fps"]),
+        "shared_fps": int(fp_stats["shared_fps"]),
+        "max_fp_df": int(fp_stats["max_df"]),
+        "candidate_docs": cand_docs,
+        "candidate_doc_fraction": round(cand_docs / n_docs, 3),
+        "verify_gram_rows": int(cand_grams),
+        "output_pair_rows": int(out_rows),
+    }
+
+
+def probe_knn(spark, sf_dir: str) -> dict:
+    """Decompose knn_join's residual: candidate rows PER LEFT ID (the
+    unit the per-left-id top-k window pays for) on the same auto-planes
+    banding the scale bench runs."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators import similarity as S
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    n = emb.count()
+    planes = S.suggest_lsh_planes(n)
+    banded = S.lsh_banded_signatures(emb, dim=64, n_planes=planes, n_tables=8)
+    a = banded.select(
+        F.col("vec_id").alias("lid"), "t", "bk"
+    )
+    b = banded.select(F.col("vec_id").alias("rid"), "t", "bk")
+    cand = (
+        a.join(b, ["t", "bk"])
+        .where(F.col("lid") != F.col("rid"))
+        .select("lid", "rid")
+        .distinct()
+    )
+    per_left = cand.groupBy("lid").agg(F.count("*").alias("c"))
+    st = per_left.agg(
+        F.count("*").alias("n_left"),
+        F.expr("percentile(c, 0.5)").alias("p50"),
+        F.expr("percentile(c, 0.95)").alias("p95"),
+        F.max("c").alias("max"),
+        F.sum("c").alias("total"),
+    ).first()
+    return {
+        "n_rows": n,
+        "n_planes": planes,
+        "distinct_cand_pairs": int(st["total"]),
+        "cand_per_left_p50": float(st["p50"]),
+        "cand_per_left_p95": float(st["p95"]),
+        "cand_per_left_max": int(st["max"]),
+        "cand_per_left_mean": round(st["total"] / max(st["n_left"], 1), 1),
+    }
+
+
+def _growth(out: dict, section: str, key: str, label: str) -> None:
+    a, b = out[section]["sf0.1"], out[section]["sf1"]
+    if a.get(key):
+        out[section][label] = round(b[key] / a[key], 2)
+
+
 def main() -> None:
     from jurimetria_etl_spark.session import get_spark
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = get_spark("occupancy-probe")
-    out = {}
+    out: dict = {"x28_spans": {}, "knn": {}}
     for label in ("sf0.1", "sf1"):
         d = os.path.join(root, "_scale", label)
         if not os.path.isdir(d):
             raise SystemExit(f"missing {d}")
         out[label] = probe(spark, d)
         print(label, json.dumps(out[label]), flush=True)
+        out["x28_spans"][label] = probe_spans(spark, d)
+        print(label, "x28", json.dumps(out["x28_spans"][label]), flush=True)
+        out["knn"][label] = probe_knn(spark, d)
+        print(label, "knn", json.dumps(out["knn"][label]), flush=True)
     a, b = out["sf0.1"], out["sf1"]
     out["pairs_growth_for_10x_rows"] = round(
         b["cand_pairs_all_tables"] / a["cand_pairs_all_tables"], 2
@@ -75,6 +177,14 @@ def main() -> None:
     out["pairs_per_row_growth"] = round(
         b["cand_pairs_per_row"] / a["cand_pairs_per_row"], 2
     )
+    for key, label in (
+        ("output_pair_rows", "output_growth_10x"),
+        ("verify_gram_rows", "verify_rows_growth_10x"),
+        ("candidate_doc_fraction", "cand_fraction_growth_10x"),
+    ):
+        _growth(out, "x28_spans", key, label)
+    _growth(out, "knn", "distinct_cand_pairs", "cand_growth_10x")
+    _growth(out, "knn", "cand_per_left_mean", "cand_per_left_growth_10x")
     path = os.path.join(root, "_scale", "occupancy.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
