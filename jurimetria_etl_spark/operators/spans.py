@@ -188,8 +188,38 @@ def duplicate_spans(
         if max_fp_df is not None:
             counted = counted.where(F.col("__df") <= max_fp_df)
         cand_docs = counted.select(id_col).distinct()
+    # The candidate-id list is referenced from both verify branches below
+    # (hash pre-pass + exact aggregation); persist it so the candidacy
+    # pipeline — the winnow fold and its windowed count — is computed
+    # once, not replanted per branch.  8-byte ids, bounded by doc count.
+    from pyspark import StorageLevel
+
+    cand_docs = cand_docs.persist(StorageLevel.MEMORY_AND_DISK)
     grams = lgram_set(
         df.join(cand_docs, id_col, "left_semi"), span_len, id_col, text_col
+    )
+    # HASH PRE-PASS (same posture as boilerplate_spans): candidacy bounds
+    # which DOCS reach the verify stage, but a candidate doc ships ALL its
+    # grams, not just the shared span — on dense corpora (candidate
+    # fraction → 1, measured 1.0 on the generated word-salad fixture,
+    # _scale/occupancy.json §x28_spans) the span-keyed exchange would be
+    # corpus-wide in 40-char strings.  Count per 8-byte xxhash64(span)
+    # first (long-keyed exchange), broadcast the ≥2 survivors —
+    # output-bounded — back as a semi-filter, and only grams whose hash
+    # is genuinely shared shuffle as strings.  A collision only ADDS a
+    # gram to the superset; the exact ≥2-distinct-ids check below
+    # removes it.
+    surviving = (
+        grams.select(F.xxhash64(F.col("span")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("__h")
+    )
+    grams = grams.join(
+        F.broadcast(surviving),
+        F.xxhash64(F.col("span")) == F.col("__h"),
+        "left_semi",
     )
     # Verify = ONE span-keyed aggregation, not a gram self-join: a
     # self-join would plant the grams subplan (winnow + candidacy + gram

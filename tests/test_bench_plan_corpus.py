@@ -98,10 +98,13 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "x18_near_dup_clusters": (0, 0, 2, 0),
     "x20_pack_shards": (0, 0, 4, 1),
     "x22_training_shards": (0, 0, 4, 1),
-    # x28: widen → winnow fps (narrow) → windowed fp count → candidate-doc
-    # semi-join (broadcast at this scale) → span-keyed group + in-group
-    # pair expansion.  The winnow fold appears ONCE (no self-join).
-    "x28_duplicate_spans": (0, 0, 6, 1),
+    # x28 (r7 hash pre-pass): widen → winnow fps (narrow) → windowed fp
+    # count → candidate-doc semi-join → persisted cand ids (2
+    # InMemoryTableScans) → long-keyed xxhash64(span) count + broadcast
+    # survivor semi-filter → span-keyed group + in-group pair expansion.
+    # The extra exchanges are the persist-fill subplan + the hash pass;
+    # the span-string exchange now carries only genuinely-shared grams.
+    "x28_duplicate_spans": (0, 0, 13, 3),
     "x27_hll_daily_uniques": (0, 0, 2, 0),
 }
 

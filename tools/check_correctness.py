@@ -81,6 +81,23 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
     oracles = entrymod.oracle_sql()
+    # The registered x13b oracle embeds hyperplane literals derived for
+    # the 500-row GATE fixtures (driver sf0.01 / pytest sf0.001 — both
+    # 500 embeddings, so one static SQL covers the driver run).  At any
+    # OTHER corpus size the Spark side auto-derives a different plane
+    # count; re-derive the oracle literals from this corpus's count so
+    # the gate compares the same banding (same policy as bench.py).
+    if "x13b_cosine_join_scaled" in queries:
+        from jurimetria_etl_spark.operators.similarity import (
+            suggest_lsh_planes,
+        )
+        from jurimetria_etl_spark.plans.extensions import _x13_join_sql
+
+        n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+        if suggest_lsh_planes(n) != suggest_lsh_planes(500):
+            oracles["x13b_cosine_join_scaled"] = _x13_join_sql(
+                n_planes=suggest_lsh_planes(n)
+            )
     failures = []
     for name, fn in queries.items():
         t0 = time.time()

@@ -96,6 +96,21 @@ AUDITED = [
         "winnow fold ONCE; windowed fp-count candidacy; span-keyed group "
         "verify (no gram self-join)",
     ),
+    (
+        "t20_market_share",
+        "8-table Q8 spine: all dim chains broadcast; only the "
+        "orders⨝lineitem spine and 2-group year agg shuffle",
+    ),
+    (
+        "t21_product_profit",
+        "Q9 shape: name-pruned part + supplier⨝nation broadcast into "
+        "lineitem; orders on the spine; 2-key agg",
+    ),
+    (
+        "x29_boilerplate_spans",
+        "corpus-wide exchange carries xxhash64 longs; span text resolved "
+        "behind the broadcast survivor semi-filter",
+    ),
 ]
 
 
@@ -120,13 +135,25 @@ def summarize(plan: str) -> list[str]:
 
 
 def main(sf_dir: str) -> None:
-    from jurimetria_etl_spark.plans.corpus import full_registry
-    from jurimetria_etl_spark.plans.extensions import BENCH_ONLY
+    from jurimetria_etl_spark.plans.corpus import (
+        CORPUS_DEREGISTERED,
+        full_registry,
+    )
+    from jurimetria_etl_spark.plans.extensions import (
+        BENCH_ONLY,
+        EXT_DEREGISTERED,
+    )
     from jurimetria_etl_spark.plans.tpch import TPCH_EXTRA
     from jurimetria_etl_spark.session import get_spark
 
     spark = get_spark("plan-audit")
-    registry = {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
+    registry = {
+        **CORPUS_DEREGISTERED,
+        **EXT_DEREGISTERED,
+        **full_registry(),
+        **BENCH_ONLY,
+        **TPCH_EXTRA,
+    }
     print("# Physical-plan audit\n")
     print(f"Generated against `{sf_dir}` — `python tools/plan_audit.py`.\n")
     for name, intent in AUDITED:

@@ -46,6 +46,7 @@ HEAVY = [
     "x18_near_dup_clusters",
     "x22_training_shards",
     "x28_duplicate_spans",
+    "t20_market_share",
 ]
 
 
