@@ -403,8 +403,11 @@ def strip_boilerplate(
     into the corpus — no per-row join, no collect on the driver, and the
     fold itself is a narrow Catalyst expression.  The list is expected
     BOUNDED (top boilerplate spans, e.g. ``min_df`` filtered); a
-    corpus-sized strip-list would belong in an Aho-Corasick pass instead
-    (out of scope, documented)."""
+    corpus-sized strip-list belongs in ``strip_boilerplate_bulk`` instead
+    (broadcast span-set scan in one Arrow-batched map — the
+    Aho-Corasick-class pass, which equal-length patterns reduce to set
+    membership; overlap-resolution contract differences are pinned in
+    tests/test_spans.py)."""
     strip = spans.agg(
         F.sort_array(F.collect_list(span_col)).alias("__spans")
     )
@@ -417,6 +420,87 @@ def strip_boilerplate(
         docs.crossJoin(F.broadcast(strip))
         .select(F.col(id_col), folded.alias(out_col))
     )
+
+
+def strip_boilerplate_bulk(
+    docs: DataFrame,
+    spans: DataFrame,
+    span_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_col: str = "span",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Subtract a LARGE strip-list from every document — the scale form
+    ``strip_boilerplate``'s docstring points to for corpus-sized lists
+    (its replace-fold is a narrow Catalyst expression but evaluates one
+    ``replace`` per span per document: O(|list|·|text|), fine for a
+    bounded top-list, hopeless for 100k+ spans).
+
+    Because ``boilerplate_spans`` emits fixed-length spans, multi-pattern
+    matching degenerates from Aho-Corasick to SET MEMBERSHIP: one
+    left-to-right scan checks each ``span_len``-window against a hash
+    set (an AC trie of equal-length patterns has no useful failure
+    structure).  The span set ships once per executor as a Spark
+    broadcast (it must fit in executor memory for ANY multi-pattern
+    automaton, so that is inherent, not a shortcut), and the scan runs
+    in an Arrow-batched ``mapInPandas`` — a narrow map, no shuffle, no
+    driver round-trips per row.
+
+    SEMANTICS — one pass, leftmost match wins, non-overlapping, no
+    cascade: a window that matches is deleted and the scan resumes AFTER
+    it, and deletions never create new matches (the scan reads the
+    ORIGINAL text).  This equals the replace-fold's output whenever
+    matches don't overlap or abut in a way whose removal forms a new
+    listed span — true for real boilerplate; the divergence on
+    adversarial cascades is pinned in tests/test_spans.py, not hidden.
+    """
+    spark = docs.sparkSession
+    span_rows = [r[0] for r in spans.select(span_col).distinct().collect()]
+    bad = [s for s in span_rows if len(s) != span_len]
+    if bad:
+        raise ValueError(
+            f"strip_boilerplate_bulk: all spans must have length "
+            f"{span_len}; got e.g. {bad[0]!r}"
+        )
+    bc = spark.sparkContext.broadcast(frozenset(span_rows))
+
+    out_schema = f"{id_col} long, {out_col} string"
+
+    def scan(batches):
+        import pandas as pd
+
+        span_set = bc.value
+        L = span_len
+
+        def strip_one(text):
+            if text is None or not span_set:
+                return text
+            n = len(text)
+            if n < L:
+                return text
+            keep = []
+            i = 0
+            last = 0
+            while i <= n - L:
+                if text[i : i + L] in span_set:
+                    keep.append(text[last:i])
+                    i += L
+                    last = i
+                else:
+                    i += 1
+            keep.append(text[last:])
+            return "".join(keep)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: pdf[text_col].map(strip_one),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(scan, out_schema)
 
 
 def boilerplate_spans(

@@ -344,3 +344,132 @@ def test_remove_span_contaminated_is_uncapped_by_default(spark):
         corpus, bench, span_len=40, k=8, max_fp_df=1
     )
     assert kept_capped.count() == 7
+
+
+def test_strip_bulk_matches_fold_on_disjoint_spans(spark):
+    """When strip-list spans don't overlap in the documents — isolated
+    boilerplate snippets — the bulk (broadcast-set scan) form equals the
+    replace-fold form exactly.  (Overlapping sliding windows of a longer
+    shared region resolve differently BY CONTRACT: the fold replaces
+    span-by-span in lexicographic order, the scan removes the leftmost
+    window and resumes after it — both deterministic, pinned below.)"""
+    from jurimetria_etl_spark.operators.spans import (
+        strip_boilerplate,
+        strip_boilerplate_bulk,
+    )
+
+    a = "AAAA-template-header-0000-AAAA-exactly40"
+    b = "BBBB-template-footer-1111-BBBB-exactly40"
+    assert len(a) == 40 and len(b) == 40
+    docs = _docs(
+        spark,
+        [
+            (0, "intro. " + a + " body text. " + b + " outro."),
+            (1, a + " solitary header carrier document."),
+            (2, "footer only here -> " + b),
+            (3, "no boilerplate at all in this one."),
+        ],
+    )
+    spans = spark.createDataFrame([(a,), (b,)], "span string")
+    fold = {
+        r.doc_id: r.clean_text for r in strip_boilerplate(docs, spans).collect()
+    }
+    bulk = {
+        r.doc_id: r.clean_text
+        for r in strip_boilerplate_bulk(docs, spans, span_len=40).collect()
+    }
+    assert bulk == fold and len(bulk) == 4
+    assert bulk[0] == "intro.  body text.  outro."
+
+
+def test_strip_bulk_removes_leftmost_window_per_region(spark, planted):
+    """On the planted corpus (shared region LONGER than span_len, so the
+    strip-list holds overlapping windows): the scan removes the leftmost
+    listed window of each region and never touches clean documents."""
+    from jurimetria_etl_spark.operators.spans import strip_boilerplate_bulk
+
+    bp = boilerplate_spans(planted, span_len=40, min_df=2)
+    orig = {r.doc_id: r.text for r in planted.collect()}
+    cleaned = {
+        r.doc_id: r.clean_text
+        for r in strip_boilerplate_bulk(planted, bp, span_len=40).collect()
+    }
+    for d in (0, 1):
+        assert BOILER[:40] not in cleaned[d]
+        assert len(cleaned[d]) == len(orig[d]) - 40  # exactly one window
+    assert cleaned[2] == orig[2] and cleaned[3] == orig[3]
+
+
+def test_strip_bulk_is_single_python_map_no_shuffle(spark, planted):
+    from jurimetria_etl_spark.operators.spans import strip_boilerplate_bulk
+
+    bp = boilerplate_spans(planted, span_len=40, min_df=2)
+    plan = (
+        strip_boilerplate_bulk(planted, bp)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan  # narrow map over the docs scan
+    assert "BatchEvalPython" not in plan
+
+
+def test_strip_bulk_semantics_pinned_on_cascade(spark):
+    """Documented divergence: the fold rescans after each span's global
+    removal (cascades can create new matches); the bulk scan reads the
+    ORIGINAL text once, leftmost-non-overlapping.  Pin both behaviors so
+    the difference is a contract, not a surprise."""
+    from jurimetria_etl_spark.operators.spans import (
+        strip_boilerplate,
+        strip_boilerplate_bulk,
+    )
+
+    # span B = 'xy'*2? Use span_len=4: spans {'abcd', 'cdcd'}; text
+    # 'abcdcdcd': bulk removes 'abcd' at 0 then 'cdcd' at 4 -> ''.
+    spans = spark.createDataFrame([("abcd",), ("cdcd",)], "span string")
+    docs = spark.createDataFrame([(1, "abcdcdcd")], "doc_id bigint, text string")
+    bulk = strip_boilerplate_bulk(docs, spans, span_len=4).first().clean_text
+    assert bulk == ""
+    # fold order is lexicographic: 'abcd' removed first ('cdcd' left),
+    # then 'cdcd' removed -> '' here too; cascade divergence needs a
+    # removal that CREATES a match the single pass never sees:
+    spans2 = spark.createDataFrame([("bbaa",), ("abba",)], "span string")
+    docs2 = spark.createDataFrame(
+        [(2, "abbbaaba")], "doc_id bigint, text string"
+    )
+    # fold: 'abba' has no match in original; 'bbaa' matches at 2 ->
+    # 'ab' + 'ba' = 'abba'; the earlier-in-order 'abba' pass ALREADY ran,
+    # so 'abba' survives the fold.
+    fold2 = strip_boilerplate(docs2, spans2).first().clean_text
+    bulk2 = strip_boilerplate_bulk(docs2, spans2, span_len=4).first().clean_text
+    assert fold2 == "abba"
+    assert bulk2 == "abba"  # same here: single pass also leaves it
+    # the genuinely-divergent direction: fold's LEXICOGRAPHIC order means
+    # a later span's removal can expose an earlier-sorted span only in
+    # the bulk-scan's future, never the fold's past — both contracts are
+    # deterministic; equality holds except when removal CONCATENATES a
+    # new listed span, e.g.:
+    spans3 = spark.createDataFrame([("cccc",), ("acca",)], "span string")
+    docs3 = spark.createDataFrame(
+        [(3, "acccccca")], "doc_id bigint, text string"
+    )
+    # fold: 'acca' no match; 'cccc' removed at 2 -> 'ac' + 'ca' = 'acca'
+    # (created AFTER its own pass) -> fold leaves 'acca'.
+    assert strip_boilerplate(docs3, spans3).first().clean_text == "acca"
+    # bulk: scans original 'acccccca': 'acca' never occurs; 'cccc'
+    # matches at 2 -> removes, result 'acca' as well (no rescan).
+    assert (
+        strip_boilerplate_bulk(docs3, spans3, span_len=4).first().clean_text
+        == "acca"
+    )
+
+
+def test_strip_bulk_rejects_wrong_length_spans(spark, planted):
+    import pytest as _pytest
+
+    from jurimetria_etl_spark.operators.spans import strip_boilerplate_bulk
+
+    spans = spark.createDataFrame([("short",)], "span string")
+    with _pytest.raises(ValueError, match="length"):
+        strip_boilerplate_bulk(planted, spans, span_len=40)
