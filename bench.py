@@ -65,6 +65,7 @@ HEADLINE = [
     "t19_nation_volume",
     "t20_market_share",
     "t21_product_profit",
+    "t22_revenue_change",
     "x05_minhash_near_dups",
     "x08_simhash_near_dups",
     "x09_text_profile",

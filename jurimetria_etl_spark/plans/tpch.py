@@ -1226,6 +1226,46 @@ ORDER BY n_name, o_year DESC
 """
 
 
+def t22_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    selective single-table aggregate — year + discount-band + quantity
+    filters, one global SUM(extendedprice * discount).  Completes the
+    corpus's coverage of all 22 canonical TPC-H plans.
+
+    Spark-first: every predicate is a parquet PushedFilter on the one
+    lineitem scan; the aggregate is partial+final around a
+    single-partition exchange.  Revenue accumulates in exact decimals
+    and rounds at the boundary (t01 convention)."""
+    li = _fact(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double"),
+            4,
+        ).alias("revenue")
+    )
+
+
+T22_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # The driver-registered t-series (merged into the 50-entry window by
 # plans/corpus.full_registry).
 TPCH: dict[str, Q] = {
@@ -1264,6 +1304,9 @@ TPCH_EXTRA: dict[str, Q] = {
     "t18_supplier_cnt_by_part": Q(t18_supplier_cnt_by_part, T18_SQL),
     "t19_nation_volume": Q(t19_nation_volume, T19_SQL),
     # Round-7: Q9 product-profit shape (no partsupp in the fixtures —
-    # supplycost substituted, see the t21 docstring).
+    # supplycost substituted, see the t21 docstring) and Q6 revenue
+    # change — with these the corpus covers ALL 22 canonical TPC-H
+    # plans (registered or pytest-oracle).
     "t21_product_profit": Q(t21_product_profit, T21_SQL),
+    "t22_revenue_change": Q(t22_revenue_change, T22_SQL),
 }

@@ -84,6 +84,9 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # t21: Q9 shape — name-pruned part and supplier⨝nation broadcast
     # into lineitem, orders on the spine, 2-key agg + sort.
     "t21_product_profit": (0, 0, 8, 4),
+    # t22: Q6 shape — all predicates pushed to the one lineitem scan
+    # (widen repartition + single-partition agg exchange).
+    "t22_revenue_change": (0, 0, 2, 0),
     "x05_minhash_near_dups": (0, 0, 10, 3),
     "x08_simhash_near_dups": (0, 0, 4, 1),
     "x09_text_profile": (0, 0, 1, 0),

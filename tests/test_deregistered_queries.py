@@ -129,8 +129,10 @@ PAIRS = [
     (E.x16_frame_sample, E.X16_SQL),
     (E.x17_rolling_fingerprint, E.X17_SQL),
     # never registered (window full, r7): Q9 product-profit shape —
-    # its sibling t20 (Q8 market share) is driver-registered:
+    # its sibling t20 (Q8 market share) is driver-registered — and the
+    # Q6 selective single-table aggregate completing all 22 TPC-H plans:
     (T.t21_product_profit, T.T21_SQL),
+    (T.t22_revenue_change, T.T22_SQL),
 ]
 
 
