@@ -243,3 +243,115 @@ def test_duplicate_spans_equals_python_bruteforce(spark, texts, span_len):
         for s in grams[i] & grams[j]
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=50), min_size=1, max_size=4),
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=50), min_size=1, max_size=4),
+    st.integers(min_value=4, max_value=10),
+)
+def test_duplicate_spans_against_equals_python_model(
+    spark, left_texts, right_texts, span_len
+):
+    """Cross-corpus duplicate spans == the pure-Python cross L-gram model
+    on arbitrary small corpora — exercises the shared-fp candidacy, the
+    hash intersection pre-filter, and the exact verify join for every
+    (corpora, span_len, k)."""
+    from jurimetria_etl_spark.operators.spans import duplicate_spans_against
+
+    k = min(3, span_len - 1)
+    left = spark.createDataFrame(
+        list(enumerate(left_texts)), "doc_id bigint, text string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(right_texts)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.left_id, r.right_id, r.span)
+        for r in duplicate_spans_against(
+            left, right, span_len=span_len, k=k, max_fp_df=None
+        ).collect()
+    }
+    lg = [
+        {t[i : i + span_len] for i in range(len(t) - span_len + 1)}
+        for t in left_texts
+    ]
+    rg = [
+        {t[i : i + span_len] for i in range(len(t) - span_len + 1)}
+        for t in right_texts
+    ]
+    want = {
+        (i, 100 + j, s)
+        for i in range(len(left_texts))
+        for j in range(len(right_texts))
+        for s in lg[i] & rg[j]
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=60), min_size=1, max_size=5),
+    st.integers(min_value=3, max_value=8),
+    st.integers(min_value=2, max_value=3),
+)
+def test_boilerplate_spans_equals_python_model(spark, texts, span_len, min_df):
+    """boilerplate_spans == exact per-span distinct-document counts —
+    the hash pre-aggregation (collision superset + exact recount) must
+    be invisible for every (corpus, span_len, min_df)."""
+    from collections import Counter
+
+    from jurimetria_etl_spark.operators.spans import boilerplate_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r.span, r.n_docs)
+        for r in boilerplate_spans(df, span_len=span_len, min_df=min_df).collect()
+    }
+    counts = Counter()
+    for t in texts:
+        for s in {t[i : i + span_len] for i in range(len(t) - span_len + 1)}:
+            counts[s] += 1
+    want = {(s, c) for s, c in counts.items() if c >= min_df}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="abc", min_size=0, max_size=40), min_size=1, max_size=4),
+    st.lists(st.text(alphabet="abc", min_size=4, max_size=4), min_size=0, max_size=5),
+)
+def test_strip_bulk_equals_python_scan(spark, texts, spans):
+    """strip_boilerplate_bulk == the leftmost-non-overlapping single-pass
+    reference scan, for every (corpus, span set) — the broadcast-set
+    mapInPandas implementation must match its own documented contract."""
+    from jurimetria_etl_spark.operators.spans import strip_boilerplate_bulk
+
+    L = 4
+    span_set = set(spans)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    sdf = spark.createDataFrame([(s,) for s in span_set], "span string")
+
+    def ref(t):
+        out, i, last = [], 0, 0
+        while i <= len(t) - L:
+            if t[i : i + L] in span_set:
+                out.append(t[last:i])
+                i += L
+                last = i
+            else:
+                i += 1
+        out.append(t[last:])
+        return "".join(out)
+
+    got = {
+        r.doc_id: r.clean_text
+        for r in strip_boilerplate_bulk(docs, sdf, span_len=L).collect()
+    }
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
