@@ -120,6 +120,60 @@ def remove_contaminated(
     return docs.join(flagged, id_col, "left_anti")
 
 
+def flag_span_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    span_len: int = 40,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_fps: DataFrame | None = None,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Per-document span-contamination REPORT — the metrics companion of
+    ``remove_span_contaminated`` (the same relationship
+    ``flag_contamination`` has to ``remove_contaminated``): instead of
+    silently dropping, surface per document
+
+    - ``n_shared_spans``: distinct ``span_len``-char spans also present
+      in some benchmark document
+    - ``n_bench_docs``: distinct benchmark documents implicated
+    - ``contaminated``: n_shared_spans ≥ 1
+
+    Left join from docs, so every document gets a row (zeros when
+    clean) — the frame an auditor inspects before gating, and the
+    provenance a leakage report needs (WHICH eval items leaked, how
+    much).  Same exactness default as the gate: ``max_fp_df=None``."""
+    from jurimetria_etl_spark.operators.spans import duplicate_spans_against
+
+    hits = duplicate_spans_against(
+        docs,
+        bench,
+        span_len=span_len,
+        k=k,
+        max_fp_df=max_fp_df,
+        id_col=id_col,
+        text_col=text_col,
+        right_fps=bench_fps,
+    )
+    per_doc = hits.groupBy(F.col("left_id").alias(id_col)).agg(
+        F.countDistinct("span").alias("n_shared_spans"),
+        F.countDistinct("right_id").alias("n_bench_docs"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
+            F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+            (F.coalesce("n_shared_spans", F.lit(0)) >= 1).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def remove_span_contaminated(
     docs: DataFrame,
     bench: DataFrame,

@@ -473,3 +473,42 @@ def test_strip_bulk_rejects_wrong_length_spans(spark, planted):
     spans = spark.createDataFrame([("short",)], "span string")
     with _pytest.raises(ValueError, match="length"):
         strip_boilerplate_bulk(planted, spans, span_len=40)
+
+
+def test_flag_span_contamination_report(spark):
+    """The metrics companion of the span gate: per-doc shared-span and
+    implicated-benchmark-doc counts, zeros for clean docs, flag
+    consistent with what remove_span_contaminated would drop."""
+    from jurimetria_etl_spark.operators.decontaminate import (
+        flag_span_contamination,
+        remove_span_contaminated,
+    )
+
+    leak1 = "Answer A: photosynthesis converts light to chemical energy."
+    leak2 = "Answer B: the capital of France has always been Paris, yes."
+    corpus = _docs(
+        spark,
+        [
+            (0, "quotes both: " + leak1 + " and " + leak2 + " end."),
+            (1, "quotes one: " + leak1 + " nothing else shared here."),
+            (2, "a fully clean training document, nothing shared at all."),
+        ],
+    )
+    bench = _docs(spark, [(900, "q1: " + leak1), (901, "q2: " + leak2)])
+
+    rep = {
+        r.doc_id: (r.n_shared_spans, r.n_bench_docs, r.contaminated)
+        for r in flag_span_contamination(corpus, bench, span_len=40, k=8).collect()
+    }
+    assert set(rep) == {0, 1, 2}
+    assert rep[2] == (0, 0, False)
+    assert rep[0][1] == 2 and rep[0][2] is True  # both bench docs implicated
+    assert rep[1][1] == 1 and rep[1][2] is True
+    assert rep[0][0] > rep[1][0] > 0  # doc 0 shares strictly more spans
+
+    # flag ≡ gate: flagged ids are exactly the ids the gate drops
+    kept = {
+        r.doc_id
+        for r in remove_span_contaminated(corpus, bench, span_len=40, k=8).collect()
+    }
+    assert kept == {d for d, (_, _, c) in rep.items() if not c}
