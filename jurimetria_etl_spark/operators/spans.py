@@ -298,7 +298,9 @@ def duplicate_spans_against(
     winnow+candidacy subplan (Catalyst reuses exchanges, not arbitrary
     subtrees — the same reason ``duplicate_spans``' inline path uses one
     windowed count instead of a semi-join-back).  Corpus-sized frames
-    are never cached."""
+    are never cached; the persisted frames are released by Spark's
+    ContextCleaner once the returned plan is unreferenced (no explicit
+    unpersist hook an operator function could safely own)."""
     from jurimetria_etl_spark.operators.dedup import widen_partitions
 
     # The winnow fold and gram explode are CPU-dense narrow stages: when
@@ -430,6 +432,7 @@ def strip_boilerplate_bulk(
     text_col: str = "text",
     span_col: str = "span",
     out_col: str = "clean_text",
+    max_spans: int = 5_000_000,
 ) -> DataFrame:
     """Subtract a LARGE strip-list from every document — the scale form
     ``strip_boilerplate``'s docstring points to for corpus-sized lists
@@ -454,8 +457,22 @@ def strip_boilerplate_bulk(
     matches don't overlap or abut in a way whose removal forms a new
     listed span — true for real boilerplate; the divergence on
     adversarial cascades is pinned in tests/test_spans.py, not hidden.
+
+    ``max_spans`` guards the driver collect: a list past it would mean
+    ~span_len·max_spans bytes held on the driver AND per executor —
+    raise the limit deliberately (with driver/executor memory to match),
+    don't let an unfiltered ``min_df=2`` list from a 100 TB corpus walk
+    into a collect by accident.
     """
     spark = docs.sparkSession
+    n_spans = spans.select(span_col).distinct().count()
+    if n_spans > max_spans:
+        raise ValueError(
+            f"strip_boilerplate_bulk: strip-list has {n_spans} distinct "
+            f"spans (> max_spans={max_spans}); the broadcast set must fit "
+            "in driver and executor memory — filter the list (min_df / "
+            "top-N) or raise max_spans deliberately"
+        )
     span_rows = [r[0] for r in spans.select(span_col).distinct().collect()]
     bad = [s for s in span_rows if len(s) != span_len]
     if bad:

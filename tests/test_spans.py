@@ -512,3 +512,11 @@ def test_flag_span_contamination_report(spark):
         for r in remove_span_contaminated(corpus, bench, span_len=40, k=8).collect()
     }
     assert kept == {d for d, (_, _, c) in rep.items() if not c}
+
+
+def test_strip_bulk_guards_oversized_striplist(spark, planted):
+    from jurimetria_etl_spark.operators.spans import strip_boilerplate_bulk
+
+    bp = boilerplate_spans(planted, span_len=40, min_df=2)
+    with pytest.raises(ValueError, match="max_spans"):
+        strip_boilerplate_bulk(planted, bp, span_len=40, max_spans=3)
