@@ -115,4 +115,14 @@ def land_hits(
         flat.write.mode("append").partitionBy("tribunal").json(out_dir)
         return
     target = f"{out_dir.rstrip('/')}/pull_id={pull_id}"
-    flat.write.mode("overwrite").partitionBy("tribunal").json(target)
+    # Pin STATIC overwrite for this write even if the session default is
+    # dynamic: exactly-once means the retry replaces the pull directory
+    # WHOLLY — under dynamic mode a retry observing fewer tribunals than
+    # a previous partial attempt would leave the stale tribunal dirs in
+    # place.
+    (
+        flat.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("tribunal")
+        .json(target)
+    )

@@ -153,3 +153,32 @@ def test_landing_pull_id_must_be_fs_safe(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="pull_id"):
         land_hits(df, "/tmp/x", pull_id="a/../b")
+
+
+def test_landing_pull_retry_replaces_wholly_under_dynamic_mode(spark, tmp_path):
+    """Exactly-once must hold even when the SESSION default is dynamic
+    partition overwrite: a retry that lands fewer tribunals than the
+    partial first attempt must not leave the stale tribunal dirs."""
+    from jurimetria_etl_spark.sources.datajud import DataJudSource
+    from jurimetria_etl_spark.sources.landing import land_hits
+    from tests.test_sources import _paged_transport
+
+    land = str(tmp_path / "land")
+    pages = {
+        (): [dict(_hit("0000001-00.2023.8.26.0000"), sort=[1])],
+        (1,): [],
+    }
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # "partial first attempt": two tribunals landed
+        src = DataJudSource(spark, transport=_paged_transport(pages))
+        land_hits(src.parallel_scan(["TJCE", "TJSP"]), land, pull_id="p1")
+        # the retry lands only ONE tribunal — must replace the pull wholly
+        src2 = DataJudSource(spark, transport=_paged_transport(pages))
+        land_hits(src2.parallel_scan(["TJCE"]), land, pull_id="p1")
+        back = read_processos_landing(spark, land)
+        assert {r.tribunal for r in back.collect()} == {"TJCE"}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
