@@ -433,6 +433,7 @@ def strip_boilerplate_bulk(
     span_col: str = "span",
     out_col: str = "clean_text",
     max_spans: int = 5_000_000,
+    replace: bool = False,
 ) -> DataFrame:
     """Subtract a LARGE strip-list from every document — the scale form
     ``strip_boilerplate``'s docstring points to for corpus-sized lists
@@ -463,6 +464,11 @@ def strip_boilerplate_bulk(
     raise the limit deliberately (with driver/executor memory to match),
     don't let an unfiltered ``min_df=2`` list from a 100 TB corpus walk
     into a collect by accident.
+
+    ``replace=True`` rewrites ``text_col`` IN PLACE, preserving every
+    other column — the pipeline-stage form (no id-keyed join back to
+    reattach metadata); the default returns the slim
+    ``(id_col, out_col)`` frame.
     """
     spark = docs.sparkSession
     n_spans = spans.select(span_col).distinct().count()
@@ -482,11 +488,7 @@ def strip_boilerplate_bulk(
         )
     bc = spark.sparkContext.broadcast(frozenset(span_rows))
 
-    out_schema = f"{id_col} long, {out_col} string"
-
-    def scan(batches):
-        import pandas as pd
-
+    def _strip_one_factory():
         span_set = bc.value
         L = span_len
 
@@ -509,6 +511,24 @@ def strip_boilerplate_bulk(
             keep.append(text[last:])
             return "".join(keep)
 
+        return strip_one
+
+    if replace:
+
+        def scan_replace(batches):
+            strip_one = _strip_one_factory()
+            for pdf in batches:
+                pdf[text_col] = pdf[text_col].map(strip_one)
+                yield pdf
+
+        return docs.mapInPandas(scan_replace, docs.schema)
+
+    out_schema = f"{id_col} long, {out_col} string"
+
+    def scan(batches):
+        import pandas as pd
+
+        strip_one = _strip_one_factory()
         for pdf in batches:
             yield pd.DataFrame(
                 {

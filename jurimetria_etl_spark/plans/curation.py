@@ -44,6 +44,10 @@ def curate_corpus(
     decontam_ngram: int = 5,
     decontam_min_overlap: int = 1,
     decontam_min_ratio: float = 0.0,
+    decontam_spans: bool = False,
+    strip_boilerplate_min_df: int | None = None,
+    span_len: int = 40,
+    span_k: int = 8,
     intermediate_dir: str | None = None,
 ) -> DataFrame:
     """Curated corpus: documents that pass the language and quality gates,
@@ -62,6 +66,19 @@ def curate_corpus(
       ``decontam_ngram``-gram shingles overlap the benchmark
       (operators/decontaminate.py) — run before dedup so contaminated
       documents can't become cluster survivors.
+    - ``decontam_spans=True`` (with ``benchmark``) additionally drops
+      documents sharing an EXACT ``span_len``-char span with the
+      benchmark (operators/decontaminate.py:remove_span_contaminated) —
+      verbatim leakage that token shingles can split differently;
+      uncapped by default per that gate's contract.
+    - ``strip_boilerplate_min_df=<n>`` strips corpus boilerplate BEFORE
+      profiling: spans of ``span_len`` chars occurring in ≥ n documents
+      (operators/spans.py:boilerplate_spans) are removed via the
+      broadcast-set scan (``strip_boilerplate_bulk``), so quality
+      scores, shingles, and fingerprints see content, not template —
+      boilerplate-heavy near-dup FALSE positives disappear with the
+      boilerplate.  Runs after PII scrub (redacted forms feed the span
+      counts).
 
     Near-dup removal semantics: by default (``transitive=True``) the pair
     graph is clustered into connected components and exactly ONE document
@@ -90,6 +107,18 @@ def curate_corpus(
         from jurimetria_etl_spark.operators.scrub import scrub_documents
 
         docs = scrub_documents(docs, text_col)
+    if strip_boilerplate_min_df is not None:
+        from jurimetria_etl_spark.operators.spans import (
+            boilerplate_spans,
+            strip_boilerplate_bulk,
+        )
+
+        bp = boilerplate_spans(
+            docs, span_len, strip_boilerplate_min_df, id_col, text_col
+        )
+        docs = strip_boilerplate_bulk(
+            docs, bp, span_len, id_col, text_col, replace=True
+        )
     profiled = docs.select(
         "*",
         X.lang_id(text_col).alias("lang_pred"),
@@ -119,6 +148,19 @@ def curate_corpus(
             min_overlap=decontam_min_overlap,
             min_overlap_ratio=decontam_min_ratio,
         )
+        if decontam_spans:
+            from jurimetria_etl_spark.operators.decontaminate import (
+                remove_span_contaminated,
+            )
+
+            gated = remove_span_contaminated(
+                gated,
+                benchmark,
+                span_len=span_len,
+                k=span_k,
+                id_col=id_col,
+                text_col=text_col,
+            )
 
     exact = D.dedup_by_fingerprint(gated, text_col, id_col)
 

@@ -201,3 +201,60 @@ def test_curate_corpus_optional_stages_full_chain(spark):
     assert set(rows) == {1}
     assert "<EMAIL>" in rows[1]["text"]
     assert "someone@example.com" not in rows[1]["text"]
+
+
+def test_curate_corpus_span_stages(spark):
+    """The two round-7 stages wired into the composite: boilerplate
+    stripping BEFORE profiling (quality/dedup see content, all original
+    columns preserved) and span-level decontamination alongside the
+    n-gram gate."""
+    from jurimetria_etl_spark.plans.curation import curate_corpus
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES NOW!"  # 50 chars
+    leak = "The answer to the ultimate question is forty-two, obviously."
+
+    p0 = (
+        "the appellate court reviewed the evidence carefully and found "
+        "that the lower ruling should stand without any modification. "
+    )
+    p1 = (
+        "several engineers spent the afternoon debugging the pipeline "
+        "and discovered that the scheduler had silently dropped work. "
+    )
+    p2 = (
+        "a long walk along the river revealed three herons standing in "
+        "the shallows while the morning fog lifted over the water. "
+    )
+    p3 = (
+        "the committee agreed to publish the revised guidelines after "
+        "reviewing feedback from every regional office this quarter. "
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, p0 + boiler, "en", "web", 1),
+            (1, p1 + "also this. " + boiler, "en", "web", 1),
+            (2, p2 + "quoting now: " + leak + " end quote.", "en", "web", 1),
+            (3, p3 + "third clean unique document body here.", "en", "web", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    bench = spark.createDataFrame(
+        [(900, "eval: " + leak)], "doc_id bigint, text string"
+    )
+    out = curate_corpus(
+        docs,
+        benchmark=bench,
+        decontam_spans=True,
+        strip_boilerplate_min_df=2,
+        span_len=40,
+        near_dup_threshold=0.95,
+        transitive=False,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 2 dropped: exact span leak; docs 0/1/3 survive
+    assert 2 not in rows and {0, 1, 3} <= set(rows)
+    # boilerplate stripped BEFORE profiling: the shared banner is gone
+    for d in (0, 1):
+        assert boiler[:40] not in rows[d].text
+    # original metadata columns preserved through the replace-mode strip
+    assert {"lang", "source", "n_chars"} <= set(out.columns)
