@@ -434,6 +434,7 @@ def strip_boilerplate_bulk(
     out_col: str = "clean_text",
     max_spans: int = 5_000_000,
     replace: bool = False,
+    extend_runs: bool = True,
 ) -> DataFrame:
     """Subtract a LARGE strip-list from every document — the scale form
     ``strip_boilerplate``'s docstring points to for corpus-sized lists
@@ -451,13 +452,19 @@ def strip_boilerplate_bulk(
     in an Arrow-batched ``mapInPandas`` — a narrow map, no shuffle, no
     driver round-trips per row.
 
-    SEMANTICS — one pass, leftmost match wins, non-overlapping, no
-    cascade: a window that matches is deleted and the scan resumes AFTER
-    it, and deletions never create new matches (the scan reads the
-    ORIGINAL text).  This equals the replace-fold's output whenever
-    matches don't overlap or abut in a way whose removal forms a new
-    listed span — true for real boilerplate; the divergence on
-    adversarial cascades is pinned in tests/test_spans.py, not hidden.
+    SEMANTICS — one pass, leftmost match wins, no cascade: a match is
+    deleted and the scan resumes after it; deletions never create new
+    matches (the scan reads the ORIGINAL text).  With ``extend_runs=True``
+    (default) a deletion covers the MAXIMAL run of consecutive matching
+    windows: a shared region longer than ``span_len`` contributes ALL its
+    sliding windows to the strip-list (that is what ``boilerplate_spans``
+    emits), and extending across the run removes the WHOLE region — the
+    "remove the repeated substring" semantics of suffix-array dedup —
+    instead of one window plus a sub-``span_len`` residue.
+    ``extend_runs=False`` gives the plain non-overlapping scan, which
+    equals the replace-fold's output whenever matches don't overlap or
+    abut in a way whose removal forms a new listed span; the contract
+    differences are pinned in tests/test_spans.py, not hidden.
 
     ``max_spans`` guards the driver collect: a list past it would mean
     ~span_len·max_spans bytes held on the driver AND per executor —
@@ -491,6 +498,7 @@ def strip_boilerplate_bulk(
     def _strip_one_factory():
         span_set = bc.value
         L = span_len
+        extend = extend_runs
 
         def strip_one(text):
             if text is None or not span_set:
@@ -503,9 +511,15 @@ def strip_boilerplate_bulk(
             last = 0
             while i <= n - L:
                 if text[i : i + L] in span_set:
+                    end = i + L
+                    if extend:
+                        j = i + 1
+                        while j <= n - L and text[j : j + L] in span_set:
+                            j += 1
+                        end = j - 1 + L
                     keep.append(text[last:i])
-                    i += L
-                    last = i
+                    i = end
+                    last = end
                 else:
                     i += 1
             keep.append(text[last:])

@@ -338,20 +338,30 @@ def test_strip_bulk_equals_python_scan(spark, texts, spans):
     )
     sdf = spark.createDataFrame([(s,) for s in span_set], "span string")
 
-    def ref(t):
+    def ref(t, extend):
         out, i, last = [], 0, 0
-        while i <= len(t) - L:
+        n = len(t)
+        while i <= n - L:
             if t[i : i + L] in span_set:
+                end = i + L
+                if extend:
+                    j = i + 1
+                    while j <= n - L and t[j : j + L] in span_set:
+                        j += 1
+                    end = j - 1 + L
                 out.append(t[last:i])
-                i += L
-                last = i
+                i = end
+                last = end
             else:
                 i += 1
         out.append(t[last:])
         return "".join(out)
 
-    got = {
-        r.doc_id: r.clean_text
-        for r in strip_boilerplate_bulk(docs, sdf, span_len=L).collect()
-    }
-    assert got == {i: ref(t) for i, t in enumerate(texts)}
+    for extend in (True, False):
+        got = {
+            r.doc_id: r.clean_text
+            for r in strip_boilerplate_bulk(
+                docs, sdf, span_len=L, extend_runs=extend
+            ).collect()
+        }
+        assert got == {i: ref(t, extend) for i, t in enumerate(texts)}

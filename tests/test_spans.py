@@ -382,10 +382,13 @@ def test_strip_bulk_matches_fold_on_disjoint_spans(spark):
     assert bulk[0] == "intro.  body text.  outro."
 
 
-def test_strip_bulk_removes_leftmost_window_per_region(spark, planted):
-    """On the planted corpus (shared region LONGER than span_len, so the
-    strip-list holds overlapping windows): the scan removes the leftmost
-    listed window of each region and never touches clean documents."""
+def test_strip_bulk_removes_whole_region_via_run_extension(spark, planted):
+    """On the planted corpus the shared region is 51 chars — LONGER than
+    span_len, so the strip-list holds its 12 overlapping windows.  With
+    the default run extension the scan deletes the MAXIMAL run of
+    consecutive matching windows, i.e. the whole 51-char region (no
+    sub-span_len residue); with extend_runs=False it removes exactly the
+    leftmost window.  Clean documents are never touched."""
     from jurimetria_etl_spark.operators.spans import strip_boilerplate_bulk
 
     bp = boilerplate_spans(planted, span_len=40, min_df=2)
@@ -394,10 +397,19 @@ def test_strip_bulk_removes_leftmost_window_per_region(spark, planted):
         r.doc_id: r.clean_text
         for r in strip_boilerplate_bulk(planted, bp, span_len=40).collect()
     }
+    single = {
+        r.doc_id: r.clean_text
+        for r in strip_boilerplate_bulk(
+            planted, bp, span_len=40, extend_runs=False
+        ).collect()
+    }
     for d in (0, 1):
         assert BOILER[:40] not in cleaned[d]
-        assert len(cleaned[d]) == len(orig[d]) - 40  # exactly one window
-    assert cleaned[2] == orig[2] and cleaned[3] == orig[3]
+        assert len(cleaned[d]) == len(orig[d]) - 51  # the WHOLE region
+        assert BOILER not in cleaned[d]  # no residue of it either
+        assert len(single[d]) == len(orig[d]) - 40  # one window only
+    for got in (cleaned, single):
+        assert got[2] == orig[2] and got[3] == orig[3]
 
 
 def test_strip_bulk_is_single_python_map_no_shuffle(spark, planted):
@@ -457,10 +469,18 @@ def test_strip_bulk_semantics_pinned_on_cascade(spark):
     # fold: 'acca' no match; 'cccc' removed at 2 -> 'ac' + 'ca' = 'acca'
     # (created AFTER its own pass) -> fold leaves 'acca'.
     assert strip_boilerplate(docs3, spans3).first().clean_text == "acca"
-    # bulk: scans original 'acccccca': 'acca' never occurs; 'cccc'
-    # matches at 2 -> removes, result 'acca' as well (no rescan).
+    # bulk default (run extension): 'cccc' matches at 1,2,3 — one maximal
+    # run [1,7) — leaving 'aa'; with extend_runs=False only the leftmost
+    # window [1,5) goes, leaving 'acca' (same residue as the fold, no
+    # rescan).
     assert (
         strip_boilerplate_bulk(docs3, spans3, span_len=4).first().clean_text
+        == "aa"
+    )
+    assert (
+        strip_boilerplate_bulk(docs3, spans3, span_len=4, extend_runs=False)
+        .first()
+        .clean_text
         == "acca"
     )
 
