@@ -477,6 +477,12 @@ def strip_boilerplate_bulk(
     reattach metadata); the default returns the slim
     ``(id_col, out_col)`` frame.
     """
+    from jurimetria_etl_spark.operators.dedup import widen_partitions
+
+    # The scan is CPU-dense narrow work — parallelize by cluster width,
+    # not input bytes (no-op at 100 TB where file count ≥ cores; same
+    # policy as every other span entry point).
+    docs = widen_partitions(docs)
     spark = docs.sparkSession
     n_spans = spans.select(span_col).distinct().count()
     if n_spans > max_spans:
