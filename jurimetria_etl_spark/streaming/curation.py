@@ -96,6 +96,7 @@ def curate_document_stream(
     span_fp_store_dir: str | None = None,
     span_len: int = 40,
     span_k: int = 8,
+    strip_spans: DataFrame | None = None,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -114,6 +115,17 @@ def curate_document_stream(
     distinct per doc, so a retried batch's duplicate rows only repeat
     candidacy hints and are deduplicated on read).
 
+    ``strip_spans`` (optional) applies a STATIC boilerplate strip-list —
+    a prior offline ``boilerplate_spans`` run over the corpus — to every
+    micro-batch FIRST (``strip_boilerplate_bulk`` in replace mode), so
+    fingerprints, signatures, and the landed corpus all see content, not
+    template: two documents differing only in boilerplate deduplicate.
+    The list must stay FIXED for the life of the stores (fingerprints
+    are of stripped text — a different list means a new store
+    generation, same rule as changing ``k``/``bands``); the bounded list
+    is re-collected per micro-batch (one tiny job), keeping this
+    function stateless across restarts.
+
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
     """
@@ -122,6 +134,19 @@ def curate_document_stream(
         spark = batch_df.sparkSession
         if not batch_df.head(1):
             return
+        if strip_spans is not None:
+            from jurimetria_etl_spark.operators.spans import (
+                strip_boilerplate_bulk,
+            )
+
+            batch_df = strip_boilerplate_bulk(
+                batch_df,
+                strip_spans,
+                span_len,
+                id_col,
+                text_col,
+                replace=True,
+            )
         fp_store = _read_or_empty(spark, fp_store_dir, "fp bigint")
         sig_store = _read_or_empty(spark, sig_store_dir, _SIG_SCHEMA)
         fresh = dedup_incremental(batch_df, fp_store, text_col)

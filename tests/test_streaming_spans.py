@@ -87,3 +87,39 @@ def test_span_store_incremental_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_strip_spans_dedups_across_boilerplate(spark, tmp_path):
+    """A static strip-list applied per micro-batch: the landed corpus is
+    stripped, and two documents differing ONLY in boilerplate become
+    exact duplicates — the later one is dropped by the incremental
+    dedup, which fingerprints the STRIPPED text."""
+    import pyspark.sql.functions as F
+
+    banner = "SPONSORED CONTENT - CLICK HERE TO LEARN MOR"[:40]
+    assert len(banner) == 40
+    prose = "a perfectly ordinary body of text that appears twice."
+    flat = str(tmp_path / "flat")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, [(0, prose + " " + banner)]), flat, "000", base_t)
+    _drop(_docs(spark, [(1, prose + " "), (2, "a different doc. " + banner)]),
+          flat, "001", base_t + 60)
+
+    strip = spark.createDataFrame([(banner,)], "span string")
+    q = curate_document_stream(
+        read_documents_stream(spark, str(tmp_path / "flat")),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "fps"),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "ckpt"),
+        strip_spans=strip,
+    )
+    assert q.awaitTermination(120)
+
+    landed = spark.read.parquet(store_data_dir(str(tmp_path / "corpus")))
+    rows = {r.doc_id: r.text for r in landed.collect()}
+    # banner never lands; doc 1 (prose-only twin of stripped doc 0) was
+    # dropped as an exact duplicate of doc 0's stripped text
+    assert all(banner not in t for t in rows.values())
+    assert set(rows) == {0, 2}
+    assert rows[0] == prose + " "
