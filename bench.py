@@ -77,6 +77,7 @@ HEADLINE = [
     "x18_near_dup_clusters",
     "x20_pack_shards",
     "x28_duplicate_spans",
+    "x29_boilerplate_spans",
     "x22_training_shards",
     "x27_hll_daily_uniques",
 ]

@@ -108,6 +108,10 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # The extra exchanges are the persist-fill subplan + the hash pass;
     # the span-string exchange now carries only genuinely-shared grams.
     "x28_duplicate_spans": (0, 0, 13, 3),
+    # x29 (r7 hash-keyed): widen → long-keyed xxhash64(span) df count →
+    # broadcast survivor semi-filter → survivor-sized span recount.  The
+    # corpus-wide exchange carries 8-byte longs, never raw spans.
+    "x29_boilerplate_spans": (0, 0, 5, 1),
     "x27_hll_daily_uniques": (0, 0, 2, 0),
 }
 
