@@ -615,3 +615,133 @@ def boilerplate_spans(
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= min_df)
     )
+
+
+def duplicate_lines(
+    df: DataFrame,
+    min_df: int = 2,
+    min_line_chars: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicated-LINE table: (line, n_docs) for every line
+    (newline-delimited, length ≥ ``min_line_chars`` after trim) occurring
+    in ≥ ``min_df`` distinct documents — the CCNet/RefinedWeb
+    "remove duplicated paragraphs/lines" curation axis, complementing the
+    fixed-length span ops above: lines are VARIABLE-length natural units
+    (nav menus, cookie banners, headers), where ``boilerplate_spans``
+    windows fixed lengths.
+
+    Same HASH-KEYED two-pass plan as ``boilerplate_spans`` (a line is
+    just a variable-length span): the corpus-wide exchange carries 8-byte
+    ``xxhash64(line)`` longs, line text resolves behind the broadcast
+    ≥min_df survivor semi-filter, and an exact per-line recount makes
+    collisions invisible.  ``min_line_chars`` keeps trivial short lines
+    ("", "-", "ok") out of the table — they would dominate the survivor
+    set while carrying no curation signal.
+
+    Cited vs reference: no counterpart (the reference has no text
+    curation); part of the large-scale training-data axis of the brief.
+    """
+    from jurimetria_etl_spark.operators.dedup import widen_partitions
+
+    df = widen_partitions(df)
+    lines = F.filter(
+        F.array_distinct(F.split(F.col(text_col), "\n")),
+        lambda l: F.length(F.trim(l)) >= min_line_chars,
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(lines).alias("line")
+    )
+    surviving = (
+        df.select(
+            F.explode(F.transform(lines, lambda l: F.xxhash64(l))).alias(
+                "__h"
+            )
+        )
+        .groupBy("__h")
+        .agg(F.count("*").alias("__hc"))
+        .where(F.col("__hc") >= min_df)
+        .select("__h")
+    )
+    return (
+        exploded.join(
+            F.broadcast(surviving),
+            F.xxhash64(F.col("line")) == F.col("__h"),
+            "left_semi",
+        )
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+    )
+
+
+def strip_duplicate_lines(
+    docs: DataFrame,
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_col: str = "line",
+    out_col: str = "clean_text",
+    max_lines: int = 5_000_000,
+    replace: bool = False,
+) -> DataFrame:
+    """Remove every listed line from every document (exact line match,
+    newline-delimited; surviving lines re-join with ``\\n``) — the
+    application half of ``duplicate_lines``, one Arrow-batched map over
+    a broadcast line set (``strip_boilerplate_bulk``'s posture: the set
+    must fit in executor memory for ANY multi-pattern matcher, and
+    ``max_lines`` guards the inherent driver collect).  ``replace=True``
+    rewrites ``text_col`` in place preserving all other columns."""
+    from jurimetria_etl_spark.operators.dedup import widen_partitions
+
+    docs = widen_partitions(docs)
+    spark = docs.sparkSession
+    n_lines = lines.select(line_col).distinct().count()
+    if n_lines > max_lines:
+        raise ValueError(
+            f"strip_duplicate_lines: strip-list has {n_lines} distinct "
+            f"lines (> max_lines={max_lines}); filter it (min_df / top-N) "
+            "or raise max_lines deliberately"
+        )
+    bc = spark.sparkContext.broadcast(
+        frozenset(r[0] for r in lines.select(line_col).distinct().collect())
+    )
+
+    def _strip_one_factory():
+        line_set = bc.value
+
+        def strip_one(text):
+            if text is None or not line_set:
+                return text
+            return "\n".join(
+                l for l in text.split("\n") if l not in line_set
+            )
+
+        return strip_one
+
+    if replace:
+
+        def scan_replace(batches):
+            strip_one = _strip_one_factory()
+            for pdf in batches:
+                pdf[text_col] = pdf[text_col].map(strip_one)
+                yield pdf
+
+        return docs.mapInPandas(scan_replace, docs.schema)
+
+    out_schema = f"{id_col} long, {out_col} string"
+
+    def scan(batches):
+        import pandas as pd
+
+        strip_one = _strip_one_factory()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: pdf[text_col].map(strip_one),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(scan, out_schema)

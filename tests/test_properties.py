@@ -365,3 +365,62 @@ def test_strip_bulk_equals_python_scan(spark, texts, spans):
             ).collect()
         }
         assert got == {i: ref(t, extend) for i, t in enumerate(texts)}
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdefghijkl ", min_size=0, max_size=20),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=3),
+    st.integers(min_value=0, max_value=8),
+)
+def test_duplicate_lines_equals_python_model(
+    spark, docs_lines, min_df, min_chars
+):
+    """duplicate_lines == exact distinct-document counts per qualifying
+    line, and strip_duplicate_lines == the python line filter — for
+    arbitrary small corpora (the hash pre-aggregation and the broadcast
+    strip set must both be invisible)."""
+    from collections import Counter
+
+    from jurimetria_etl_spark.operators.spans import (
+        duplicate_lines,
+        strip_duplicate_lines,
+    )
+
+    texts = ["\n".join(ls) for ls in docs_lines]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r.line, r.n_docs)
+        for r in duplicate_lines(
+            df, min_df=min_df, min_line_chars=min_chars
+        ).collect()
+    }
+    counts = Counter()
+    for t in texts:
+        for l in {x for x in t.split("\n") if len(x.strip()) >= min_chars}:
+            counts[l] += 1
+    want = {(l, c) for l, c in counts.items() if c >= min_df}
+    assert got == want
+
+    listed = {l for l, _ in want}
+    stripped = {
+        r.doc_id: r.clean_text
+        for r in strip_duplicate_lines(
+            df, duplicate_lines(df, min_df=min_df, min_line_chars=min_chars)
+        ).collect()
+    }
+    ref = {
+        i: "\n".join(x for x in t.split("\n") if x not in listed)
+        for i, t in enumerate(texts)
+    }
+    assert stripped == ref

@@ -541,3 +541,58 @@ def test_strip_bulk_guards_oversized_striplist(spark, planted):
     bp = boilerplate_spans(planted, span_len=40, min_df=2)
     with pytest.raises(ValueError, match="max_spans"):
         strip_boilerplate_bulk(planted, bp, span_len=40, max_spans=3)
+
+
+NAV = "Home | About | Products | Contact | Privacy Policy"
+
+
+def test_duplicate_lines_and_strip(spark):
+    """Line-level dedup (CCNet/RefinedWeb axis): the nav line shared by
+    two docs surfaces with its distinct-doc count; short lines never
+    qualify; stripping removes exactly the listed lines and preserves
+    the rest (and metadata columns in replace mode)."""
+    from jurimetria_etl_spark.operators.spans import (
+        duplicate_lines,
+        strip_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, NAV + "\nunique first body line here.\nok", "web"),
+            (1, NAV + "\na different second body entirely.\nok", "web"),
+            (2, "no shared lines in this document at all.", "web"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    dup = {(r.line, r.n_docs) for r in duplicate_lines(docs, min_df=2).collect()}
+    # 'ok' is shared by 0 and 1 but below min_line_chars — excluded
+    assert dup == {(NAV, 2)}
+
+    lines = duplicate_lines(docs, min_df=2)
+    slim = {
+        r.doc_id: r.clean_text
+        for r in strip_duplicate_lines(docs, lines).collect()
+    }
+    assert slim[0] == "unique first body line here.\nok"
+    assert slim[1] == "a different second body entirely.\nok"
+    assert slim[2] == "no shared lines in this document at all."
+
+    rep = strip_duplicate_lines(docs, lines, replace=True)
+    assert rep.columns == ["doc_id", "text", "source"]
+    assert {r.doc_id: r.text for r in rep.collect()} == slim
+
+    # guard parity with the span form
+    with pytest.raises(ValueError, match="max_lines"):
+        strip_duplicate_lines(docs, lines, max_lines=0)
+
+
+def test_duplicate_lines_counts_docs_not_occurrences(spark):
+    from jurimetria_etl_spark.operators.spans import duplicate_lines
+
+    # NAV appears TWICE inside doc 7 — still one document
+    docs = spark.createDataFrame(
+        [(7, NAV + "\nmiddle content body\n" + NAV), (8, NAV + "\ntail.")],
+        "doc_id bigint, text string",
+    )
+    got = {(r.line, r.n_docs) for r in duplicate_lines(docs, min_df=2).collect()}
+    assert got == {(NAV, 2)}
