@@ -46,6 +46,7 @@ def curate_corpus(
     decontam_min_ratio: float = 0.0,
     decontam_spans: bool = False,
     strip_boilerplate_min_df: int | None = None,
+    strip_lines_min_df: int | None = None,
     span_len: int = 40,
     span_k: int = 8,
     intermediate_dir: str | None = None,
@@ -79,6 +80,12 @@ def curate_corpus(
       boilerplate-heavy near-dup FALSE positives disappear with the
       boilerplate.  Runs after PII scrub (redacted forms feed the span
       counts).
+    - ``strip_lines_min_df=<n>`` likewise strips duplicated LINES
+      (``duplicate_lines`` / ``strip_duplicate_lines`` — the
+      CCNet/RefinedWeb paragraph axis: variable-length natural units
+      like nav menus and banners) before profiling; composable with the
+      fixed-span strip (lines run first — whole-line removals shrink
+      the span table).
 
     Near-dup removal semantics: by default (``transitive=True``) the pair
     graph is clustered into connected components and exactly ONE document
@@ -107,6 +114,16 @@ def curate_corpus(
         from jurimetria_etl_spark.operators.scrub import scrub_documents
 
         docs = scrub_documents(docs, text_col)
+    if strip_lines_min_df is not None:
+        from jurimetria_etl_spark.operators.spans import (
+            duplicate_lines,
+            strip_duplicate_lines,
+        )
+
+        dl = duplicate_lines(docs, strip_lines_min_df, id_col=id_col, text_col=text_col)
+        docs = strip_duplicate_lines(
+            docs, dl, id_col=id_col, text_col=text_col, replace=True
+        )
     if strip_boilerplate_min_df is not None:
         from jurimetria_etl_spark.operators.spans import (
             boilerplate_spans,

@@ -258,3 +258,44 @@ def test_curate_corpus_span_stages(spark):
         assert boiler[:40] not in rows[d].text
     # original metadata columns preserved through the replace-mode strip
     assert {"lang", "source", "n_chars"} <= set(out.columns)
+
+
+def test_curate_corpus_line_strip_stage(spark):
+    """strip_lines_min_df removes duplicated whole lines (the shared nav
+    menu) before profiling, while each document's unique body lines pass
+    through untouched — and a body line that IS duplicated across docs
+    is itself removed (that is what duplicated-paragraph removal
+    means)."""
+    from jurimetria_etl_spark.plans.curation import curate_corpus
+
+    nav = "Home | About | Products | Contact | Privacy"
+    body_a = (
+        "the committee reviewed the quarterly figures and approved the "
+        "new budget without objection from any member present today."
+    )
+    body_b = (
+        "a completely different article about rivers, herons, and the "
+        "slow lifting of morning fog over quiet water in early autumn."
+    )
+    body_c = (
+        "the engineers spent the afternoon tracing a subtle scheduling "
+        "bug through the pipeline logs before dinner arrived at last."
+    )
+    shared_para = (
+        "this exact paragraph was syndicated into two documents verbatim."
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, nav + "\n" + body_a + "\n" + shared_para, "en", "web", 1),
+            (1, nav + "\n" + body_b, "en", "web", 1),
+            (2, body_c + "\n" + shared_para, "en", "web", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = curate_corpus(docs, strip_lines_min_df=2, transitive=False)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    # nav and the syndicated paragraph stripped everywhere...
+    assert all(nav not in t and shared_para not in t for t in rows.values())
+    # ...unique body lines intact
+    assert rows[0] == body_a and rows[1] == body_b and rows[2] == body_c
