@@ -50,6 +50,40 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# The hash-survivor sets of the two-pass ops below are OUTPUT-bounded,
+# not constant-bounded: at a permissive min_df (the default 2) on a
+# densely templated corpus the ≥min_df set is a large fraction of the
+# corpus' distinct grams — multi-GB at 100-TB scale.  An unconditional
+# ``F.broadcast()`` hint overrides ``autoBroadcastJoinThreshold`` and
+# Spark's 8 GB broadcast ceiling is a hard failure, so the hint must be
+# SIZE-GATED: the survivor frame is its own pass-1 aggregate, so
+# persist + count is cheap; under the row threshold the broadcast
+# semi-filter is the fast path, above it the hint is dropped and AQE
+# plans a shuffle join — the byte-amplified exchange returns as a
+# graceful fallback instead of a driver/executor OOM.  2M 8-byte keys
+# is ~32 MB in a LongHashedRelation — comfortably inside any executor.
+SURVIVOR_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _survivor_semi_filter(
+    frame: DataFrame,
+    key: Column,
+    surviving: DataFrame,
+    broadcast_max_rows: int,
+) -> DataFrame:
+    """Semi-filter ``frame`` on ``key ∈ surviving.__h`` with a size-gated
+    broadcast hint (module comment above).  ``surviving`` is persisted so
+    its pass-1 aggregation runs once (count + join build), released by
+    the ContextCleaner when the returned plan is unreferenced."""
+    from pyspark import StorageLevel
+
+    surviving = surviving.persist(StorageLevel.MEMORY_AND_DISK)
+    n = surviving.count()
+    build = (
+        F.broadcast(surviving) if n <= broadcast_max_rows else surviving
+    )
+    return frame.join(build, key == F.col("__h"), "left_semi")
+
 
 def _lgram_array(text_col: Column, length: int) -> Column:
     """Array of every ``length``-char substring of ``text_col`` (empty
@@ -135,6 +169,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     fps: DataFrame | None = None,
+    broadcast_max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """All ``span_len``-char spans shared by ≥2 distinct documents:
     (left_id, right_id, span) with left_id < right_id, one row per
@@ -205,10 +240,12 @@ def duplicate_spans(
     # _scale/occupancy.json §x28_spans) the span-keyed exchange would be
     # corpus-wide in 40-char strings.  Count per 8-byte xxhash64(span)
     # first (long-keyed exchange), broadcast the ≥2 survivors —
-    # output-bounded — back as a semi-filter, and only grams whose hash
-    # is genuinely shared shuffle as strings.  A collision only ADDS a
-    # gram to the superset; the exact ≥2-distinct-ids check below
-    # removes it.
+    # output-bounded under a sensible max_fp_df — back as a SIZE-GATED
+    # broadcast semi-filter (``_survivor_semi_filter``: the hint only
+    # under ``broadcast_max_rows``, else an AQE-planned shuffle join),
+    # and only grams whose hash is genuinely shared shuffle as strings.
+    # A collision only ADDS a gram to the superset; the exact
+    # ≥2-distinct-ids check below removes it.
     surviving = (
         grams.select(F.xxhash64(F.col("span")).alias("__h"))
         .groupBy("__h")
@@ -216,10 +253,8 @@ def duplicate_spans(
         .where(F.col("__c") >= 2)
         .select("__h")
     )
-    grams = grams.join(
-        F.broadcast(surviving),
-        F.xxhash64(F.col("span")) == F.col("__h"),
-        "left_semi",
+    grams = _survivor_semi_filter(
+        grams, F.xxhash64(F.col("span")), surviving, broadcast_max_rows
     )
     # Verify = ONE span-keyed aggregation, not a gram self-join: a
     # self-join would plant the grams subplan (winnow + candidacy + gram
@@ -543,7 +578,10 @@ def strip_boilerplate_bulk(
 
         return docs.mapInPandas(scan_replace, docs.schema)
 
-    out_schema = f"{id_col} long, {out_col} string"
+    # id type derived from the input schema — a string/int id must not
+    # be silently coerced through a hardcoded long.
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {out_col} string"
 
     def scan(batches):
         import pandas as pd
@@ -566,6 +604,7 @@ def boilerplate_spans(
     min_df: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Corpus-level boilerplate table: (span, n_docs) for every
     ``span_len``-char span occurring in ≥ ``min_df`` distinct documents
@@ -582,10 +621,13 @@ def boilerplate_spans(
       hash — the only corpus-wide exchange carries longs.
     - **Pass 2** re-derives the grams (narrow recompute — cheaper than
       shuffling them) and keeps only rows whose hash is in the surviving
-      set, which is broadcast: it is strip-list-sized (the OUTPUT bound,
-      the same boundedness ``strip_boilerplate`` already requires).  The
-      final span-keyed aggregation therefore shuffles only actual
-      boilerplate occurrences.
+      set.  At a strip-list-appropriate ``min_df`` the set is strip-list
+      sized and rides a broadcast semi-filter; the hint is SIZE-GATED on
+      the survivor count (``broadcast_max_rows``) because at ``min_df=2``
+      on a dense corpus the set is output-sized — above the gate the
+      hint drops and AQE plans a shuffle join instead of forcing a
+      multi-GB broadcast.  The final span-keyed aggregation shuffles
+      only actual boilerplate occurrences either way.
 
     Exact despite hashing: a 64-bit collision can only ADD a span to the
     survivor superset (hash df ≥ span df), never drop one, and the final
@@ -606,10 +648,8 @@ def boilerplate_spans(
     )
     grams = lgram_set(df, span_len, id_col, text_col)
     return (
-        grams.join(
-            F.broadcast(surviving),
-            F.xxhash64(F.col("span")) == F.col("__h"),
-            "left_semi",
+        _survivor_semi_filter(
+            grams, F.xxhash64(F.col("span")), surviving, broadcast_max_rows
         )
         .groupBy("span")
         .agg(F.count("*").alias("n_docs"))
@@ -623,6 +663,7 @@ def duplicate_lines(
     min_line_chars: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Corpus-level duplicated-LINE table: (line, n_docs) for every line
     (newline-delimited, length ≥ ``min_line_chars`` after trim) occurring
@@ -634,8 +675,10 @@ def duplicate_lines(
 
     Same HASH-KEYED two-pass plan as ``boilerplate_spans`` (a line is
     just a variable-length span): the corpus-wide exchange carries 8-byte
-    ``xxhash64(line)`` longs, line text resolves behind the broadcast
-    ≥min_df survivor semi-filter, and an exact per-line recount makes
+    ``xxhash64(line)`` longs, line text resolves behind the ≥min_df
+    survivor semi-filter (broadcast hint size-gated on
+    ``broadcast_max_rows``, AQE shuffle join above it — see
+    ``_survivor_semi_filter``), and an exact per-line recount makes
     collisions invisible.  ``min_line_chars`` keeps trivial short lines
     ("", "-", "ok") out of the table — they would dominate the survivor
     set while carrying no curation signal.
@@ -665,10 +708,8 @@ def duplicate_lines(
         .select("__h")
     )
     return (
-        exploded.join(
-            F.broadcast(surviving),
-            F.xxhash64(F.col("line")) == F.col("__h"),
-            "left_semi",
+        _survivor_semi_filter(
+            exploded, F.xxhash64(F.col("line")), surviving, broadcast_max_rows
         )
         .groupBy("line")
         .agg(F.count("*").alias("n_docs"))
@@ -730,7 +771,8 @@ def strip_duplicate_lines(
 
         return docs.mapInPandas(scan_replace, docs.schema)
 
-    out_schema = f"{id_col} long, {out_col} string"
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {out_col} string"
 
     def scan(batches):
         import pandas as pd

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 import uuid
 
@@ -270,13 +271,15 @@ def maintain_stores(
 def store_prune(store: str) -> list[str]:
     """Delete every non-current generation: old version directories and —
     once a manifest exists — the legacy root files a plain-dir upgrade
-    left behind, INCLUDING root-level subdirectories (a hive-partitioned
-    legacy layout's ``col=value`` dirs: once a manifest exists those are
-    by construction a pre-compaction generation, and leaving them would
-    both leak disk unboundedly and keep legacy-path readers on stale
-    data forever).  Call AFTER the reader grace period; the current
-    version, the manifest, and everything ``_``-prefixed are never
-    touched.  Returns removed paths."""
+    left behind, INCLUDING hive-style ``col=value`` root subdirectories
+    (once a manifest exists those are by construction a pre-compaction
+    generation, and leaving them would both leak disk unboundedly and
+    keep legacy-path readers on stale data forever).  ONLY hive-style
+    names are reclaimed: a co-located directory that is not a ``k=v``
+    partition dir (manual exports, notes, foreign data) is never a
+    legacy generation and is left untouched.  Call AFTER the reader
+    grace period; the current version, the manifest, and everything
+    ``_``-prefixed are never touched.  Returns removed paths."""
     mf = _manifest_file(store)
     if not os.path.exists(mf):
         return []
@@ -294,9 +297,12 @@ def store_prune(store: str) -> list[str]:
         if name.startswith("_"):
             continue  # manifest, _versions, _SUCCESS-style markers
         if os.path.isdir(full):
-            # legacy hive partition dir from the pre-manifest layout
-            shutil.rmtree(full, ignore_errors=True)
-            removed.append(full)
+            # Reclaim ONLY hive-style `k=v` dirs — the pre-manifest
+            # partition layout.  Anything else co-located in the store
+            # root is foreign data, not a legacy generation.
+            if re.fullmatch(r"[^=]+=.*", name):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
         elif name.endswith(".parquet") or name.endswith(".crc"):
             os.remove(full)
             removed.append(full)

@@ -15,7 +15,6 @@ landing layout is the scale re-expression, not a ported feature.
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -34,14 +33,21 @@ def read_hits_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(HIT_SCHEMA).json(path)
 
 
-def _landing_layouts(path: str) -> tuple[bool, bool]:
-    """(has_pull_dirs, has_flat_tribunal_dirs) — a local-FS listing sniff
-    of which landing layouts exist under ``path``.  On HDFS/S3 swap in
-    the Hadoop FileSystem listing; the layout logic is unchanged."""
-    try:
-        names = os.listdir(path)
-    except (FileNotFoundError, NotADirectoryError):
+def _landing_layouts(spark: SparkSession, path: str) -> tuple[bool, bool]:
+    """(has_pull_dirs, has_flat_tribunal_dirs) — which landing layouts
+    exist under ``path``, listed through the Hadoop FileSystem API so the
+    sniff sees the SAME filesystem Spark reads (HDFS/S3/local alike).  A
+    driver-local ``os.listdir`` here would return (False, False) on any
+    remote zone and silently drop every ``pull_id=``-landed partition
+    from ``read_processos_landing``.  Listing errors other than
+    not-found propagate — a misconfigured zone must fail loudly, not
+    read partially."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath) or not fs.getFileStatus(hpath).isDirectory():
         return (False, False)
+    names = [s.getPath().getName() for s in fs.listStatus(hpath)]
     return (
         any(n.startswith("pull_id=") for n in names),
         any(n.startswith("tribunal=") for n in names),
@@ -66,7 +72,7 @@ def read_processos_landing(
     it exists so retried pulls overwrite themselves (``land_hits``)."""
     if tribunal is not None:
         return flatten_hits(read_hits_jsonl(spark, path), tribunal)
-    has_pulls, has_flat = _landing_layouts(path)
+    has_pulls, has_flat = _landing_layouts(spark, path)
     frames: list[DataFrame] = []
     if has_pulls:
         hits = spark.read.schema(HIT_SCHEMA).option("basePath", path).json(

@@ -101,17 +101,22 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "x18_near_dup_clusters": (0, 0, 2, 0),
     "x20_pack_shards": (0, 0, 4, 1),
     "x22_training_shards": (0, 0, 4, 1),
-    # x28 (r7 hash pre-pass): widen → winnow fps (narrow) → windowed fp
-    # count → candidate-doc semi-join → persisted cand ids (2
-    # InMemoryTableScans) → long-keyed xxhash64(span) count + broadcast
-    # survivor semi-filter → span-keyed group + in-group pair expansion.
-    # The extra exchanges are the persist-fill subplan + the hash pass;
-    # the span-string exchange now carries only genuinely-shared grams.
-    "x28_duplicate_spans": (0, 0, 13, 3),
-    # x29 (r7 hash-keyed): widen → long-keyed xxhash64(span) df count →
-    # broadcast survivor semi-filter → survivor-sized span recount.  The
-    # corpus-wide exchange carries 8-byte longs, never raw spans.
-    "x29_boilerplate_spans": (0, 0, 5, 1),
+    # x28 (r7 hash pre-pass, r8 size-gated survivor broadcast): widen →
+    # winnow fps (narrow) → windowed fp count → candidate-doc semi-join →
+    # persisted cand ids → long-keyed xxhash64(span) count persisted as
+    # the SIZE-GATED survivor set → broadcast survivor semi-filter →
+    # span-keyed group + in-group pair expansion.  NOTE: the pinned
+    # number counts PRINTED exchanges — each persisted subtree prints its
+    # AQE final AND initial plan, so nested caches multiply occurrences;
+    # the executed shuffles are far fewer (each cached subtree fills
+    # once).  The pin still catches any plan-shape drift exactly.
+    "x28_duplicate_spans": (0, 0, 28, 3),
+    # x29 (r7 hash-keyed, r8 size-gated): widen → long-keyed
+    # xxhash64(span) df count persisted (survivor set, printed
+    # final+initial = 4 of the 7) → gated broadcast survivor semi-filter
+    # → survivor-sized span recount.  The corpus-wide exchange carries
+    # 8-byte longs, never raw spans.
+    "x29_boilerplate_spans": (0, 0, 7, 1),
     "x27_hll_daily_uniques": (0, 0, 2, 0),
 }
 

@@ -291,3 +291,31 @@ def test_store_prune_reclaims_legacy_hive_partition_dirs(spark, tmp_path):
     cur = store_data_dir(store)
     assert _multiset(spark.read.parquet(cur).select("id")) == before
     assert [n for n in os.listdir(cur) if n.startswith("part=")]
+
+
+def test_store_prune_spares_foreign_non_hive_dirs(spark, tmp_path):
+    """ADVICE r7: prune must reclaim ONLY hive-style ``k=v`` root dirs.
+    A co-located foreign directory (manual exports, notes) is not a
+    legacy generation and must survive a maintenance pass untouched."""
+    import os
+
+    from jurimetria_etl_spark.sinks.maintenance import (
+        compact_store,
+        store_prune,
+    )
+
+    store = str(tmp_path / "mixed_store")
+    df = spark.range(10)
+    for _ in range(2):
+        df.coalesce(1).write.mode("append").parquet(store)
+    foreign = os.path.join(store, "manual_exports")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "notes.txt"), "w") as f:
+        f.write("keep me")
+
+    compact_store(spark, store, target_file_bytes=10**9)
+    removed = store_prune(store)
+    assert removed  # the legacy root parquet files were reclaimed
+    assert os.path.isdir(foreign)
+    with open(os.path.join(foreign, "notes.txt")) as f:
+        assert f.read() == "keep me"
