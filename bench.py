@@ -78,6 +78,7 @@ HEADLINE = [
     "x20_pack_shards",
     "x28_duplicate_spans",
     "x29_boilerplate_spans",
+    "x32_duplicate_lines",
     "x22_training_shards",
     "x27_hll_daily_uniques",
 ]

@@ -1441,11 +1441,9 @@ CORPUS: dict[str, Q] = {
     "q12_grouping": Q(q12_grouping, Q12_GROUPING_SQL),
     "q13_window_rank": Q(q13_window_rank, Q13_SQL),
     "q36_gapfill": Q(q36_gapfill, Q36_SQL),
-    "q15_topk": Q(q15_topk, Q15_SQL),
     "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
     "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
     "q20_array_agg": Q(q20_array_agg, Q20_SQL),
-    "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
     "q26_session_window": Q(q26_session_window, Q26_SQL),
     "q27_asof_join": Q(q27_asof_join, Q27_SQL),
     "q28_range_join": Q(q28_range_join, Q28_SQL),
@@ -1484,6 +1482,14 @@ CORPUS_DEREGISTERED: dict[str, Q] = {
     # q22's exact dedup keeps its OTHER driver row (x01, same operator on
     # the documents table) plus the standalone comparison here.
     "q22_dedup_exact": Q(q22_dedup_exact, Q22_SQL),
+    # Round-8 rotation (to admit x32_duplicate_lines + t21 — the r7
+    # verdict's asks): q15's global-sort-desc + limit executes the same
+    # TakeOrderedAndProject shape as the registered t02/t13 (LIMIT 10/100)
+    # and q08's agg-output sort; q24's explode+count top-terms agg rides
+    # the registered x09_text_profile (E4) and x25's shingle explode.
+    # Both keep the identical DuckDB comparison + the bench series.
+    "q15_topk": Q(q15_topk, Q15_SQL),
+    "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
 }
 
 

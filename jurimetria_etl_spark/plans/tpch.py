@@ -1292,6 +1292,10 @@ TPCH: dict[str, Q] = {
     "t16_important_parts": Q(t16_important_parts, T16_SQL),
     "t17_top_supplier": Q(t17_top_supplier, T17_SQL),
     "t20_market_share": Q(t20_market_share, T20_SQL),
+    # Round-8 rotation (q15/q24 → pytest-oracle): Q9 product-profit —
+    # the join-order stress sibling of t20 and the second-deepest plan
+    # in the corpus — moves into the driver gate (r7 verdict task 6).
+    "t21_product_profit": Q(t21_product_profit, T21_SQL),
 }
 
 # Outside the driver's 50-entry window: pytest-oracle + bench coverage.
@@ -1303,10 +1307,7 @@ TPCH_EXTRA: dict[str, Q] = {
     # driver window in round 7.
     "t18_supplier_cnt_by_part": Q(t18_supplier_cnt_by_part, T18_SQL),
     "t19_nation_volume": Q(t19_nation_volume, T19_SQL),
-    # Round-7: Q9 product-profit shape (no partsupp in the fixtures —
-    # supplycost substituted, see the t21 docstring) and Q6 revenue
-    # change — with these the corpus covers ALL 22 canonical TPC-H
-    # plans (registered or pytest-oracle).
-    "t21_product_profit": Q(t21_product_profit, T21_SQL),
+    # Round-7: Q6 revenue change — with t21 (driver-registered since r8)
+    # the corpus covers ALL 22 canonical TPC-H plans.
     "t22_revenue_change": Q(t22_revenue_change, T22_SQL),
 }

@@ -97,6 +97,7 @@ def curate_document_stream(
     span_len: int = 40,
     span_k: int = 8,
     strip_spans: DataFrame | None = None,
+    strip_lines: DataFrame | None = None,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -126,6 +127,15 @@ def curate_document_stream(
     is re-collected per micro-batch (one tiny job), keeping this
     function stateless across restarts.
 
+    ``strip_lines`` (optional) is the LINE-level twin: a prior offline
+    ``duplicate_lines`` strip-list applied per batch with
+    ``strip_duplicate_lines`` in replace mode, BEFORE ``strip_spans`` —
+    the same two-axis order ``plans.curation.curate_corpus`` uses (lines
+    first: whole-line removals shrink the span surface) — so documents
+    differing only in boilerplate LINES (nav menus, cookie banners)
+    deduplicate across batches too.  Same fixed-list-per-store-generation
+    rule as ``strip_spans``.
+
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
     """
@@ -134,6 +144,18 @@ def curate_document_stream(
         spark = batch_df.sparkSession
         if not batch_df.head(1):
             return
+        if strip_lines is not None:
+            from jurimetria_etl_spark.operators.spans import (
+                strip_duplicate_lines,
+            )
+
+            batch_df = strip_duplicate_lines(
+                batch_df,
+                strip_lines,
+                id_col,
+                text_col,
+                replace=True,
+            )
         if strip_spans is not None:
             from jurimetria_etl_spark.operators.spans import (
                 strip_boilerplate_bulk,

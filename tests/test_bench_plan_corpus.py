@@ -118,6 +118,11 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # 8-byte longs, never raw spans.
     "x29_boilerplate_spans": (0, 0, 7, 1),
     "x27_hll_daily_uniques": (0, 0, 2, 0),
+    # x32 (r8): line-level dedup, same hash-keyed two-pass shape as x29
+    # (4 of the 7 printed exchanges are the persisted survivor subtree's
+    # final+initial plans) — corpus-wide exchange carries longs, gated
+    # broadcast survivor semi-filter, line-keyed recount.
+    "x32_duplicate_lines": (0, 0, 7, 1),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

@@ -128,11 +128,18 @@ PAIRS = [
     (C.q22_dedup_exact, C.Q22_SQL),
     (E.x16_frame_sample, E.X16_SQL),
     (E.x17_rolling_fingerprint, E.X17_SQL),
-    # never registered (window full, r7): Q9 product-profit shape —
-    # its sibling t20 (Q8 market share) is driver-registered — and the
+    # never registered (window full, r7): Q9 product-profit shape (moved
+    # into the driver gate in r8; standalone comparison retained) and the
     # Q6 selective single-table aggregate completing all 22 TPC-H plans:
     (T.t21_product_profit, T.T21_SQL),
     (T.t22_revenue_change, T.T22_SQL),
+    # rotated OUT in round 8 (to admit x32_duplicate_lines + t21): q15's
+    # TakeOrderedAndProject shape stays registered via t02/t13; q24's
+    # explode+count rides x09/x25.  x33 is the strip half of the
+    # registered x32 (never registered, window full):
+    (C.q15_topk, C.Q15_SQL),
+    (C.q24_top_terms, C.Q24_TOP_TERMS_SQL),
+    (E.x33_strip_duplicate_lines, E.X33_SQL),
 ]
 
 

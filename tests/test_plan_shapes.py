@@ -37,7 +37,9 @@ def test_projection_prunes_scan(spark):
 
 def test_topk_is_take_ordered(spark):
     # orderBy(desc).limit(k) must NOT materialize a global sort
-    plan = _physical(CORPUS["q15_topk"].spark(spark, SF))
+    from jurimetria_etl_spark.plans.corpus import CORPUS_DEREGISTERED
+
+    plan = _physical(CORPUS_DEREGISTERED["q15_topk"].spark(spark, SF))
     assert "TakeOrderedAndProject" in plan
 
 

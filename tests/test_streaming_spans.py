@@ -123,3 +123,41 @@ def test_stream_strip_spans_dedups_across_boilerplate(spark, tmp_path):
     assert all(banner not in t for t in rows.values())
     assert set(rows) == {0, 2}
     assert rows[0] == prose + " "
+
+
+def test_stream_strip_lines_dedups_across_line_boilerplate(spark, tmp_path):
+    """r7 verdict task 5 — streaming line-strip parity: a static
+    duplicate-LINE strip-list applied per micro-batch (before the span
+    strip, matching curate_corpus' order) makes two documents differing
+    only in a boilerplate line exact duplicates across batches; the
+    later one is dropped by the incremental dedup."""
+    nav = "Home | About | Products | Contact | Privacy"
+    prose = "an ordinary body line that appears in two documents."
+    flat = str(tmp_path / "flat")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, [(0, nav + "\n" + prose)]), flat, "000", base_t)
+    _drop(
+        _docs(spark, [(1, prose), (2, nav + "\nfresh other content here.")]),
+        flat,
+        "001",
+        base_t + 60,
+    )
+
+    strip = spark.createDataFrame([(nav,)], "line string")
+    q = curate_document_stream(
+        read_documents_stream(spark, flat),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "fps"),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "ckpt"),
+        strip_lines=strip,
+    )
+    assert q.awaitTermination(120)
+
+    landed = spark.read.parquet(store_data_dir(str(tmp_path / "corpus")))
+    rows = {r.doc_id: r.text for r in landed.collect()}
+    # the nav line never lands; doc 1 (the prose-only twin of stripped
+    # doc 0) was dropped as an exact duplicate of doc 0's stripped text
+    assert all(nav not in t for t in rows.values())
+    assert set(rows) == {0, 2}
+    assert rows[0] == prose
