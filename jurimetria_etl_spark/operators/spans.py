@@ -459,6 +459,136 @@ def strip_boilerplate(
     )
 
 
+def _span_stripper(span_set, span_len: int, extend_runs: bool, prefilter: bool = True):
+    """Build the per-executor ``strip_one(text)`` scanner of
+    ``strip_boilerplate_bulk`` — one left-to-right pass, leftmost match
+    wins, no cascade, optional maximal-run extension (semantics pinned in
+    tests/test_spans.py).
+
+    With ``prefilter`` (default, numpy present) the scan materializes an
+    L-char slice ONLY at rolling-hash hits: window hashes
+    ``H[i] = Σ ord(text[i+k])·B^k (mod 2^64)`` for every position are
+    computed VECTORIZED (wrapping uint64 cumsum/cumprod — prefix sums
+    ``S`` with ``H[i] = (S[i+L] − S[i])·B^{−i}``, B odd so invertible
+    mod 2^64), membership-tested against the span set's hashes with one
+    ``np.isin``, and only candidate positions reach the exact
+    slice-in-set check.  The hash test is an exact SUPERSET filter (a
+    matching window always hashes equal), so output is identical to the
+    naive scan — hypothesis parity in tests/test_spans.py runs BOTH
+    paths.  This removes the r7 watch item: per-window Python slicing
+    (~tens of MB/s/core) becomes numpy C per-char work plus slices at
+    actual-match sites only (measured in SCALE.md §bulk-strip)."""
+    L = span_len
+    extend = extend_runs
+    if prefilter and span_set:
+        try:
+            import numpy as np
+        except ImportError:  # pragma: no cover - numpy is baked in
+            prefilter = False
+    if not prefilter or not span_set:
+
+        def strip_one_naive(text):
+            if text is None or not span_set:
+                return text
+            n = len(text)
+            if n < L:
+                return text
+            keep = []
+            i = 0
+            last = 0
+            while i <= n - L:
+                if text[i : i + L] in span_set:
+                    end = i + L
+                    if extend:
+                        j = i + 1
+                        while j <= n - L and text[j : j + L] in span_set:
+                            j += 1
+                        end = j - 1 + L
+                    keep.append(text[last:i])
+                    i = end
+                    last = end
+                else:
+                    i += 1
+            keep.append(text[last:])
+            return "".join(keep)
+
+        return strip_one_naive
+
+    MOD = 1 << 64
+    B = 1000003
+    BINV = pow(B, -1, MOD)
+
+    def _span_hash(s: str) -> int:
+        h = 0
+        bp = 1
+        for c in s:
+            h = (h + ord(c) * bp) % MOD
+            bp = (bp * B) % MOD
+        return h
+
+    rh_arr = np.unique(
+        np.array([_span_hash(s) for s in span_set], dtype=np.uint64)
+    )
+    tables = {"n": 0}
+
+    def _grow(n: int):
+        if tables["n"] <= n:
+            m = max(n + 1, 4096, tables["n"] * 2)
+            base = np.full(m, B, dtype=np.uint64)
+            base[0] = 1
+            tables["pows"] = np.cumprod(base)
+            basei = np.full(m, BINV, dtype=np.uint64)
+            basei[0] = 1
+            tables["invpows"] = np.cumprod(basei)
+            tables["n"] = m
+        return tables["pows"], tables["invpows"]
+
+    def strip_one(text):
+        if text is None:
+            return text
+        n = len(text)
+        if n < L:
+            return text
+        pows, invpows = _grow(n)
+        ords = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        prefix = np.empty(n + 1, dtype=np.uint64)
+        prefix[0] = 0
+        np.cumsum(ords * pows[:n], out=prefix[1:])
+        nw = n - L + 1
+        h = (prefix[L:] - prefix[:-L]) * invpows[:nw]
+        mask = np.isin(h, rh_arr)
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return text
+        keep = []
+        last = 0
+        cur = 0  # first position a new match may start at
+        for i in cand:
+            i = int(i)
+            if i < cur:
+                continue  # inside a prior deletion's consumed range
+            if text[i : i + L] in span_set:
+                end = i + L
+                if extend:
+                    j = i + 1
+                    while (
+                        j < nw and mask[j] and text[j : j + L] in span_set
+                    ):
+                        j += 1
+                    end = j - 1 + L
+                keep.append(text[last:i])
+                cur = end
+                last = end
+        if not keep:
+            return text
+        keep.append(text[last:])
+        return "".join(keep)
+
+    return strip_one
+
+
 def strip_boilerplate_bulk(
     docs: DataFrame,
     spans: DataFrame,
@@ -536,42 +666,10 @@ def strip_boilerplate_bulk(
         )
     bc = spark.sparkContext.broadcast(frozenset(span_rows))
 
-    def _strip_one_factory():
-        span_set = bc.value
-        L = span_len
-        extend = extend_runs
-
-        def strip_one(text):
-            if text is None or not span_set:
-                return text
-            n = len(text)
-            if n < L:
-                return text
-            keep = []
-            i = 0
-            last = 0
-            while i <= n - L:
-                if text[i : i + L] in span_set:
-                    end = i + L
-                    if extend:
-                        j = i + 1
-                        while j <= n - L and text[j : j + L] in span_set:
-                            j += 1
-                        end = j - 1 + L
-                    keep.append(text[last:i])
-                    i = end
-                    last = end
-                else:
-                    i += 1
-            keep.append(text[last:])
-            return "".join(keep)
-
-        return strip_one
-
     if replace:
 
         def scan_replace(batches):
-            strip_one = _strip_one_factory()
+            strip_one = _span_stripper(bc.value, span_len, extend_runs)
             for pdf in batches:
                 pdf[text_col] = pdf[text_col].map(strip_one)
                 yield pdf
@@ -586,7 +684,7 @@ def strip_boilerplate_bulk(
     def scan(batches):
         import pandas as pd
 
-        strip_one = _strip_one_factory()
+        strip_one = _span_stripper(bc.value, span_len, extend_runs)
         for pdf in batches:
             yield pd.DataFrame(
                 {

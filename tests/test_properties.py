@@ -424,3 +424,24 @@ def test_duplicate_lines_equals_python_model(
         for i, t in enumerate(texts)
     }
     assert stripped == ref
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=0, max_size=120), min_size=1, max_size=6),
+    st.lists(st.text(alphabet="abcd", min_size=5, max_size=5), min_size=0, max_size=8),
+    st.booleans(),
+)
+def test_span_stripper_prefilter_parity(texts, spans, extend):
+    """The r8 rolling-hash prefilter (vectorized uint64 window hashes,
+    exact-superset candidate mask) must be OUTPUT-invisible: the
+    prefiltered scanner equals the naive per-window scan for every
+    (text, span set, extend_runs) — including hash-miss-only texts,
+    runs, and abutting matches."""
+    from jurimetria_etl_spark.operators.spans import _span_stripper
+
+    span_set = frozenset(spans)
+    fast = _span_stripper(span_set, 5, extend, prefilter=True)
+    slow = _span_stripper(span_set, 5, extend, prefilter=False)
+    for t in texts:
+        assert fast(t) == slow(t)
