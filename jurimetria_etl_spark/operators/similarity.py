@@ -356,6 +356,7 @@ def knn_join(
     vec_col: str = "embedding",
     left_banded: DataFrame | None = None,
     right_banded: DataFrame | None = None,
+    max_candidates: int | str | None = "auto",
 ) -> DataFrame:
     """Approximate k-NN JOIN: the top-``k`` cosine neighbors in ``right``
     for EVERY row of ``left`` — the batched form of ``lsh_bucket_topk``
@@ -366,12 +367,28 @@ def knn_join(
 
     Plan: banded LSH signatures both sides (narrow; pass precomputed
     frames via ``left_banded``/``right_banded`` to amortize at ingest) →
-    equi-join on (table, bucket) → distinct id pairs → exact re-score
-    with per-vector norms staged once → per-left-id top-k via a
-    ``row_number`` window over the CANDIDATE frame only (≈ occupancy
-    rows per left id, never the corpus).  Self-join (``left is right``)
-    excludes the identity pair but keeps both (a,b) and (b,a) — each row
-    wants its own neighbor list.
+    equi-join on (table, bucket) → collision-count aggregate per id pair
+    → top-``max_candidates`` pairs per left id by collision count (the
+    multi-probe-LSH relevance proxy: a pair colliding in more of the
+    ``n_tables`` independent tables has a higher similarity estimate, so
+    truncation keeps the likely neighbors and sheds bucket noise BEFORE
+    any vector leaves its scan) → exact re-score with per-vector norms
+    staged once → per-left-id top-k via a ``row_number`` window over the
+    CANDIDATE frame only (≈ occupancy rows per left id, never the
+    corpus).  Self-join (``left is right``) excludes the identity pair
+    but keeps both (a,b) and (b,a) — each row wants its own neighbor
+    list.
+
+    ``max_candidates`` bounds the exact re-score at ``max_candidates ×
+    |left|`` rows regardless of bucket occupancy — without it the
+    re-score volume rides the plane-sizing sawtooth (up to ~n_tables ×
+    target_bucket_size pairs/row, measured as the 0.69 wall-clock
+    exponent in SCALE_RESULTS.json r7).  ``"auto"`` resolves to
+    ``max(20 * k, 100)``; ``None`` disables truncation (exact LSH-recall
+    semantics, the pre-r8 behavior).  The truncation window partitions by
+    ``left_id`` — the 16-byte pair rows shuffle once more, but the vector
+    joins downstream see a bounded frame.  Recall floor re-pinned under
+    the auto cap in tests/test_knn_join.py.
 
     ``n_planes=None`` sizes the banding from the right-side row count via
     ``suggest_lsh_planes`` (costs one count job): fixed plane counts go
@@ -424,11 +441,25 @@ def knn_join(
     )
     if self_join:
         cond = cond & (F.col("left_id") != F.col("right_id"))
+    if max_candidates == "auto":
+        max_candidates = max(20 * k, 100)
     pairs = (
         lsig.join(rsig, cond)
-        .select("left_id", "right_id")
-        .dropDuplicates(["left_id", "right_id"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("__n_coll"))
     )
+    if max_candidates is not None:
+        # Collision count over independent tables is a monotone estimator
+        # of angular similarity; keeping only the strongest max_candidates
+        # pairs per left row bounds the vector-joined re-score below at
+        # max_candidates × |left| rows, whatever the bucket occupancy.
+        wc = Window.partitionBy("left_id").orderBy(
+            F.col("__n_coll").desc(), F.col("right_id")
+        )
+        pairs = pairs.withColumn("__cr", F.row_number().over(wc)).where(
+            F.col("__cr") <= int(max_candidates)
+        )
+    pairs = pairs.select("left_id", "right_id")
     lvec = left.select(
         F.col(id_col).alias("left_id"),
         F.col(vec_col).alias("__lv"),

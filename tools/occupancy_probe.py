@@ -106,6 +106,80 @@ def probe_spans(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_x29(spark, sf_dir: str) -> dict:
+    """x29/boilerplate_spans' scale knob is the SURVIVOR SET (distinct
+    ≥min_df span hashes): under ``SURVIVOR_BROADCAST_MAX_ROWS`` it rides
+    a broadcast semi-filter, above it the hint drops and AQE shuffles.
+    Measure survivor count vs min_df (spans and lines) on the generated
+    corpus so SCALE.md can state where the gate flips and what min_df a
+    100-TB run should start from."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.spans import (
+        SURVIVOR_BROADCAST_MAX_ROWS,
+        _lgram_array,
+    )
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    span_len = 40
+    span_hashes = F.transform(
+        F.array_distinct(_lgram_array(F.col("text"), span_len)),
+        lambda s: F.xxhash64(s),
+    )
+    hc = (
+        docs.select(F.explode(span_hashes).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    cuts = [2, 3, 5, 10, 25, 100]
+    row = hc.agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(F.when(F.col("c") >= m, 1).otherwise(0)).alias(f"ge{m}")
+            for m in cuts
+        ],
+    ).first()
+    hc.unpersist()
+
+    lines_expr = F.filter(
+        F.array_distinct(F.split(F.col("text"), "\n")),
+        lambda l: F.length(F.trim(l)) >= 10,
+    )
+    lc = (
+        docs.select(
+            F.explode(
+                F.transform(lines_expr, lambda l: F.xxhash64(l))
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    lrow = lc.agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(F.when(F.col("c") >= m, 1).otherwise(0)).alias(f"ge{m}")
+            for m in cuts
+        ],
+    ).first()
+    lc.unpersist()
+    return {
+        "n_docs": n_docs,
+        "broadcast_gate_rows": SURVIVOR_BROADCAST_MAX_ROWS,
+        "span_hashes_total": int(row["total"]),
+        "span_survivors_by_min_df": {
+            str(m): int(row[f"ge{m}"]) for m in cuts
+        },
+        "line_hashes_total": int(lrow["total"]),
+        "line_survivors_by_min_df": {
+            str(m): int(lrow[f"ge{m}"]) for m in cuts
+        },
+    }
+
+
 def probe_knn(spark, sf_dir: str) -> dict:
     """Decompose knn_join's residual: candidate rows PER LEFT ID (the
     unit the per-left-id top-k window pays for) on the same auto-planes
@@ -159,7 +233,7 @@ def main() -> None:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = get_spark("occupancy-probe")
-    out: dict = {"x28_spans": {}, "knn": {}}
+    out: dict = {"x28_spans": {}, "knn": {}, "x29_survivors": {}}
     for label in ("sf0.1", "sf1"):
         d = os.path.join(root, "_scale", label)
         if not os.path.isdir(d):
@@ -170,6 +244,10 @@ def main() -> None:
         print(label, "x28", json.dumps(out["x28_spans"][label]), flush=True)
         out["knn"][label] = probe_knn(spark, d)
         print(label, "knn", json.dumps(out["knn"][label]), flush=True)
+        out["x29_survivors"][label] = probe_x29(spark, d)
+        print(
+            label, "x29", json.dumps(out["x29_survivors"][label]), flush=True
+        )
     a, b = out["sf0.1"], out["sf1"]
     out["pairs_growth_for_10x_rows"] = round(
         b["cand_pairs_all_tables"] / a["cand_pairs_all_tables"], 2
