@@ -79,6 +79,7 @@ HEADLINE = [
     "x28_duplicate_spans",
     "x29_boilerplate_spans",
     "x32_duplicate_lines",
+    "x34_bloom_incremental_dedup",
     "x22_training_shards",
     "x27_hll_daily_uniques",
 ]

@@ -1354,6 +1354,45 @@ FROM lined li LEFT JOIN (
 """
 
 
+def x34_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (operators/bloom.py
+    ``dedup_incremental_bloom``): the store is the fingerprint of every
+    doc_id ≡ 0 (mod 3); the batch is the rest of the corpus.  Output:
+    the distinct NORMALIZED text of batch documents whose content is not
+    in the store — the surviving-fingerprint set of
+    ``dedup_incremental``, determinized to normalized text so the
+    arbitrary-survivor row choice inside ``dropDuplicates`` cannot leak
+    into the hash compare.  The DuckDB oracle re-derives the same set
+    with a plain anti-join on the same normalization: the Bloom filter
+    must be OUTPUT-INVISIBLE (no false negatives, positives re-checked
+    exactly) — only the plan shape may differ."""
+    from jurimetria_etl_spark.operators.bloom import dedup_incremental_bloom
+    from jurimetria_etl_spark.operators.dedup import fingerprint
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    store = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    out = dedup_incremental_bloom(batch, store, fpp=0.01)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return out.select(norm.alias("norm_text"))
+
+
+X34_SQL = r"""
+WITH store AS (
+  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+  FROM documents WHERE doc_id % 3 = 0),
+batch AS (
+  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+  FROM documents WHERE doc_id % 3 <> 0)
+SELECT b.n AS norm_text FROM batch b ANTI JOIN store s ON b.n = s.n
+"""
+
+
 # 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
@@ -1418,4 +1457,9 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # Never registered (window full): the strip application half of the
     # registered x32_duplicate_lines.
     "x33_strip_duplicate_lines": Q(x33_strip_duplicate_lines, X33_SQL),
+    # Never registered (window full): Bloom-prefiltered incremental
+    # dedup — the r8 membership-summary operator (operators/bloom.py).
+    "x34_bloom_incremental_dedup": Q(
+        x34_bloom_incremental_dedup, X34_SQL
+    ),
 }

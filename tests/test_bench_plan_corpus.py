@@ -123,6 +123,13 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # final+initial plans) — corpus-wide exchange carries longs, gated
     # broadcast survivor semi-filter, line-keyed recount.
     "x32_duplicate_lines": (0, 0, 7, 1),
+    # x34 (r8): Bloom-prefiltered incremental dedup — fingerprint store
+    # build (agg exchange), Bloom word build (bit_or agg), dense bitset
+    # compaction (range join + single-row agg), the 2 pinned BNLJs are
+    # the one-row-bitset broadcast attach printed for both legs of the
+    # fresh/suspect union; suspects re-check through a broadcast anti
+    # join.  Zero python nodes: build and probe are native expressions.
+    "x34_bloom_incremental_dedup": (2, 0, 13, 3),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

@@ -140,6 +140,9 @@ PAIRS = [
     (C.q15_topk, C.Q15_SQL),
     (C.q24_top_terms, C.Q24_TOP_TERMS_SQL),
     (E.x33_strip_duplicate_lines, E.X33_SQL),
+    # never registered (window full, r8): Bloom-prefiltered incremental
+    # dedup — the filter must be output-invisible vs a plain anti-join:
+    (E.x34_bloom_incremental_dedup, E.X34_SQL),
 ]
 
 
