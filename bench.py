@@ -80,6 +80,7 @@ HEADLINE = [
     "x29_boilerplate_spans",
     "x32_duplicate_lines",
     "x34_bloom_incremental_dedup",
+    "x35_bm25_search",
     "x22_training_shards",
     "x27_hll_daily_uniques",
 ]

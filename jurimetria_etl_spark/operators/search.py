@@ -1,0 +1,179 @@
+"""Full-text keyword search: inverted-index statistics + BM25 top-k —
+the lexical counterpart of the embedding stack in
+``operators/similarity.py`` (a training-data pipeline needs BOTH axes:
+semantic near-dup / retrieval via vectors, and keyword retrieval /
+quality forensics via terms).
+
+Spark-first shape, zero UDFs:
+
+- **Index** (``build_text_index``): tokenize (lowercase, non-alnum
+  split) → explode → per-(term, doc) term frequency, per-doc length,
+  per-term document frequency.  The postings frame is the 100-TB
+  artifact: built once at ingest, partitioned/bucketed BY TERM so a
+  query's postings join touches only its terms' buckets; doc lengths
+  ride a slim (doc_id, dl) frame; (N, avgdl) is a one-row scalar frame.
+- **Search** (``bm25_search``): queries tokenize the same way →
+  broadcast-join the (tiny) query-term list against postings ON TERM →
+  per-(query, doc) score aggregation → per-query top-k via a
+  ``row_number`` window over the MATCHED frame only (docs sharing ≥1
+  term — never the corpus).  Okapi BM25 with the Robertson idf
+  ``ln(1 + (N − df + ½)/(df + ½))``; scores round to 1e-6 before
+  ranking (ties broken by doc_id) so the ordering is reproducible
+  across engines — the same determinization the cosine family uses.
+
+At 100 TB: the only corpus-sized exchanges are the index build's
+(term, doc) and (doc) aggregations — ingest-time, amortized over every
+query.  A search shuffles candidate (query_id, doc_id, partial) rows
+keyed by (query_id, doc_id), then windows per query_id; both are
+match-sized.  Skewed stop-terms are the known hazard: ``max_df_ratio``
+drops terms present in more than that fraction of documents from the
+index (the classic stop-list-by-statistics), bounding any single
+term's posting list.
+
+Cited vs reference: no counterpart (the 566-LoC reference has no text
+search); extends E3/E4 of SURVEY §2.12.  BM25 constants and idf form
+are textbook (Robertson–Spärck Jones / Okapi), public knowledge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def _tokens(col: Column) -> Column:
+    """Lowercased alphanumeric tokens; the empty strings a leading/
+    trailing delimiter produces are filtered out."""
+    return F.filter(
+        F.split(F.lower(col), _TOKEN_SPLIT), lambda t: F.length(t) > 0
+    )
+
+
+@dataclass(frozen=True)
+class TextIndex:
+    """The three frames a BM25 search consumes.  ``postings`` is
+    (term, doc_id, tf); ``doc_lens`` is (doc_id, dl); ``stats`` is one
+    row (n_docs, avgdl).  All three persist as parquet — partition
+    ``postings`` by a term-hash bucket at write time and the search
+    join prunes to the query's buckets."""
+
+    postings: DataFrame
+    doc_lens: DataFrame
+    stats: DataFrame
+
+
+def build_text_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float | None = None,
+) -> TextIndex:
+    """Inverted-index statistics over ``docs``.  ``max_df_ratio`` (e.g.
+    0.5) drops terms occurring in more than that fraction of documents —
+    statistical stop-listing that bounds posting-list skew; ``None``
+    keeps everything (exact BM25 over the full vocabulary)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doc_lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    if max_df_ratio is not None:
+        dfs = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        keep = (
+            dfs.join(F.broadcast(stats))
+            .where(F.col("__df") <= F.col("n_docs") * F.lit(max_df_ratio))
+            .select("term")
+        )
+        postings = postings.join(keep, "term", "left_semi")
+    return TextIndex(postings=postings, doc_lens=doc_lens, stats=stats)
+
+
+def bm25_search(
+    index: TextIndex,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25.  Output:
+    (query_id, doc_id, score, rank), rank 1..k, score rounded 1e-6 and
+    ties broken by doc_id (deterministic, engine-reproducible).  Only
+    documents sharing ≥ 1 query term are candidates; a query whose
+    terms all miss the index returns no rows (approximate-contract
+    analog of ``knn_join``'s fewer-than-k case).
+
+    Repeated terms in one query contribute once per DISTINCT term (the
+    standard bag-of-documents/set-of-query-terms form): query-side tf
+    weighting adds noise for short keyword queries, and dropping it
+    keeps the oracle SQL a plain join-aggregate.
+    """
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_tokens(F.col(query_text_col)))).alias(
+            "term"
+        ),
+    )
+    # df per term: size of its posting list (count of docs, tf ≥ 1 each)
+    dfs = index.postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    matched = (
+        F.broadcast(qterms)
+        .join(index.postings, "term")
+        .join(F.broadcast(dfs), "term")
+        .join(index.doc_lens, "doc_id")
+        .join(F.broadcast(index.stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(idf * tf_part), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def bm25_search_docs(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """One-shot convenience: index ``docs`` inline and search.  For
+    repeated querying persist ``build_text_index`` once instead — the
+    index build is the corpus-sized part."""
+    return bm25_search(
+        build_text_index(docs, id_col, text_col), queries, k, **kwargs
+    )

@@ -1393,6 +1393,77 @@ SELECT b.n AS norm_text FROM batch b ANTI JOIN store s ON b.n = s.n
 """
 
 
+_X35_QUERIES = [
+    (1, "spark shuffle join"),
+    (2, "vector stream data cache"),
+    (3, "batch part order line"),
+    (4, "zebra unicorn missing"),  # no-hit query: zero rows both engines
+]
+
+
+def x35_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the documents corpus (operators/search.py):
+    inverted-index stats built inline, four fixed keyword queries
+    (one with no indexed term — the zero-candidate case must agree
+    too).  The DuckDB oracle recomputes the identical Okapi formula
+    (k1=1.2, b=0.75, Robertson idf) from the same tokenization; scores
+    round 1e-6 before ranking with doc_id tie-breaks, the cosine
+    family's determinization."""
+    from jurimetria_etl_spark.operators.search import bm25_search_docs
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _X35_QUERIES, "query_id int, query_text string"
+    )
+    return bm25_search_docs(docs, queries, k=10)
+
+
+X35_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents)
+  WHERE length(t) > 0),
+postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+q(query_id, query_text) AS (VALUES
+  (1, 'spark shuffle join'),
+  (2, 'vector stream data cache'),
+  (3, 'batch part order line'),
+  (4, 'zebra unicorn missing')),
+qt AS (
+  SELECT DISTINCT query_id, t AS term FROM (
+    SELECT query_id,
+           unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS t
+    FROM q)
+  WHERE length(t) > 0),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * p.tf * (1.2 + 1.0)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
+         ), 6) AS score
+  FROM qt
+  JOIN postings p USING (term)
+  JOIN dfs USING (term)
+  JOIN dls d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
 # 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
@@ -1462,4 +1533,7 @@ EXT_DEREGISTERED: dict[str, Q] = {
     "x34_bloom_incremental_dedup": Q(
         x34_bloom_incremental_dedup, X34_SQL
     ),
+    # Never registered (window full): BM25 keyword top-k — the lexical
+    # retrieval axis (operators/search.py).
+    "x35_bm25_search": Q(x35_bm25_search, X35_SQL),
 }

@@ -130,6 +130,11 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # fresh/suspect union; suspects re-check through a broadcast anti
     # join.  Zero python nodes: build and probe are native expressions.
     "x34_bloom_incremental_dedup": (2, 0, 13, 3),
+    # x35 (r8): BM25 keyword top-k — postings/doc-length/df aggs, the
+    # tiny query-term and df frames broadcast (3 BHJs), the one-row
+    # (n_docs, avgdl) stats frame is the pinned BNLJ attach, per-query
+    # row_number window.  Zero python nodes.
+    "x35_bm25_search": (1, 0, 12, 3),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

@@ -143,6 +143,9 @@ PAIRS = [
     # never registered (window full, r8): Bloom-prefiltered incremental
     # dedup — the filter must be output-invisible vs a plain anti-join:
     (E.x34_bloom_incremental_dedup, E.X34_SQL),
+    # never registered (window full, r8): BM25 keyword top-k — same
+    # Okapi formula recomputed in DuckDB from the same tokenization:
+    (E.x35_bm25_search, E.X35_SQL),
 ]
 
 

@@ -1,0 +1,159 @@
+"""BM25 keyword search (operators/search.py): exact parity with a pure-
+Python Okapi model, top-k/ranking contracts, statistical stop-listing,
+and the native-plan guarantee (zero python nodes, broadcast query join).
+Engine-vs-engine value check lives in test_deregistered_queries.py (x35).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.search import (
+    build_text_index,
+    bm25_search,
+    bm25_search_docs,
+)
+
+DOCS = [
+    (0, "Spark shuffles data between stages; a shuffle is a boundary"),
+    (1, "The join strategy broadcasts the small side to every executor"),
+    (2, "Sort-merge join shuffles both sides by the join keys"),
+    (3, "A columnar scan prunes columns and pushes filters down"),
+    (4, "Caching data avoids recomputing the shuffle twice"),
+    (5, "spark SPARK Spark — casing must not matter, nor punctuation!!"),
+]
+QUERIES = [(100, "spark shuffle"), (200, "join keys"), (300, "absentterm")]
+K1, B = 1.2, 0.75
+
+
+def _tok(s: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _model_bm25(docs, queries, k):
+    """Pure-Python Okapi BM25, the operator's spec: per-(term, doc) tf,
+    Robertson idf, distinct query terms, round 1e-6, doc_id tie-break."""
+    toks = {i: _tok(t) for i, t in docs}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    tf: dict[tuple[str, int], int] = {}
+    for i, ts in toks.items():
+        for t in ts:
+            tf[(t, i)] = tf.get((t, i), 0) + 1
+    df: dict[str, int] = {}
+    for (t, _i) in tf:
+        df[t] = df.get(t, 0) + 1
+    out = []
+    for qid, qtext in queries:
+        scores: dict[int, float] = {}
+        for t in set(_tok(qtext)):
+            if t not in df:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            for i in range(n):
+                f = tf.get((t, i))
+                if not f:
+                    continue
+                part = f * (K1 + 1) / (
+                    f + K1 * (1 - B + B * dl[i] / avgdl)
+                )
+                scores[i] = scores.get(i, 0.0) + idf * part
+        ranked = sorted(
+            ((round(s, 6), i) for i, s in scores.items()),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for r, (s, i) in enumerate(ranked[:k], 1):
+            out.append((qid, i, s, r))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id int, query_text string")
+    return docs, queries
+
+
+def test_matches_python_model_exactly(spark, frames):
+    docs, queries = frames
+    got = sorted(
+        map(tuple, bm25_search_docs(docs, queries, k=3).collect())
+    )
+    assert got == _model_bm25(DOCS, QUERIES, 3)
+
+
+def test_no_hit_query_returns_no_rows_and_ranks_dense(spark, frames):
+    docs, queries = frames
+    rows = bm25_search_docs(docs, queries, k=10).collect()
+    assert not [r for r in rows if r.query_id == 300]
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_casing_and_punctuation_normalized(spark, frames):
+    docs, _ = frames
+    q = spark.createDataFrame(
+        [(1, "SPARK!!"), (2, "spark")], "query_id int, query_text string"
+    )
+    rows = bm25_search_docs(docs, q, k=10).collect()
+    a = sorted((r.doc_id, r.score) for r in rows if r.query_id == 1)
+    b = sorted((r.doc_id, r.score) for r in rows if r.query_id == 2)
+    assert a == b and len(a) > 0
+
+
+def test_repeated_query_terms_count_once(spark, frames):
+    docs, _ = frames
+    q = spark.createDataFrame(
+        [(1, "shuffle shuffle shuffle"), (2, "shuffle")],
+        "query_id int, query_text string",
+    )
+    rows = bm25_search_docs(docs, q, k=10).collect()
+    a = sorted((r.doc_id, r.score) for r in rows if r.query_id == 1)
+    b = sorted((r.doc_id, r.score) for r in rows if r.query_id == 2)
+    assert a == b
+
+
+def test_max_df_ratio_drops_stop_terms(spark, frames):
+    docs, _ = frames
+    # "the" appears in 3/6 docs; at max_df_ratio=0.4 it must leave the
+    # index, so a "the"-only query finds nothing while a content term
+    # ("broadcasts", df=1) still resolves.
+    idx = build_text_index(docs, max_df_ratio=0.4)
+    q = spark.createDataFrame(
+        [(1, "the"), (2, "broadcasts")], "query_id int, query_text string"
+    )
+    rows = bm25_search(idx, q, k=10).collect()
+    assert not [r for r in rows if r.query_id == 1]
+    assert [r for r in rows if r.query_id == 2]
+
+
+def test_index_stats_shape(spark, frames):
+    docs, _ = frames
+    idx = build_text_index(docs)
+    st = idx.stats.first()
+    assert st["n_docs"] == len(DOCS)
+    total = sum(len(_tok(t)) for _, t in DOCS)
+    assert abs(st["avgdl"] - total / len(DOCS)) < 1e-9
+    # postings tf sums back to the token count
+    assert idx.postings.agg(F.sum("tf")).first()[0] == total
+
+
+def test_plan_native_and_broadcast(spark, frames):
+    docs, queries = frames
+    plan = (
+        bm25_search_docs(docs, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # query terms / dfs ride broadcasts
