@@ -110,19 +110,31 @@ def bloom_build(
     col: str | Column,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    geometry: tuple[int, int] | None = None,
 ) -> Bloom:
     """Build a Bloom filter over ``col``.  ``expected_items=None`` sizes
     the geometry from ``df.count()`` (one cheap job; an upper bound on
     distinct keys only ever over-sizes, which lowers the realized fpp).
+    Pass ``geometry=(n_bits, n_hashes)`` to pin an EXISTING filter's
+    shape instead — the delta-build form ``bloom_merge`` requires
+    (mismatched geometries never merge).
 
     Plan: positions explode to longs (narrow) → one shuffle keyed by
     word index (≤ m/64 distinct keys with map-side partial ``bit_or``)
     → ≤ m/64 result rows.  Nothing key-sized ever reaches the driver.
     """
     c = F.col(col) if isinstance(col, str) else col
-    if expected_items is None:
-        expected_items = df.count()
-    n_bits, n_hashes = bloom_params(expected_items, fpp)
+    if geometry is not None:
+        n_bits, n_hashes = geometry
+        if n_bits % 64 != 0 or n_bits <= 0 or n_hashes <= 0:
+            raise ValueError(
+                f"bloom_build: geometry {geometry} invalid — n_bits must "
+                "be a positive multiple of 64 and n_hashes ≥ 1"
+            )
+    else:
+        if expected_items is None:
+            expected_items = df.count()
+        n_bits, n_hashes = bloom_params(expected_items, fpp)
     pos = F.explode(F.array(*_positions(c, n_bits, n_hashes))).alias("__pos")
     words = (
         df.select(pos)
@@ -161,6 +173,30 @@ def bloom_merge(a: Bloom, b: Bloom) -> Bloom:
         .withColumn("n_hashes", F.lit(a.n_hashes).cast("int"))
     )
     return Bloom(words=words, n_bits=a.n_bits, n_hashes=a.n_hashes)
+
+
+BLOOM_WORDS_SCHEMA = "word_idx long, word long, n_bits long, n_hashes int"
+
+
+def bloom_fold_words(words: DataFrame) -> DataFrame:
+    """Fold an APPEND-ONLY delta log of word frames into one filter
+    frame: ``bit_or`` per word index.  Because OR is idempotent, a
+    retried append (at-least-once ``foreachBatch``) changes nothing —
+    which is why the streaming Bloom store is an append log folded on
+    read instead of an overwritten file (no torn-write window at all).
+    Mixed geometries in one log are corruption, not mergeable input —
+    they raise."""
+    geoms = words.select("n_bits", "n_hashes").distinct().collect()
+    if len(geoms) > 1:
+        raise ValueError(
+            f"bloom_fold_words: {len(geoms)} distinct geometries in one "
+            "store — an appended delta was built with the wrong shape"
+        )
+    return (
+        words.groupBy("word_idx", "n_bits", "n_hashes")
+        .agg(F.bit_or("word").alias("word"))
+        .select("word_idx", "word", "n_bits", "n_hashes")
+    )
 
 
 def bloom_from_words(words: DataFrame) -> Bloom:

@@ -98,6 +98,9 @@ def curate_document_stream(
     span_k: int = 8,
     strip_spans: DataFrame | None = None,
     strip_lines: DataFrame | None = None,
+    bloom_store_dir: str | None = None,
+    bloom_capacity: int = 10_000_000,
+    bloom_fpp: float = 0.01,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -136,6 +139,27 @@ def curate_document_stream(
     deduplicate across batches too.  Same fixed-list-per-store-generation
     rule as ``strip_spans``.
 
+    ``bloom_store_dir`` (optional) maintains a Bloom filter summarizing
+    the fingerprint store (operators/bloom.py) so each batch's exact
+    dedup runs ``dedup_incremental_bloom``: Bloom-negative rows skip the
+    store anti-join entirely — at 100 TB the store is billions of rows
+    and the batch is not, so the prefilter is the difference between
+    "shuffle the store per batch" and "broadcast packed words".  The
+    store is an APPEND-ONLY delta log of word frames, folded with
+    ``bit_or`` on read (``bloom_fold_words``) — OR-idempotence makes
+    at-least-once retries free and removes any overwrite/torn-write
+    window.  ORDERING INVARIANT: the batch's Bloom delta appends BEFORE
+    the fingerprint append, keeping the filter a SUPERSET of the store
+    at every instant — a crash between the two leaves extra Bloom bits
+    (false-positive-like: re-checked exactly, zero harm), never a
+    store fingerprint the filter misses (which would admit duplicates
+    as "definitely fresh").  ``bloom_capacity`` provisions the fixed
+    geometry at first batch (a Bloom cannot grow; oversubscribing only
+    raises the false-positive rate — correctness is unconditional since
+    every positive re-checks against the real store, so a saturated
+    filter degrades to plain ``dedup_incremental`` cost, not to wrong
+    output).
+
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
     """
@@ -171,7 +195,29 @@ def curate_document_stream(
             )
         fp_store = _read_or_empty(spark, fp_store_dir, "fp bigint")
         sig_store = _read_or_empty(spark, sig_store_dir, _SIG_SCHEMA)
-        fresh = dedup_incremental(batch_df, fp_store, text_col)
+        bloom = None
+        if bloom_store_dir is not None:
+            from jurimetria_etl_spark.operators.bloom import (
+                BLOOM_WORDS_SCHEMA,
+                bloom_fold_words,
+                bloom_from_words,
+            )
+
+            word_log = _read_or_empty(
+                spark, bloom_store_dir, BLOOM_WORDS_SCHEMA
+            )
+            if word_log.head(1):
+                bloom = bloom_from_words(bloom_fold_words(word_log))
+        if bloom is not None:
+            from jurimetria_etl_spark.operators.bloom import (
+                dedup_incremental_bloom,
+            )
+
+            fresh = dedup_incremental_bloom(
+                batch_df, fp_store, bloom=bloom, text_col=text_col
+            )
+        else:
+            fresh = dedup_incremental(batch_df, fp_store, text_col)
         survivors = minhash_dedup_incremental(
             fresh, sig_store, id_col, text_col, threshold, k, bands, n
         )
@@ -199,9 +245,28 @@ def curate_document_stream(
         build_near_dup_store(survivors, id_col, text_col, k, bands, n).write.mode(
             "append"
         ).parquet(store_data_dir(sig_store_dir))
-        survivors.select(fingerprint(text_col).alias("fp")).write.mode(
-            "append"
-        ).parquet(store_data_dir(fp_store_dir))
+        new_fps = survivors.select(fingerprint(text_col).alias("fp"))
+        if bloom_store_dir is not None:
+            # BEFORE the fp append (superset invariant — see docstring).
+            # Geometry: the existing log's, else provisioned capacity.
+            from jurimetria_etl_spark.operators.bloom import bloom_build
+
+            geom = (
+                (bloom.n_bits, bloom.n_hashes)
+                if bloom is not None
+                else None
+            )
+            delta = bloom_build(
+                new_fps,
+                "fp",
+                expected_items=bloom_capacity,
+                fpp=bloom_fpp,
+                geometry=geom,
+            )
+            delta.words.write.mode("append").parquet(
+                store_data_dir(bloom_store_dir)
+            )
+        new_fps.write.mode("append").parquet(store_data_dir(fp_store_dir))
         if span_fp_store_dir is not None:
             from jurimetria_etl_spark.operators.spans import (
                 winnowed_fingerprints,
