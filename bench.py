@@ -81,6 +81,7 @@ HEADLINE = [
     "x32_duplicate_lines",
     "x34_bloom_incremental_dedup",
     "x35_bm25_search",
+    "x36_semdedup",
     "x22_training_shards",
     "x27_hll_daily_uniques",
 ]

@@ -1,0 +1,223 @@
+"""SemDeDup: semantic deduplication by embedding clustering.
+
+Cluster the corpus over its embedding column, then within each cluster
+remove every example whose cosine similarity to ANY earlier-ranked
+example of the same cluster is ``>= eps``.  Ranking is
+similarity-to-centroid ASCENDING (keep the examples FARTHEST from the
+centroid — the keep rule Abbas et al. 2023, arXiv:2303.09540, found
+best), tie-broken by id.  The "exists any earlier" rule matches the
+published implementation (an upper-triangular max over the sorted
+within-cluster similarity matrix) and — unlike greedy sequential
+filtering — is order-independent, so it parallelizes without a chain
+of data dependencies.
+
+Scale design: clustering is what bounds the quadratic.  The
+within-cluster scan is O(Σ c_i² · d) flops, so ``n_clusters`` is the
+knob that caps cluster size c_i (the paper runs ~50k clusters at
+corpus scale; cluster count should grow linearly with the corpus so
+c_i stays roughly constant).  Each cluster is scanned by ONE Arrow
+``applyInPandas`` task — a blocked numpy matmul with memory
+O(c·d + block·c), never a materialized pair list and never a
+candidate-pair shuffle — and clusters are the unit of parallelism.
+``max_cluster_rows`` raises with a re-clustering hint instead of
+letting a degenerate clustering OOM an executor.
+
+Reference: n/a — the 566-LoC reference has no embedding operators;
+this is the brief's training-data axis (SemDeDup / SemDeDup-style
+embedding pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.dedup import widen_partitions
+from jurimetria_etl_spark.operators.similarity import (
+    _nearest_cells,
+    cosine_sim,
+    train_ivf_centroids,
+)
+
+
+def cluster_means(
+    embeddings: DataFrame,
+    cluster_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster elementwise mean vector: ``(cluster_col, centroid)``.
+
+    Plan: posexplode to (cluster, position, component) triples — three
+    narrow columns, map-side partial averages — one shuffle keyed by
+    (cluster, position), then the per-cluster reassembly sorts a
+    position-tagged struct list (collect_list order is undefined;
+    array_sort makes it deterministic).  Output is n_clusters rows.
+    """
+    return (
+        embeddings.select(
+            cluster_col, F.posexplode(F.col(vec_col)).alias("__pos", "__v")
+        )
+        .groupBy(cluster_col, "__pos")
+        .agg(F.avg("__v").alias("__m"))
+        .groupBy(cluster_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ),
+                lambda s: s["__m"],
+            ).alias("centroid")
+        )
+    )
+
+
+def _scan_kernel(
+    id_col: str,
+    cluster_col: str,
+    vec_col: str,
+    max_cluster_rows: int,
+    block: int,
+):
+    """Per-cluster blocked upper-triangular max-similarity scan.
+
+    Rows arrive pre-ranked; for row i the output is
+    max_{j: rank_j < rank_i} cos(x_i, x_j), NaN (→ NULL) for the
+    cluster's first row.  Blocked matmul keeps memory at
+    O(c·d + block·c) regardless of cluster size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semdedup: cluster {pdf[cluster_col].iloc[0]!r} has {n} "
+                f"rows > max_cluster_rows={max_cluster_rows} — raise "
+                "n_clusters (cluster count should scale with the corpus "
+                "so per-cluster size stays bounded) or max_cluster_rows"
+            )
+        pdf = pdf.sort_values("sem_rank").reset_index(drop=True)
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm[:, None]
+        mx = np.full(n, np.nan)
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            sims = Xn[s:e] @ Xn[:e].T
+            for i in range(s, e):
+                mx[i] = sims[i - s, :i].max()
+        return pdf[[id_col, cluster_col, "sem_rank"]].assign(
+            max_prior_sim=mx
+        )
+
+    return scan
+
+
+def semdedup_flags(
+    embeddings: DataFrame,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    n_clusters: int = 16,
+    train_iters: int = 0,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    max_cluster_rows: int = 200_000,
+    block: int = 1024,
+) -> DataFrame:
+    """Cluster + rank + within-cluster prior-similarity scan.
+
+    Returns ``(id_col, sem_cluster, sem_rank, max_prior_sim, sem_kept)``
+    — one row per input row.  ``sem_kept`` is the SemDeDup verdict:
+    NULL ``max_prior_sim`` (the cluster's farthest-from-centroid row)
+    or ``max_prior_sim < eps``.
+
+    Two clustering modes:
+
+    * ``cluster_col=None`` (production): k-means cells.  Pass trained
+      ``centroids`` (persist them as a layout artifact — float means
+      are partial-sum-order dependent, see ``train_ivf_centroids``),
+      or set ``train_iters>0`` to train here; default 0 uses the
+      deterministic lowest-id seed assignment.  The centroid matrix is
+      a literal, so assignment AND the centroid-similarity rank key
+      are one narrow map — no join, no shuffle beyond the rank window.
+    * ``cluster_col='label'`` (given clustering): centroids are the
+      per-cluster mean vectors, broadcast-joined back (n_clusters
+      rows).
+
+    The rank window shuffles once on the cluster key; the scan reuses
+    that partitioning (groupBy on the same key).
+    """
+    embeddings = widen_partitions(embeddings)
+    if cluster_col is None:
+        if centroids is None and train_iters > 0:
+            centroids = train_ivf_centroids(
+                embeddings, n_clusters, train_iters, id_col, vec_col
+            )
+        if centroids is None:
+            seeds = (
+                embeddings.select(id_col, vec_col)
+                .orderBy(id_col)
+                .limit(n_clusters)
+                .collect()
+            )
+            centroids = [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
+        scored = _nearest_cells(F.col(vec_col), centroids, 1)[0]
+        ranked_in = embeddings.withColumn(
+            "sem_cluster", scored["cid"]
+        ).withColumn("__csim", scored["s"])
+    else:
+        cents = cluster_means(embeddings, cluster_col, vec_col)
+        ranked_in = (
+            embeddings.join(F.broadcast(cents), cluster_col)
+            .withColumn(
+                "__csim", cosine_sim(F.col(vec_col), F.col("centroid"))
+            )
+            .withColumnRenamed(cluster_col, "sem_cluster")
+            .drop("centroid")
+        )
+    w = Window.partitionBy("sem_cluster").orderBy(
+        F.col("__csim").asc(), F.col(id_col).asc()
+    )
+    ranked = ranked_in.select(
+        id_col, "sem_cluster", vec_col, F.row_number().over(w).alias("sem_rank")
+    )
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    cl_type = (
+        "int"
+        if cluster_col is None
+        else embeddings.schema[cluster_col].dataType.simpleString()
+    )
+    out_schema = (
+        f"{id_col} {id_type}, sem_cluster {cl_type}, "
+        "sem_rank int, max_prior_sim double"
+    )
+    flags = ranked.groupBy("sem_cluster").applyInPandas(
+        _scan_kernel(id_col, "sem_cluster", vec_col, max_cluster_rows, block),
+        schema=out_schema,
+    )
+    return flags.withColumn(
+        "sem_kept",
+        F.col("max_prior_sim").isNull() | (F.col("max_prior_sim") < F.lit(eps)),
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """SemDeDup survivors: the input rows whose ``sem_kept`` verdict is
+    true.  Flags carry only (id, cluster, rank, sim) — 28-byte rows —
+    so the survivor join streams the corpus against a frame that is
+    strictly smaller than it; AQE picks broadcast when the survivor
+    side fits."""
+    flags = semdedup_flags(
+        embeddings, eps, id_col=id_col, vec_col=vec_col, **kwargs
+    )
+    keep = flags.filter(F.col("sem_kept")).select(id_col)
+    return embeddings.join(keep, id_col, "left_semi")

@@ -1464,6 +1464,60 @@ WHERE rank <= 10
 """
 
 
+def x36_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors over the embeddings corpus
+    (operators/semdedup.py) with the fixture's ``label`` column as the
+    given clustering: rank within cluster by similarity-to-mean
+    ascending (keep far-from-centroid first, Abbas et al. 2023), drop
+    every row with a prior-ranked neighbor at cosine >= 0.35 (the
+    synthetic corpus' within-cluster sims top out ~0.48; nearest
+    realized sim sits >=5e-5 from the threshold at every SF, so the
+    float64-vs-float64 engine comparison is stable).  Output is
+    integer-only (id, cluster, rank) — no float columns cross the
+    hash gate."""
+    from jurimetria_etl_spark.operators.semdedup import semdedup_flags
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    embeds = load_fixture(spark, sf_dir, "embeddings")
+    flags = semdedup_flags(embeds, eps=0.35, cluster_col="label")
+    return (
+        flags.filter(F.col("sem_kept"))
+        .select("vec_id", F.col("sem_cluster").alias("label"), "sem_rank")
+        .orderBy("vec_id")
+    )
+
+
+X36_SQL = """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(1, len(embedding)+1)) AS p
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(m ORDER BY p) AS centroid FROM (
+    SELECT label, p, avg(v) AS m FROM ex GROUP BY label, p
+  ) GROUP BY label
+),
+ranked AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         row_number() OVER (PARTITION BY e.label
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) ASC,
+                     e.vec_id) AS sem_rank
+  FROM embeddings e JOIN cent c USING (label)
+),
+prior AS (
+  SELECT a.vec_id,
+         max(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS mx
+  FROM ranked a JOIN ranked b ON a.label = b.label AND b.sem_rank < a.sem_rank
+  GROUP BY a.vec_id
+)
+SELECT r.vec_id, r.label, r.sem_rank
+FROM ranked r LEFT JOIN prior p USING (vec_id)
+WHERE p.mx IS NULL OR p.mx < 0.35
+ORDER BY r.vec_id
+"""
+
+
 # 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
@@ -1536,4 +1590,7 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # Never registered (window full): BM25 keyword top-k — the lexical
     # retrieval axis (operators/search.py).
     "x35_bm25_search": Q(x35_bm25_search, X35_SQL),
+    # Never registered (window full): SemDeDup — embedding-cluster
+    # semantic dedup (operators/semdedup.py).
+    "x36_semdedup": Q(x36_semdedup, X36_SQL),
 }

@@ -135,6 +135,13 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # (n_docs, avgdl) stats frame is the pinned BNLJ attach, per-query
     # row_number window.  Zero python nodes.
     "x35_bm25_search": (1, 0, 12, 3),
+    # x36 (r8): SemDeDup on the given label clustering — widen
+    # repartition, the two centroid-mean aggs ((label,pos) then label),
+    # the broadcast centroid attach, the rank-window exchange, the
+    # per-cluster scan's group exchange, the final sort.  Exactly one
+    # python node: the blocked-numpy upper-triangular scan
+    # (applyInPandas), the op's sanctioned Arrow boundary.
+    "x36_semdedup": (0, 1, 7, 1),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

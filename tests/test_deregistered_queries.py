@@ -146,6 +146,10 @@ PAIRS = [
     # never registered (window full, r8): BM25 keyword top-k — same
     # Okapi formula recomputed in DuckDB from the same tokenization:
     (E.x35_bm25_search, E.X35_SQL),
+    # never registered (window full, r8): SemDeDup — embedding-cluster
+    # semantic dedup; the label-cluster variant is fully SQL-expressible
+    # (centroid means + within-cluster upper-triangular max):
+    (E.x36_semdedup, E.X36_SQL),
 ]
 
 
