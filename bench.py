@@ -82,6 +82,7 @@ HEADLINE = [
     "x34_bloom_incremental_dedup",
     "x35_bm25_search",
     "x36_semdedup",
+    "x37_hybrid_search",
     "x22_training_shards",
     "x27_hll_daily_uniques",
 ]

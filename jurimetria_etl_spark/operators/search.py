@@ -177,3 +177,91 @@ def bm25_search_docs(
     return bm25_search(
         build_text_index(docs, id_col, text_col), queries, k, **kwargs
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 60,
+    topk: int | None = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of N ranked
+    lists: ``rrf = Σ_lists 1/(k + rank)``, a document absent from a list
+    contributes nothing.  Output (query_id, doc_id, rrf_score,
+    fused_rank); ``topk`` truncates per query.
+
+    RRF is the standard score-free fusion for hybrid retrieval — it
+    needs no score calibration between a BM25 list and a cosine list,
+    only ranks.  Plan: union the (already tiny, ≤ queries × k-each)
+    lists → one (query, doc) sum → per-query window.  Everything after
+    the input retrievals is match-sized; fusion adds no corpus-scale
+    work.  Determinization: 1/(k+rank) from integer ranks is exact
+    double arithmetic, the rounded sum is engine-reproducible, and the
+    fused rank tie-breaks by doc_id."""
+    contribs = [
+        df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("__c"),
+        )
+        for df in ranked_lists
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    score = F.sum("__c")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    fused = allc.groupBy("query_id", "doc_id").agg(score.alias("rrf_score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    fused = fused.withColumn("fused_rank", F.row_number().over(w))
+    if topk is not None:
+        fused = fused.where(F.col("fused_rank") <= topk)
+    return fused
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    text_queries: DataFrame,
+    probe_queries: DataFrame,
+    k_each: int = 20,
+    topk: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-``k_each`` (terms)
+    and exact cosine top-``k_each`` (vectors) per query, fused with RRF.
+    ``text_queries``: (query_id, query_text); ``probe_queries``:
+    (query_id, probe array) — the same query in both modalities, over a
+    shared doc/vec id space.
+
+    The dense side here is the exact broadcast baseline
+    (``cosine_topk_batch``); at corpus scale swap in
+    ``ann_ivf_topk_indexed`` — the fusion contract only consumes
+    (query, id, rank)."""
+    from jurimetria_etl_spark.operators.similarity import cosine_topk_batch
+
+    lex = bm25_search_docs(
+        docs, text_queries, k=k_each, id_col=id_col, text_col=text_col
+    )
+    dense = cosine_topk_batch(
+        embeddings,
+        probe_queries,
+        k=k_each,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    )
+    return rrf_fuse(
+        [lex, dense.withColumnRenamed(vec_id_col, "doc_id")],
+        k=rrf_k,
+        topk=topk,
+    )

@@ -135,6 +135,56 @@ def cosine_topk_pandas(
     )
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "probe",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a BATCH of probe vectors:
+    (query_id, vec_id, cos_sim, rank), rank 1..k per probe, score
+    rounded + id tie-broken (the family's determinization).
+
+    The probe frame is broadcast with pre-staged norms, so the corpus
+    makes ONE narrow pass scoring all probes (a broadcast nested-loop
+    by construction — candidate volume is |probes| x |corpus|, which is
+    the definition of exact batch scoring); ranking windows the scored
+    frame per query.  This is the exact BASELINE: it is linear in the
+    corpus per probe and correct for any k.  For large probe batches
+    against 100 TB use the bucketed paths (``knn_join`` /
+    ``ann_ivf_topk_indexed``) — same output contract, sublinear probes,
+    recall < 1."""
+    p = F.broadcast(
+        probes.select(
+            F.col(probe_id_col).alias("__qid"),
+            F.col(probe_vec_col).alias("__p"),
+            _norm(F.col(probe_vec_col)).alias("__pn"),
+        )
+    )
+    sim = _dot(F.col(vec_col), F.col("__p")) / (
+        _norm(F.col(vec_col)) * F.col("__pn")
+    )
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        widen_partitions(embeddings)
+        .crossJoin(p)
+        .select(F.col("__qid"), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(probe_id_col), id_col, "cos_sim", "rank"
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [

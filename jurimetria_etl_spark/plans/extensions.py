@@ -1464,6 +1464,105 @@ WHERE rank <= 10
 """
 
 
+def x37_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval (operators/search.py
+    ``hybrid_search``): BM25 top-20 over documents and exact cosine
+    top-20 over embeddings per query (the four x35 keyword queries,
+    paired with probe vectors = embeddings of vec_id 1-4), fused by
+    reciprocal-rank fusion (k=60) to a top-10.  The DuckDB oracle
+    recomputes both ranked lists (identical tokenization/Okapi formula
+    and double-precision cosine, both 1e-6-rounded + id-tie-broken)
+    and the same 1/(60+rank) sum.  rrf_score is exact double arithmetic
+    on integer ranks — engine-identical by construction."""
+    from jurimetria_etl_spark.operators.search import hybrid_search
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    embeds = load_fixture(spark, sf_dir, "embeddings")
+    tq = spark.createDataFrame(_X35_QUERIES, "query_id int, query_text string")
+    pq = (
+        embeds.join(
+            spark.createDataFrame(
+                [(i, i) for i in (1, 2, 3, 4)], "query_id int, pv bigint"
+            ),
+            F.col("vec_id") == F.col("pv"),
+        )
+        .select("query_id", F.col("embedding").alias("probe"))
+    )
+    return hybrid_search(
+        docs, embeds, tq, pq, k_each=20, topk=10, rrf_k=60
+    )
+
+
+X37_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents)
+  WHERE length(t) > 0),
+postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+q(query_id, query_text) AS (VALUES
+  (1, 'spark shuffle join'),
+  (2, 'vector stream data cache'),
+  (3, 'batch part order line'),
+  (4, 'zebra unicorn missing')),
+qt AS (
+  SELECT DISTINCT query_id, t AS term FROM (
+    SELECT query_id,
+           unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS t
+    FROM q)
+  WHERE length(t) > 0),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+lex AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM (
+      SELECT qt.query_id, p.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * p.tf * (1.2 + 1.0)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
+             ), 6) AS score
+      FROM qt
+      JOIN postings p USING (term)
+      JOIN dfs USING (term)
+      JOIN dls d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2))
+  WHERE rank <= 20),
+dense AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT pq.query_id, e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY pq.query_id
+             ORDER BY ROUND(list_cosine_similarity(
+               e.embedding::DOUBLE[], pq.probe::DOUBLE[]), 6) DESC,
+             e.vec_id) AS rank
+    FROM (SELECT v.query_id, p.embedding AS probe
+          FROM (VALUES (1, 1), (2, 2), (3, 3), (4, 4)) v(query_id, pv)
+          JOIN embeddings p ON p.vec_id = v.pv) pq
+    CROSS JOIN embeddings e)
+  WHERE rank <= 20),
+fused AS (
+  SELECT query_id, doc_id,
+         ROUND(SUM(1.0 / (60.0 + rank)), 9) AS rrf_score
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_score, fused_rank FROM (
+  SELECT query_id, doc_id, rrf_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+         ) AS fused_rank
+  FROM fused)
+WHERE fused_rank <= 10
+"""
+
+
 def x36_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivors over the embeddings corpus
     (operators/semdedup.py) with the fixture's ``label`` column as the
@@ -1593,4 +1692,7 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # Never registered (window full): SemDeDup — embedding-cluster
     # semantic dedup (operators/semdedup.py).
     "x36_semdedup": Q(x36_semdedup, X36_SQL),
+    # Never registered (window full): hybrid BM25+dense retrieval with
+    # reciprocal-rank fusion (operators/search.py rrf_fuse).
+    "x37_hybrid_search": Q(x37_hybrid_search, X37_SQL),
 }

@@ -142,6 +142,13 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # python node: the blocked-numpy upper-triangular scan
     # (applyInPandas), the op's sanctioned Arrow boundary.
     "x36_semdedup": (0, 1, 7, 1),
+    # x37 (r8): hybrid BM25+dense retrieval — the 2 pinned BNLJs are the
+    # BM25 one-row (n_docs, avgdl) stats attach and the dense side's
+    # broadcast probe cross-join (exact batch scoring IS |probes| x
+    # |corpus| by definition; the ANN paths are the sublinear variants).
+    # Query-term / df / probe frames broadcast (4 BHJs); the RRF fusion
+    # works on match-sized frames only.  Zero python nodes.
+    "x37_hybrid_search": (2, 0, 16, 4),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

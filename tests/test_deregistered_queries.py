@@ -150,6 +150,9 @@ PAIRS = [
     # semantic dedup; the label-cluster variant is fully SQL-expressible
     # (centroid means + within-cluster upper-triangular max):
     (E.x36_semdedup, E.X36_SQL),
+    # never registered (window full, r8): hybrid BM25+dense retrieval —
+    # both ranked lists and the 1/(60+rank) RRF sum recomputed in SQL:
+    (E.x37_hybrid_search, E.X37_SQL),
 ]
 
 

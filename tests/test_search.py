@@ -157,3 +157,136 @@ def test_plan_native_and_broadcast(spark, frames):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # query terms / dfs ride broadcasts
+
+
+# ── hybrid retrieval: RRF fusion + batched dense top-k ─────────────────────
+
+
+def test_rrf_fuse_hand_model(spark):
+    from jurimetria_etl_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id int, doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["fused_rank"])
+        for r in rrf_fuse([lex, dense], k=60).collect()
+    }
+    exp = {
+        10: round(1 / 61, 9),
+        11: round(1 / 62 + 1 / 61, 9),
+        12: round(1 / 63, 9),
+        13: round(1 / 62, 9),
+    }
+    assert {d: s for d, (s, _) in got.items()} == exp
+    # doc 11 appears in both lists -> fused first
+    order = sorted(got, key=lambda d: got[d][1])
+    assert order == [11, 10, 13, 12]
+
+
+def test_rrf_topk_and_tiebreak(spark):
+    from jurimetria_etl_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 5, 1), (1, 7, 2)], "query_id int, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 8, 1), (1, 9, 2)], "query_id int, doc_id long, rank int"
+    )
+    rows = rrf_fuse([a, b], k=60, topk=3).collect()
+    assert len(rows) == 3
+    by_rank = {r["fused_rank"]: r["doc_id"] for r in rows}
+    # 5 and 8 tie at 1/61 -> doc_id breaks: 5 first; 7/9 tie cut at topk
+    assert by_rank == {1: 5, 2: 8, 3: 7}
+
+
+def test_cosine_topk_batch_matches_numpy(spark):
+    import numpy as np
+
+    from jurimetria_etl_spark.operators.similarity import cosine_topk_batch
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(100, [float(v) for v in X[0]]), (200, [float(v) for v in X[1]])],
+        "query_id int, probe array<float>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk_batch(corpus, probes, k=5).collect()
+    }
+    Xd = X.astype(np.float64)
+    Xn = Xd / np.linalg.norm(Xd, axis=1)[:, None]
+    for qid, pi in ((100, 0), (200, 1)):
+        sims = np.round(Xn @ Xn[pi], 6)
+        order = sorted(range(40), key=lambda i: (-sims[i], i))[:5]
+        assert [got[(qid, r)] for r in range(1, 6)] == order
+        assert got[(qid, 1)] == pi  # the probe itself ranks first
+
+
+def test_hybrid_search_contract(spark, frames):
+    import numpy as np
+
+    from jurimetria_etl_spark.operators.search import hybrid_search
+
+    docs, queries = frames
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(6, 4))
+    embeds = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(100, [float(v) for v in X[2]]), (200, [float(v) for v in X[4]])],
+        "query_id int, probe array<float>",
+    )
+    out = hybrid_search(
+        docs, embeds, queries.where("query_id != 300"), probes,
+        k_each=3, topk=4,
+    ).collect()
+    assert out
+    for r in out:
+        assert 1 <= r["fused_rank"] <= 4
+        assert r["rrf_score"] > 0
+    # per-query ranks are dense from 1
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in out:
+        per[r["query_id"]].append(r["fused_rank"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hybrid_plan_native(spark, frames):
+    import numpy as np
+
+    from jurimetria_etl_spark.operators.search import hybrid_search
+
+    docs, queries = frames
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(6, 4))
+    embeds = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(100, [float(v) for v in X[2]])], "query_id int, probe array<float>"
+    )
+    plan = (
+        hybrid_search(docs, embeds, queries, probes, k_each=3, topk=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
