@@ -71,6 +71,45 @@ def cluster_means(
     )
 
 
+def _assign_arrow(
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+):
+    """Arrow-batched nearest-centroid assignment: one scalar
+    ``pandas_udf`` returning struct(cid, s) — a blocked numpy matmul
+    per Arrow batch.  Mirrors ``_nearest_cells`` exactly (round 1e-9,
+    ties to the HIGHER cid) so the two assignment modes are
+    output-identical; the JVM fold is interpreted per element, so at
+    n_clusters × dim beyond a few thousand the matmul wins the same way
+    ``cosine_topk_pandas`` beats ``cosine_topk`` on wide vectors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.array([c for _, c in centroids], dtype=np.float64)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1), 1e-300)[:, None]
+
+    def assign(vecs):
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-300)[:, None]
+        S = np.round(Xn @ Cn.T, 9)
+        # max sim, ties to higher cid: scan columns in cid order and
+        # keep >= (centroids arrive cid-ascending from the trainer)
+        order = np.argsort(cids, kind="stable")
+        best_s = np.full(len(X), -np.inf)
+        best_c = np.zeros(len(X), dtype=np.int64)
+        for j in order:
+            sj = S[:, j]
+            upd = sj >= best_s
+            best_s[upd] = sj[upd]
+            best_c[upd] = cids[j]
+        return pd.DataFrame({"cid": best_c.astype("int32"), "s": best_s})
+
+    assign.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(assign, "cid int, s double")(F.col(vec_col))
+
+
 def _scan_kernel(
     id_col: str,
     cluster_col: str,
@@ -126,6 +165,7 @@ def semdedup_flags(
     centroids: list[tuple[int, list[float]]] | None = None,
     max_cluster_rows: int = 200_000,
     block: int = 1024,
+    assign: str = "auto",
 ) -> DataFrame:
     """Cluster + rank + within-cluster prior-similarity scan.
 
@@ -143,6 +183,11 @@ def semdedup_flags(
       deterministic lowest-id seed assignment.  The centroid matrix is
       a literal, so assignment AND the centroid-similarity rank key
       are one narrow map — no join, no shuffle beyond the rank window.
+      ``assign`` picks the scoring kernel: ``fold`` is the pure-JVM
+      Catalyst fold (zero python nodes), ``arrow`` the batched numpy
+      matmul (output-identical; wins when n_clusters × dim is large
+      because the fold is interpreted per element), ``auto`` switches
+      to arrow at ≥ 64 centroids.
     * ``cluster_col='label'`` (given clustering): centroids are the
       per-cluster mean vectors, broadcast-joined back (n_clusters
       rows).
@@ -164,10 +209,20 @@ def semdedup_flags(
                 .collect()
             )
             centroids = [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
-        scored = _nearest_cells(F.col(vec_col), centroids, 1)[0]
-        ranked_in = embeddings.withColumn(
-            "sem_cluster", scored["cid"]
-        ).withColumn("__csim", scored["s"])
+        if assign not in ("auto", "fold", "arrow"):
+            raise ValueError(f"assign={assign!r}: auto | fold | arrow")
+        use_arrow = assign == "arrow" or (
+            assign == "auto" and len(centroids) >= 64
+        )
+        if use_arrow:
+            scored = _assign_arrow(vec_col, centroids)
+        else:
+            scored = _nearest_cells(F.col(vec_col), centroids, 1)[0]
+        ranked_in = embeddings.withColumn("__sc", scored).select(
+            "*",
+            F.col("__sc")["cid"].alias("sem_cluster"),
+            F.col("__sc")["s"].alias("__csim"),
+        ).drop("__sc")
     else:
         cents = cluster_means(embeddings, cluster_col, vec_col)
         ranked_in = (

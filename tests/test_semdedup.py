@@ -170,3 +170,47 @@ def test_plan_contract(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_arrow_assignment_matches_fold(spark):
+    """The two assignment kernels must be output-identical — including
+    on planted exact ties (duplicate centroid vectors)."""
+    df, X = _mk(spark, n=80, planted_dups=0)
+    cents = [(k, [float(v) for v in X[k * 3]]) for k in range(5)]
+    cents.append((5, cents[2][1]))  # exact duplicate centroid: tie case
+    a = semdedup_flags(df, eps=0.6, centroids=cents, assign="fold")
+    b = semdedup_flags(df, eps=0.6, centroids=cents, assign="arrow")
+    rows_a = sorted(
+        (r["vec_id"], r["sem_cluster"], r["sem_rank"], r["sem_kept"])
+        for r in a.collect()
+    )
+    rows_b = sorted(
+        (r["vec_id"], r["sem_cluster"], r["sem_rank"], r["sem_kept"])
+        for r in b.collect()
+    )
+    assert rows_a == rows_b
+    # the tie must resolve to the HIGHER cid in both
+    assert all(c != 2 for _, c, _, _ in rows_a if c in (2, 5)) or any(
+        c == 5 for _, c, _, _ in rows_a
+    )
+
+
+def test_auto_assignment_switches_to_arrow(spark):
+    df, X = _mk(spark, n=70, planted_dups=0)
+    many = [(k, [float(v) for v in X[k]]) for k in range(64)]
+    plan = (
+        semdedup_flags(df, eps=0.5, centroids=many)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+    assert "BatchEvalPython" not in plan
+    few = [(k, [float(v) for v in X[k]]) for k in range(4)]
+    plan2 = (
+        semdedup_flags(df, eps=0.5, centroids=few)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan2  # JVM fold below the switch

@@ -47,6 +47,15 @@ HEAVY = [
     "x22_training_shards",
     "x28_duplicate_spans",
     "t20_market_share",
+    # r8: SemDeDup on the FIXED 10-label clustering — the honest
+    # quadratic contrast (cluster size grows linearly with the corpus,
+    # so the within-cluster scan grows ~x100 for x10 data); the scale
+    # path is semdedup_scaled below, which grows n_clusters with the
+    # corpus to hold cluster size constant.
+    "x36_semdedup",
+    # r8: hybrid BM25+dense retrieval — index build linear, 4-probe
+    # dense scan linear, fusion match-sized.
+    "x37_hybrid_search",
 ]
 
 
@@ -98,7 +107,22 @@ def main() -> None:
             left_banded=banded, right_banded=banded,
         )
 
-    extra: dict = {"knn_join_top5": knn_join_top5}
+    def semdedup_scaled(spark, sf_dir):
+        # the 100-TB posture: n_clusters grows with the corpus so
+        # per-cluster size (and the quadratic scan's c_i) stays ~125;
+        # assignment switches to the Arrow matmul kernel at >= 64
+        # centroids (assign="auto").
+        from jurimetria_etl_spark.operators.semdedup import semdedup_flags
+        from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        n_clusters = max(16, emb.count() // 125)
+        return semdedup_flags(emb, eps=0.35, n_clusters=n_clusters)
+
+    extra: dict = {
+        "knn_join_top5": knn_join_top5,
+        "semdedup_scaled": semdedup_scaled,
+    }
 
     results: dict[str, dict[str, float]] = {}
     for name in HEAVY + list(extra):
