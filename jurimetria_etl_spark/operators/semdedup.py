@@ -276,3 +276,194 @@ def semdedup(
     )
     keep = flags.filter(F.col("sem_kept")).select(id_col)
     return embeddings.join(keep, id_col, "left_semi")
+
+
+# ── incremental (cross-batch) form ─────────────────────────────────────────
+
+
+def _assign_cells(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    assign: str = "auto",
+) -> DataFrame:
+    """Attach ``sem_cluster`` + ``__csim`` using the configured kernel
+    (shared by the batch and incremental paths)."""
+    if assign not in ("auto", "fold", "arrow"):
+        raise ValueError(f"assign={assign!r}: auto | fold | arrow")
+    use_arrow = assign == "arrow" or (assign == "auto" and len(centroids) >= 64)
+    scored = (
+        _assign_arrow(vec_col, centroids)
+        if use_arrow
+        else _nearest_cells(F.col(vec_col), centroids, 1)[0]
+    )
+    return (
+        embeddings.withColumn("__sc", scored)
+        .select(
+            "*",
+            F.col("__sc")["cid"].alias("sem_cluster"),
+            F.col("__sc")["s"].alias("__csim"),
+        )
+        .drop("__sc")
+    )
+
+
+def build_semdedup_store(
+    survivors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """Store rows for kept vectors: (sem_cluster, id, vec).  Persist
+    partitioned BY ``sem_cluster`` so an incremental batch's scan reads
+    only the cells the batch actually touches (partition pruning — the
+    same layout argument as ``ivf_write_partitioned``).  Centroids are
+    part of the store's generation contract: rows assigned under one
+    centroid set must never mix with another's (re-cluster = rebuild),
+    exactly like the fixed-strip-list rule of the span stores."""
+    return _assign_cells(survivors, centroids, vec_col, assign).select(
+        "sem_cluster", F.col(id_col), F.col(vec_col)
+    )
+
+
+def _inc_scan_kernel(
+    id_col: str,
+    vec_col: str,
+    max_cluster_rows: int,
+    block: int,
+):
+    """Per-cell incremental scan: batch rows (pre-ranked) against ALL
+    stored rows of the cell plus earlier-ranked batch rows."""
+    import numpy as np
+    import pandas as pd
+
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semdedup_incremental: cell {pdf['sem_cluster'].iloc[0]!r} "
+                f"holds {len(pdf)} rows > max_cluster_rows="
+                f"{max_cluster_rows} — raise n_clusters/max_cluster_rows"
+            )
+        st = pdf[pdf["__stored"]]
+        bt = (
+            pdf[~pdf["__stored"]]
+            .sort_values("sem_rank")
+            .reset_index(drop=True)
+        )
+        nb = len(bt)
+        if nb == 0:
+            return bt[[id_col, "sem_cluster", "sem_rank"]].assign(
+                max_prior_sim=pd.Series(dtype="float64")
+            )
+        Xb = np.array(bt[vec_col].tolist(), dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(Xb, axis=1), 1e-300)
+        Xb = Xb / nrm[:, None]
+        mx = np.full(nb, np.nan)
+        if len(st):
+            Xs = np.array(st[vec_col].tolist(), dtype=np.float64)
+            Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1), 1e-300)[:, None]
+            st_ids = st[id_col].to_numpy()
+            b_ids = bt[id_col].to_numpy()
+            for s in range(0, nb, block):
+                e = min(s + block, nb)
+                sims = Xb[s:e] @ Xs.T
+                # a replayed doc must not be dropped by its own stored
+                # row (the minhash store's same-id exclusion — the
+                # at-least-once retry invariant depends on it)
+                for i in range(s, e):
+                    sims[i - s, st_ids == b_ids[i]] = -np.inf
+                blk = sims.max(axis=1)
+                blk[np.isneginf(blk)] = np.nan
+                mx[s:e] = blk
+        for s in range(1, nb, block):
+            e = min(s + block, nb)
+            sims = Xb[s:e] @ Xb[:e].T
+            for i in range(s, e):
+                prior = sims[i - s, :i].max() if i else np.nan
+                cur = mx[i]
+                mx[i] = (
+                    prior
+                    if np.isnan(cur)
+                    else (cur if np.isnan(prior) else max(cur, prior))
+                )
+        return bt[[id_col, "sem_cluster", "sem_rank"]].assign(
+            max_prior_sim=mx
+        )
+
+    return scan
+
+
+def semdedup_incremental(
+    batch: DataFrame,
+    store: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 200_000,
+    block: int = 1024,
+    assign: str = "auto",
+) -> DataFrame:
+    """Cross-batch SemDeDup: the batch rows kept against the persisted
+    store AND each other.  A batch row is dropped iff cosine >= ``eps``
+    to any stored vector in its cell or to any earlier-ranked batch row
+    of the same cell (same centroid-similarity-ascending rank as the
+    batch form — with an empty store this is exactly ``semdedup``,
+    pinned in tests).  Streaming semantics match the minhash store:
+    arrival order is authoritative across batches (a kept vector kills
+    its future near-dups), rank order within a batch; same-id store
+    matches are EXCLUDED, so a replayed doc is never dropped by its own
+    stored row (the at-least-once retry invariant the streaming
+    curation's append ordering depends on).
+
+    Plan: assign the batch (narrow map), rank it (one window), union
+    with the store's matching cells (read partition-pruned when the
+    store is ``sem_cluster``-partitioned), one per-cell Arrow scan.
+    Only cells the batch touches are ever read or scanned."""
+    b = _assign_cells(
+        widen_partitions(batch), centroids, vec_col, assign
+    )
+    w = Window.partitionBy("sem_cluster").orderBy(
+        F.col("__csim").asc(), F.col(id_col).asc()
+    )
+    b = b.select(
+        F.col(id_col),
+        "sem_cluster",
+        F.col(vec_col),
+        F.row_number().over(w).alias("sem_rank"),
+        F.lit(False).alias("__stored"),
+    )
+    # prune the store to the batch's cells before the union — at 100 TB
+    # the store is corpus-sized and a batch touches few cells
+    cells = b.select("sem_cluster").distinct()
+    st = (
+        store.join(F.broadcast(cells), "sem_cluster", "left_semi")
+        .select(
+            F.col(id_col),
+            "sem_cluster",
+            F.col(vec_col),
+            F.lit(None).cast("int").alias("sem_rank"),
+            F.lit(True).alias("__stored"),
+        )
+    )
+    id_type = batch.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, sem_cluster int, "
+        "sem_rank int, max_prior_sim double"
+    )
+    flags = (
+        b.unionByName(st)
+        .groupBy("sem_cluster")
+        .applyInPandas(
+            _inc_scan_kernel(id_col, vec_col, max_cluster_rows, block),
+            schema=out_schema,
+        )
+        .withColumn(
+            "sem_kept",
+            F.col("max_prior_sim").isNull()
+            | (F.col("max_prior_sim") < F.lit(eps)),
+        )
+    )
+    keep = flags.filter(F.col("sem_kept")).select(id_col)
+    return batch.join(keep, id_col, "left_semi")

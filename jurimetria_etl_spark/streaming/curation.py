@@ -101,6 +101,10 @@ def curate_document_stream(
     bloom_store_dir: str | None = None,
     bloom_capacity: int = 10_000_000,
     bloom_fpp: float = 0.01,
+    semdedup_store_dir: str | None = None,
+    semdedup_centroids: list[tuple[int, list[float]]] | None = None,
+    semdedup_eps: float = 0.95,
+    vec_col: str = "embedding",
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -159,6 +163,19 @@ def curate_document_stream(
     every positive re-checks against the real store, so a saturated
     filter degrades to plain ``dedup_incremental`` cost, not to wrong
     output).
+
+    ``semdedup_store_dir`` (optional, requires ``semdedup_centroids``
+    and a ``vec_col`` embedding column on the stream) additionally
+    deduplicates each batch SEMANTICALLY against every kept vector so
+    far (``semdedup_incremental``, operators/semdedup.py): the store
+    holds (cell, id, vector) for survivors, batches scan only the cells
+    they touch, and same-id store matches are excluded so the
+    at-least-once replay invariant matches the minhash store's.  The
+    centroid set is part of the store's generation contract —
+    re-clustering means a new store, the fixed-list rule again.  Store
+    append rides between the signature and fingerprint appends (it
+    filters future batches, so it must land only after the corpus
+    holds the doc).
 
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
@@ -221,6 +238,34 @@ def curate_document_stream(
         survivors = minhash_dedup_incremental(
             fresh, sig_store, id_col, text_col, threshold, k, bands, n
         )
+        if semdedup_store_dir is not None:
+            from jurimetria_etl_spark.operators.semdedup import (
+                semdedup_incremental,
+            )
+
+            if semdedup_centroids is None:
+                raise ValueError(
+                    "semdedup_store_dir requires semdedup_centroids — "
+                    "the centroid set is the store's generation contract"
+                )
+            if vec_col not in batch_df.columns:
+                raise ValueError(
+                    f"semdedup_store_dir requires a {vec_col!r} column "
+                    "on the document stream"
+                )
+            sem_store = _read_or_empty(
+                spark,
+                semdedup_store_dir,
+                f"sem_cluster int, {id_col} long, {vec_col} array<float>",
+            )
+            survivors = semdedup_incremental(
+                survivors,
+                sem_store,
+                semdedup_centroids,
+                eps=semdedup_eps,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
         # One deterministic materialization: everything below appends
         # pieces of `survivors`; recomputing it per sink would re-run the
         # dedup joins three times (and could diverge under source retry).
@@ -245,6 +290,19 @@ def curate_document_stream(
         build_near_dup_store(survivors, id_col, text_col, k, bands, n).write.mode(
             "append"
         ).parquet(store_data_dir(sig_store_dir))
+        if semdedup_store_dir is not None:
+            from jurimetria_etl_spark.operators.semdedup import (
+                build_semdedup_store,
+            )
+
+            build_semdedup_store(
+                survivors.select(id_col, vec_col),
+                semdedup_centroids,
+                id_col,
+                vec_col,
+            ).write.mode("append").parquet(
+                store_data_dir(semdedup_store_dir)
+            )
         new_fps = survivors.select(fingerprint(text_col).alias("fp"))
         if bloom_store_dir is not None:
             # BEFORE the fp append (superset invariant — see docstring).

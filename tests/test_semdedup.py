@@ -214,3 +214,86 @@ def test_auto_assignment_switches_to_arrow(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan2  # JVM fold below the switch
+
+
+# ── incremental (cross-batch) form ─────────────────────────────────────────
+
+
+def test_incremental_empty_store_equals_batch(spark):
+    from jurimetria_etl_spark.operators.semdedup import (
+        build_semdedup_store,
+        semdedup_incremental,
+    )
+
+    df, X = _mk(spark)
+    cents = [(k, [float(v) for v in X[k * 7]]) for k in range(4)]
+    empty = build_semdedup_store(df.limit(0), cents)
+    for eps in (0.9, 0.5):
+        inc = {
+            r["vec_id"]
+            for r in semdedup_incremental(df, empty, cents, eps=eps).collect()
+        }
+        batch = {
+            r["vec_id"]
+            for r in semdedup(df, eps=eps, centroids=cents).collect()
+        }
+        assert inc == batch, f"eps={eps}"
+
+
+def test_incremental_cross_batch_kills_near_dups(spark):
+    import numpy as np
+
+    from jurimetria_etl_spark.operators.semdedup import (
+        build_semdedup_store,
+        semdedup_incremental,
+    )
+
+    df, X = _mk(spark, n=60, planted_dups=0)
+    cents = [(k, [float(v) for v in X[k * 9]]) for k in range(3)]
+    b1 = df.where("vec_id < 40")
+    s1 = semdedup_incremental(
+        b1, build_semdedup_store(b1.limit(0), cents), cents, eps=0.99
+    )
+    store = build_semdedup_store(s1, cents)
+    kept_ids = [r["vec_id"] for r in s1.limit(3).collect()]
+    # batch 2: near-dups of batch-1 survivors + genuinely new vectors
+    rows = []
+    for j, kid in enumerate(kept_ids):
+        rows.append((1000 + j, [float(v) for v in X[kid] + 1e-4]))
+    rng = np.random.default_rng(99)
+    for j in range(3):
+        rows.append((2000 + j, [float(v) for v in rng.normal(size=DIM)]))
+    b2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    s2 = {r["vec_id"] for r in
+          semdedup_incremental(b2, store, cents, eps=0.99).collect()}
+    assert all(1000 + j not in s2 for j in range(len(kept_ids)))
+    assert all(2000 + j in s2 for j in range(3))
+
+
+def test_incremental_batch_internal_rule(spark):
+    """Within one batch the incremental form applies the same ranked
+    ∃-earlier rule as the batch form (two planted dups of each other)."""
+    import numpy as np
+
+    from jurimetria_etl_spark.operators.semdedup import (
+        build_semdedup_store,
+        semdedup_incremental,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=DIM)
+    rows = [
+        (1, [float(x) for x in v]),
+        (2, [float(x) for x in v + 1e-5]),
+        (3, [float(x) for x in rng.normal(size=DIM)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [float(x) for x in rng.normal(size=DIM)])]
+    out = {
+        r["vec_id"]
+        for r in semdedup_incremental(
+            df, build_semdedup_store(df.limit(0), cents), cents, eps=0.99
+        ).collect()
+    }
+    assert 3 in out
+    assert len(out & {1, 2}) == 1  # exactly one of the dup pair survives
