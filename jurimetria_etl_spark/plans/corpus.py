@@ -1442,7 +1442,6 @@ CORPUS: dict[str, Q] = {
     "q13_window_rank": Q(q13_window_rank, Q13_SQL),
     "q36_gapfill": Q(q36_gapfill, Q36_SQL),
     "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
-    "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
     "q20_array_agg": Q(q20_array_agg, Q20_SQL),
     "q26_session_window": Q(q26_session_window, Q26_SQL),
     "q27_asof_join": Q(q27_asof_join, Q27_SQL),
@@ -1490,6 +1489,13 @@ CORPUS_DEREGISTERED: dict[str, Q] = {
     # Both keep the identical DuckDB comparison + the bench series.
     "q15_topk": Q(q15_topk, Q15_SQL),
     "q24_top_terms": Q(q24_top_terms, Q24_TOP_TERMS_SQL),
+    # Mid-round-8 rotation (to admit x36_semdedup + x37_hybrid_search —
+    # the new embedding-curation and retrieval flagships): q19's tz
+    # conversion is a one-function form whose F1/F2 semantics stay
+    # registered via q08_agg_hour (hour-of-day in SP) and value-pinned
+    # by the pre-2019-DST pytest; the identical DuckDB comparison
+    # continues here.
+    "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
 }
 
 

@@ -1625,8 +1625,14 @@ ORDER BY r.vec_id
 EXTENSIONS: dict[str, Q] = {
     "x01_dedup_docs": Q(x01_dedup_docs, X01_SQL),
     "x05_minhash_near_dups": Q(x05_minhash_near_dups, X05_SQL),
-    "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),
     "x08_simhash_near_dups": Q(x08_simhash_near_dups, _x08_sql(48, 12, 3)),
+    # Mid-round-8 rotation: x36/x37 (SemDeDup, hybrid retrieval) admitted;
+    # x06's n-gram Jaccard exact join rotates to the pytest-oracle file —
+    # its shingle/candidate machinery stays registered via x05 (same
+    # join shape, minhash-banded) and the x06 DuckDB comparison continues
+    # in tests/test_deregistered_queries.py.
+    "x36_semdedup": Q(x36_semdedup, X36_SQL),
+    "x37_hybrid_search": Q(x37_hybrid_search, X37_SQL),
     "x09_text_profile": Q(x09_text_profile, X09_PROFILE_SQL),
     "x13_cosine_join": Q(x13_cosine_join, _x13_join_sql()),
     # Round-6: the AUTO-SCALED similarity join (default n_planes=None
@@ -1689,10 +1695,7 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # Never registered (window full): BM25 keyword top-k — the lexical
     # retrieval axis (operators/search.py).
     "x35_bm25_search": Q(x35_bm25_search, X35_SQL),
-    # Never registered (window full): SemDeDup — embedding-cluster
-    # semantic dedup (operators/semdedup.py).
-    "x36_semdedup": Q(x36_semdedup, X36_SQL),
-    # Never registered (window full): hybrid BM25+dense retrieval with
-    # reciprocal-rank fusion (operators/search.py rrf_fuse).
-    "x37_hybrid_search": Q(x37_hybrid_search, X37_SQL),
+    # Mid-round-8 rotation out (to admit x36/x37): the n-gram Jaccard
+    # exact join — x05 keeps the shingle/candidate join shape registered.
+    "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),
 }

@@ -153,6 +153,11 @@ PAIRS = [
     # never registered (window full, r8): hybrid BM25+dense retrieval —
     # both ranked lists and the 1/(60+rank) RRF sum recomputed in SQL:
     (E.x37_hybrid_search, E.X37_SQL),
+    # rotated OUT mid-round-8 (to admit x36/x37 into the driver window):
+    # x06's join shape stays registered via x05; q19's tz semantics via
+    # q08 — both keep the identical DuckDB comparison here:
+    (E.x06_ngram_jaccard, E.X06_SQL),
+    (C.q19_hour_sp, C.Q19_HOUR_SP_SQL),
 ]
 
 
