@@ -50,6 +50,10 @@ def curate_corpus(
     span_len: int = 40,
     span_k: int = 8,
     intermediate_dir: str | None = None,
+    semdedup_eps: float | None = None,
+    semdedup_centroids: list[tuple[int, list[float]]] | None = None,
+    semdedup_n_clusters: int = 16,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Curated corpus: documents that pass the language and quality gates,
     with exact duplicates collapsed (lowest id wins) and MinHash near-dups
@@ -80,6 +84,12 @@ def curate_corpus(
       boilerplate-heavy near-dup FALSE positives disappear with the
       boilerplate.  Runs after PII scrub (redacted forms feed the span
       counts).
+    - ``semdedup_eps=<eps>`` (requires a ``vec_col`` embedding column)
+      removes SEMANTIC near-dups LAST — after exact and minhash text
+      dedup — via SemDeDup (operators/semdedup.py): k-means cells
+      (``semdedup_centroids`` or ``semdedup_n_clusters`` seed cells)
+      and a per-cluster prior-similarity scan.  Same stage order as the
+      streaming composite (exact → minhash → semantic).
     - ``strip_lines_min_df=<n>`` likewise strips duplicated LINES
       (``duplicate_lines`` / ``strip_duplicate_lines`` — the
       CCNet/RefinedWeb paragraph axis: variable-length natural units
@@ -210,8 +220,31 @@ def curate_corpus(
         k=minhash_k,
         bands=minhash_bands,
     )
+    def _sem(stage_out: DataFrame) -> DataFrame:
+        # semantic (embedding) dedup LAST: text-identical and
+        # text-near-dup rows are already gone, so the per-cluster scan
+        # sees only the semantically distinct candidates.  Mirrors the
+        # streaming composite's stage order (exact → minhash → semantic).
+        if semdedup_eps is None:
+            return stage_out
+        if vec_col not in stage_out.columns:
+            raise ValueError(
+                f"semdedup_eps requires a {vec_col!r} embedding column "
+                "on the corpus"
+            )
+        from jurimetria_etl_spark.operators.semdedup import semdedup
+
+        return semdedup(
+            stage_out,
+            eps=semdedup_eps,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=semdedup_centroids,
+            n_clusters=semdedup_n_clusters,
+        )
+
     if transitive:
-        kept = D.dedup_keep_one_per_cluster(exact, near_pairs, id_col)
+        kept = _sem(D.dedup_keep_one_per_cluster(exact, near_pairs, id_col))
         if intermediate_dir is None:
             # The clustering's eager actions (pair count + union-find
             # collect / label-prop rounds) have consumed the cache by the
@@ -227,7 +260,7 @@ def curate_corpus(
     # No broadcast hint: on a heavily duplicated corpus the loser-id set is
     # corpus-sized — let AQE decide from the runtime size (the same policy
     # assign_near_dup_clusters documents in operators/dedup.py).
-    return exact.join(losers, id_col, "left_anti")
+    return _sem(exact.join(losers, id_col, "left_anti"))
 
 
 def curation_report(

@@ -299,3 +299,40 @@ def test_curate_corpus_line_strip_stage(spark):
     assert all(nav not in t and shared_para not in t for t in rows.values())
     # ...unique body lines intact
     assert rows[0] == body_a and rows[1] == body_b and rows[2] == body_c
+
+
+def test_curate_corpus_semantic_stage(spark):
+    """semdedup_eps adds the embedding axis LAST: two text-DISTINCT docs
+    with near-identical embeddings collapse to the lower-ranked one;
+    docs without the stage survive; missing vec_col fails loudly."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=8)
+    rows = [
+        (1, "a perfectly unique english sentence about mountains and rivers today", base),
+        (2, "entirely different words regarding oceans and deserts tomorrow evening", base + 1e-4),
+        (3, "novel content on forests plains and weather patterns this afternoon", rng.normal(size=8)),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", [float(x) for x in v]) for i, t, v in rows],
+        "doc_id long, text string, lang string, embedding array<float>",
+    )
+    plain = curate_corpus(docs, min_quality=0.0)
+    assert {r.doc_id for r in plain.collect()} == {1, 2, 3}
+    sem = curate_corpus(docs, min_quality=0.0, semdedup_eps=0.99,
+                        semdedup_n_clusters=1)
+    ids = {r.doc_id for r in sem.collect()}
+    assert 3 in ids
+    assert len(ids & {1, 2}) == 1  # the embedding-near pair collapsed
+    # greedy (non-transitive) path gets the stage too
+    sem2 = curate_corpus(docs, min_quality=0.0, transitive=False,
+                         semdedup_eps=0.99, semdedup_n_clusters=1)
+    ids2 = {r.doc_id for r in sem2.collect()}
+    assert 3 in ids2 and len(ids2 & {1, 2}) == 1
+    # loud failure without the embedding column
+    with pytest.raises(Exception, match="embedding"):
+        curate_corpus(
+            docs.drop("embedding"), min_quality=0.0, semdedup_eps=0.99
+        ).collect()

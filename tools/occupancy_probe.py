@@ -222,6 +222,51 @@ def probe_knn(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_semdedup(spark, sf_dir: str) -> dict:
+    """SemDeDup's scale knob is CLUSTER SIZE: the per-cell scan is
+    O(c²·d) flops, so what matters at 10× data is whether the scaled
+    configuration (n_clusters ∝ corpus, tools/scale_bench.py
+    semdedup_scaled) actually holds c — and the scan work Σc² — flat
+    per row.  Measure the cell-size distribution and Σc² for both the
+    fixed-10-label clustering (the honest quadratic, x36) and the
+    scaled k-means cells."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.semdedup import _assign_cells
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    def dist(frame, col):
+        occ = frame.groupBy(col).agg(F.count("*").alias("c"))
+        s = occ.agg(
+            F.count("*").alias("n_cells"),
+            F.expr("percentile(c, 0.5)").alias("p50"),
+            F.max("c").alias("max"),
+            F.sum(F.expr("c * c")).alias("sum_c_sq"),
+        ).first()
+        return {
+            "n_cells": s["n_cells"],
+            "p50": float(s["p50"]),
+            "max": int(s["max"]),
+            "sum_c_sq": int(s["sum_c_sq"]),
+            "scan_work_per_row": round(s["sum_c_sq"] / n, 1),
+        }
+
+    n_clusters = max(16, n // 125)
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_clusters).collect()
+    )
+    cents = [(i, list(r["embedding"])) for i, r in enumerate(seeds)]
+    scaled = _assign_cells(emb, cents, "embedding")
+    return {
+        "n_rows": n,
+        "fixed_label": dist(emb, "label"),
+        "scaled_cells": {"n_clusters": n_clusters, **dist(scaled, "sem_cluster")},
+    }
+
+
 def _growth(out: dict, section: str, key: str, label: str) -> None:
     a, b = out[section]["sf0.1"], out[section]["sf1"]
     if a.get(key):
@@ -233,7 +278,12 @@ def main() -> None:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = get_spark("occupancy-probe")
-    out: dict = {"x28_spans": {}, "knn": {}, "x29_survivors": {}}
+    out: dict = {
+        "x28_spans": {},
+        "knn": {},
+        "x29_survivors": {},
+        "semdedup": {},
+    }
     for label in ("sf0.1", "sf1"):
         d = os.path.join(root, "_scale", label)
         if not os.path.isdir(d):
@@ -247,6 +297,10 @@ def main() -> None:
         out["x29_survivors"][label] = probe_x29(spark, d)
         print(
             label, "x29", json.dumps(out["x29_survivors"][label]), flush=True
+        )
+        out["semdedup"][label] = probe_semdedup(spark, d)
+        print(
+            label, "semdedup", json.dumps(out["semdedup"][label]), flush=True
         )
     a, b = out["sf0.1"], out["sf1"]
     out["pairs_growth_for_10x_rows"] = round(
@@ -263,6 +317,17 @@ def main() -> None:
         _growth(out, "x28_spans", key, label)
     _growth(out, "knn", "distinct_cand_pairs", "cand_growth_10x")
     _growth(out, "knn", "cand_per_left_mean", "cand_per_left_growth_10x")
+    sa, sb = out["semdedup"]["sf0.1"], out["semdedup"]["sf1"]
+    out["semdedup"]["fixed_scan_work_growth_10x"] = round(
+        sb["fixed_label"]["scan_work_per_row"]
+        / sa["fixed_label"]["scan_work_per_row"],
+        2,
+    )
+    out["semdedup"]["scaled_scan_work_growth_10x"] = round(
+        sb["scaled_cells"]["scan_work_per_row"]
+        / sa["scaled_cells"]["scan_work_per_row"],
+        2,
+    )
     path = os.path.join(root, "_scale", "occupancy.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

@@ -79,12 +79,20 @@ def main() -> None:
         if not os.path.isdir(d):
             raise SystemExit(f"missing {d}; run tools/gen_testdata.py first")
 
-    from jurimetria_etl_spark.plans.corpus import full_registry
-    from jurimetria_etl_spark.plans.extensions import BENCH_ONLY
+    from jurimetria_etl_spark.plans.corpus import CORPUS_DEREGISTERED, full_registry
+    from jurimetria_etl_spark.plans.extensions import BENCH_ONLY, EXT_DEREGISTERED
     from jurimetria_etl_spark.plans.tpch import TPCH_EXTRA
     from jurimetria_etl_spark.session import get_spark
 
-    registry = {**full_registry(), **BENCH_ONLY, **TPCH_EXTRA}
+    # deregistered forms included: rotation in/out of the driver window
+    # must never change what this tool can measure
+    registry = {
+        **CORPUS_DEREGISTERED,
+        **EXT_DEREGISTERED,
+        **full_registry(),
+        **BENCH_ONLY,
+        **TPCH_EXTRA,
+    }
     spark = get_spark("scale-bench")
 
     # x13 contrast pair: the registry x13 form pins FIXED n_planes=4 (16
