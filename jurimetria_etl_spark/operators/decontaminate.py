@@ -50,6 +50,7 @@ def flag_contamination(
     n: int = 5,
     min_overlap: int = 1,
     min_overlap_ratio: float = 0.0,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """Per-document contamination metrics against the benchmark:
 
@@ -61,8 +62,26 @@ def flag_contamination(
 
     Left join from docs so every document gets a row (overlap 0 when
     nothing matches).
+
+    ``broadcast_max_rows``: ``None`` (default) broadcasts the benchmark
+    shingle set unconditionally — correct for the EXTERNAL-benchmark
+    use (eval suites are thousands of documents, the set is MBs).  When
+    the "benchmark" side scales with the corpus (train/eval SPLITS of
+    the corpus itself — ``sampling.split_leakage_guarded``), pass a row
+    threshold: the set is persisted and counted, the broadcast hint
+    applies only at-or-under the threshold, and above it AQE plans a
+    shuffle join instead of forcing an executor-OOM broadcast (same
+    size-gate posture as ``spans._survivor_semi_filter``).
     """
-    bench_set = F.broadcast(benchmark_shingle_set(bench, text_col, n))
+    bench_set = benchmark_shingle_set(bench, text_col, n)
+    if broadcast_max_rows is None:
+        bench_set = F.broadcast(bench_set)
+    else:
+        from pyspark import StorageLevel
+
+        bench_set = bench_set.persist(StorageLevel.MEMORY_AND_DISK)
+        if bench_set.count() <= broadcast_max_rows:
+            bench_set = F.broadcast(bench_set)
     doc_sh = docs.select(
         F.col(id_col),
         F.explode(_shingle_hashes(text_col, n)).alias("__sh"),

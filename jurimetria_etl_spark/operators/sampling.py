@@ -234,3 +234,137 @@ def pack_into_shards(
         )
         .drop("__pid", "__off")
     )
+
+
+# ─────────────────────────── train / eval split ────────────────────────────
+def split_corpus(
+    df: DataFrame,
+    eval_fraction: float,
+    key_col: str,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row ``'eval'`` or ``'train'`` by deterministic hash of
+    ``key_col`` — the held-out fraction is stable across re-runs, engines
+    (DuckDB oracle recomputes the same md5 buckets), and corpus growth
+    (a document's assignment never flips when OTHER documents arrive,
+    unlike any count- or position-based split).  One narrow expression:
+    no shuffle, no join, fused into the scan."""
+    return df.withColumn(
+        split_col,
+        F.when(
+            sample_bucket(key_col, salt) < int(eval_fraction * _BUCKETS),
+            F.lit("eval"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def split_leakage_guarded(
+    docs: DataFrame,
+    eval_fraction: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+    n: int = 5,
+    min_overlap: int = 1,
+    min_overlap_ratio: float = 0.0,
+    split_col: str = "split",
+    broadcast_max_rows: int = 5_000_000,
+) -> DataFrame:
+    """Train/eval split with an n-gram leakage guard: train documents
+    sharing ≥ ``min_overlap`` word-``n``-gram shingles (and ≥
+    ``min_overlap_ratio`` of their own shingles) with ANY eval document
+    are labeled ``'quarantine'`` — excluded from train rather than
+    promoted to eval, which would bias the held-out set toward
+    duplicated content.  Output: all ``docs`` columns + ``split_col`` ∈
+    {train, eval, quarantine}.
+
+    Scale: the split label is a narrow expression; the guard reuses
+    ``decontaminate.flag_contamination`` with a SIZE-GATED eval shingle
+    set — unlike an external benchmark, the eval side here is a fixed
+    FRACTION of the corpus, so its shingle set grows with the data and
+    must not be unconditionally broadcast (at 100 TB an 0.1% split is
+    still ~100 GB of text).  Under ``broadcast_max_rows`` distinct
+    shingle hashes the probe is a map-side broadcast join; above it AQE
+    plans a shuffle join on the 8-byte hash keys.
+    """
+    from jurimetria_etl_spark.operators import decontaminate as DC
+
+    labeled = split_corpus(docs, eval_fraction, id_col, salt, split_col)
+    train = labeled.where(F.col(split_col) == "train")
+    ev = labeled.where(F.col(split_col) == "eval")
+    leaked = (
+        DC.flag_contamination(
+            train,
+            ev,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            min_overlap=min_overlap,
+            min_overlap_ratio=min_overlap_ratio,
+            broadcast_max_rows=broadcast_max_rows,
+        )
+        .where("contaminated")
+        .select(F.col(id_col).alias("__leaked_id"))
+    )
+    return (
+        labeled.join(
+            leaked, F.col(id_col) == F.col("__leaked_id"), "left"
+        )
+        .withColumn(
+            split_col,
+            F.when(
+                F.col("__leaked_id").isNotNull()
+                & (F.col(split_col) == "train"),
+                F.lit("quarantine"),
+            ).otherwise(F.col(split_col)),
+        )
+        .drop("__leaked_id")
+    )
+
+
+# ──────────────────────── per-domain selection ─────────────────────────────
+def top_k_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    order_col: str,
+    k: int | None = None,
+    fraction: float | None = None,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the best ``k`` rows (or the best ``fraction``) PER DOMAIN by
+    ``order_col`` — domain-balanced quality selection (a web corpus
+    ranked purely by global quality score over-samples a few hub
+    domains; per-domain top-k caps any one domain's contribution).
+    Ties break by ``id_col`` ascending so the selection is deterministic
+    and engine-reproducible.  Exactly one of ``k`` / ``fraction``.
+
+    Scale: the rank window shuffles only a NARROW projection
+    (domain, order, id — tens of bytes/row, not documents); survivors
+    semi-join back on ``id_col`` where AQE sizes the join from runtime
+    stats.  Domain skew on the window shuffle is the AQE skew-join /
+    salting territory, but the window input is already ~1000× smaller
+    than the corpus bytes.  ``fraction`` adds one tiny per-domain count
+    aggregate joined broadcast onto the ranked rows.
+    """
+    if (k is None) == (fraction is None):
+        raise ValueError("exactly one of k / fraction is required")
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    narrow = df.select(domain_col, order_col, id_col)
+    w = Window.partitionBy(domain_col).orderBy(oc, F.col(id_col))
+    ranked = narrow.withColumn("__rk", F.row_number().over(w))
+    if k is not None:
+        keep = ranked.where(F.col("__rk") <= k)
+    else:
+        counts = narrow.groupBy(domain_col).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        keep = (
+            ranked.join(F.broadcast(counts), domain_col)
+            .where(
+                F.col("__rk")
+                <= F.ceil(F.col("__n") * F.lit(fraction)).cast("int")
+            )
+        )
+    return df.join(keep.select(id_col), id_col, "left_semi")

@@ -1617,6 +1617,106 @@ ORDER BY r.vec_id
 """
 
 
+# Round-8: leakage-guarded train/eval split (operators/sampling.py:
+# split_leakage_guarded) — hash-stable split + n-gram quarantine of train
+# docs that overlap the held-out side.  Same shingle family/thresholds as
+# x25 so the two oracles cross-check the machinery.
+_X38_EVAL_FRAC = 0.1
+_X38_THR = int(_X38_EVAL_FRAC * 1_000_000)
+
+
+def x38_split_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval/quarantine labels over documents: 10% held out by md5
+    bucket of doc_id, train docs sharing ≥3 distinct 5-gram shingles
+    (≥20% of their own) with ANY eval doc quarantined."""
+    from jurimetria_etl_spark.operators import sampling as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    return SM.split_leakage_guarded(
+        docs,
+        _X38_EVAL_FRAC,
+        n=5,
+        min_overlap=3,
+        min_overlap_ratio=0.2,
+    ).select("doc_id", "split")
+
+
+X38_SQL = f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN {h60("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                   < {_X38_THR}
+              THEN 'eval' ELSE 'train' END AS split
+  FROM documents),
+sh AS (
+  SELECT doc_id, split,
+         list_transform({shingles_sql(5)}, s -> {h60("s")}) AS shs
+  FROM lab),
+ev AS (SELECT DISTINCT unnest(shs) AS bsh FROM sh WHERE split = 'eval'),
+tr AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE split = 'train'),
+ov AS (
+  SELECT doc_id, count(*) AS c
+  FROM tr JOIN ev ON s = bsh
+  GROUP BY doc_id),
+leaked AS (
+  SELECT s.doc_id
+  FROM sh s JOIN ov o USING (doc_id)
+  WHERE s.split = 'train' AND o.c >= 3
+    AND round(o.c * 1.0 / nullif(len(s.shs), 0), 6) >= 0.2)
+SELECT l.doc_id,
+       CASE WHEN k.doc_id IS NOT NULL THEN 'quarantine' ELSE l.split END
+         AS split
+FROM lab l LEFT JOIN leaked k ON l.doc_id = k.doc_id
+"""
+
+
+def x39_top_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced selection (operators/sampling.py:top_k_per_domain):
+    the 10 longest documents per source, ties by doc_id — the narrow-rank
+    + semi-join-back plan."""
+    from jurimetria_etl_spark.operators import sampling as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    return SM.top_k_per_domain(
+        docs, "source", "n_chars", k=10, id_col="doc_id"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+X39_SQL = """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN ranked r USING (doc_id)
+WHERE r.rk <= 10
+"""
+
+
+def x39b_top_frac_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fraction form of x39: best 20% of each source by length."""
+    from jurimetria_etl_spark.operators import sampling as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    return SM.top_k_per_domain(
+        docs, "source", "n_chars", fraction=0.2, id_col="doc_id"
+    ).select("doc_id", "source", "n_chars")
+
+
+X39B_SQL = """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN ranked r USING (doc_id)
+WHERE r.rk <= CAST(ceil(r.n * 0.2) AS INT)
+"""
+
+
 # 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
@@ -1698,4 +1798,10 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # Mid-round-8 rotation out (to admit x36/x37): the n-gram Jaccard
     # exact join — x05 keeps the shingle/candidate join shape registered.
     "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),
+    # Never registered (window full): the round-8 dataset-assembly pair —
+    # leakage-guarded train/eval split and domain-balanced top-k/fraction
+    # selection (operators/sampling.py).
+    "x38_split_guarded": Q(x38_split_guarded, X38_SQL),
+    "x39_top_per_domain": Q(x39_top_per_domain, X39_SQL),
+    "x39b_top_frac_per_domain": Q(x39b_top_frac_per_domain, X39B_SQL),
 }

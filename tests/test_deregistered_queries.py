@@ -158,6 +158,12 @@ PAIRS = [
     # q08 — both keep the identical DuckDB comparison here:
     (E.x06_ngram_jaccard, E.X06_SQL),
     (C.q19_hour_sp, C.Q19_HOUR_SP_SQL),
+    # never registered (window full, r8): dataset assembly — the
+    # leakage-guarded train/eval split (hash-stable buckets + n-gram
+    # quarantine) and domain-balanced top-k / top-fraction selection:
+    (E.x38_split_guarded, E.X38_SQL),
+    (E.x39_top_per_domain, E.X39_SQL),
+    (E.x39b_top_frac_per_domain, E.X39B_SQL),
 ]
 
 

@@ -67,3 +67,151 @@ def test_pack_into_shards_sequential_fill_semantics(spark):
     }
     # starts: 0, 400, 800, 1200, 2400 → shards 0,0,0,1,2
     assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+
+# ───────────────── round-8: split / leakage guard / per-domain ──────────────
+def test_split_corpus_labels_stable_and_growth_invariant(spark):
+    from jurimetria_etl_spark.operators.sampling import split_corpus
+
+    docs = load_fixture(spark, SF, "documents")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs, 0.2, "doc_id").select("doc_id", "split").collect()
+    }
+    n_eval = sum(1 for v in full.values() if v == "eval")
+    assert 0.1 * len(full) < n_eval < 0.3 * len(full)
+
+    # a document's label never flips when OTHER documents arrive: labeling
+    # any subset reproduces the full-corpus labels row-for-row
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs.where("doc_id % 3 = 0"), 0.2, "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+
+
+def test_split_leakage_guard_quarantines_overlapping_train_docs(spark):
+    from jurimetria_etl_spark.operators.sampling import (
+        split_corpus,
+        split_leakage_guarded,
+    )
+
+    # discover the hash-stable labels first, then plant texts against them
+    ids = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    labels = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(ids, 0.25, "doc_id").collect()
+    }
+    evals = sorted(k for k, v in labels.items() if v == "eval")
+    trains = sorted(k for k, v in labels.items() if v == "train")
+    assert evals and len(trains) >= 2
+    leaker = trains[0]  # copies an eval doc verbatim → must be quarantined
+
+    rows = [
+        (
+            i,
+            (
+                f"w{evals[0]}a w{evals[0]}b w{evals[0]}c w{evals[0]}d "
+                f"w{evals[0]}e w{evals[0]}f"
+                if i == leaker
+                else f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f"
+            ),
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_leakage_guarded(
+            docs, 0.25, n=3, min_overlap=2, min_overlap_ratio=0.5
+        ).select("doc_id", "split").collect()
+    }
+    assert got[leaker] == "quarantine"
+    # eval docs keep their label; non-overlapping train docs stay train
+    assert all(got[i] == "eval" for i in evals)
+    assert all(got[i] == "train" for i in trains[1:])
+
+
+def test_contamination_size_gate_falls_back_to_shuffle(spark):
+    """The guard's eval shingle set scales with the corpus (it is a split,
+    not an external benchmark) — above ``broadcast_max_rows`` the explicit
+    hint must drop so AQE plans a shuffle join; output identical."""
+    from jurimetria_etl_spark.operators.decontaminate import flag_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        hinted = flag_contamination(docs, bench, n=3)
+        gated = flag_contamination(docs, bench, n=3, broadcast_max_rows=0)
+        hp = hinted._jdf.queryExecution().executedPlan().toString()
+        gp = gated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in hp  # default: external-benchmark hint
+        assert "BroadcastExchange" not in gp  # above the gate: AQE decides
+        assert sorted(map(tuple, hinted.collect())) == sorted(
+            map(tuple, gated.collect())
+        )
+        # under the gate the hint comes back
+        under = flag_contamination(docs, bench, n=3, broadcast_max_rows=100)
+        up = under._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in up
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_top_k_per_domain_k_fraction_and_tie_semantics(spark):
+    import pytest
+
+    from jurimetria_etl_spark.operators.sampling import top_k_per_domain
+
+    rows = [
+        # domain a: scores 9,7,7,1 — k=2 keeps 9 and the LOWER-id 7
+        (1, "a", 9.0), (2, "a", 7.0), (3, "a", 7.0), (4, "a", 1.0),
+        # domain b: 5 rows, fraction .2 → ceil(1) row
+        (5, "b", 5.0), (6, "b", 4.0), (7, "b", 3.0), (8, "b", 2.0), (9, "b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, score double")
+    by_k = {
+        r["doc_id"]
+        for r in top_k_per_domain(df, "domain", "score", k=2).collect()
+    }
+    assert by_k == {1, 2, 5, 6}  # tie at 7.0 breaks to doc_id 2
+
+    by_frac = {
+        (r["domain"], r["doc_id"])
+        for r in top_k_per_domain(df, "domain", "score", fraction=0.2).collect()
+    }
+    assert by_frac == {("a", 1), ("b", 5)}  # ceil(4·.2)=1, ceil(5·.2)=1
+
+    asc = {
+        r["doc_id"]
+        for r in top_k_per_domain(
+            df, "domain", "score", k=1, descending=False
+        ).collect()
+    }
+    assert asc == {4, 9}
+
+    with pytest.raises(ValueError):
+        top_k_per_domain(df, "domain", "score")
+    with pytest.raises(ValueError):
+        top_k_per_domain(df, "domain", "score", k=1, fraction=0.5)
