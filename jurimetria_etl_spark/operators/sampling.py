@@ -345,8 +345,10 @@ def top_k_per_domain(
     semi-join back on ``id_col`` where AQE sizes the join from runtime
     stats.  Domain skew on the window shuffle is the AQE skew-join /
     salting territory, but the window input is already ~1000× smaller
-    than the corpus bytes.  ``fraction`` adds one tiny per-domain count
-    aggregate joined broadcast onto the ranked rows.
+    than the corpus bytes.  ``fraction`` adds a per-domain COUNT window
+    over the SAME partitioning — one exchange serves both window
+    functions; the domain count frame is unbounded in |domains|, so it
+    must not ride a join hint (the survivor-set broadcast rule).
     """
     if (k is None) == (fraction is None):
         raise ValueError("exactly one of k / fraction is required")
@@ -357,14 +359,10 @@ def top_k_per_domain(
     if k is not None:
         keep = ranked.where(F.col("__rk") <= k)
     else:
-        counts = narrow.groupBy(domain_col).agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        keep = (
-            ranked.join(F.broadcast(counts), domain_col)
-            .where(
-                F.col("__rk")
-                <= F.ceil(F.col("__n") * F.lit(fraction)).cast("int")
-            )
+        wn = Window.partitionBy(domain_col)
+        keep = ranked.withColumn(
+            "__n", F.count(F.lit(1)).over(wn)
+        ).where(
+            F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)).cast("int")
         )
     return df.join(keep.select(id_col), id_col, "left_semi")

@@ -126,8 +126,20 @@ def bm25_search(
             "term"
         ),
     )
-    # df per term: size of its posting list (count of docs, tf ≥ 1 each)
-    dfs = index.postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df per term: size of its posting list (count of docs, tf ≥ 1 each) —
+    # computed for the QUERY's terms only.  The full-vocabulary df table
+    # is corpus-sized (billions of terms at 100 TB), so it must never be
+    # aggregated, let alone broadcast, per search call: semi-join the
+    # postings to the tiny query term set first, then aggregate (map-side
+    # combinable, skew-safe) — the broadcast below ships ≤ |query terms|
+    # rows.  With term-bucket-partitioned postings both this scan and the
+    # candidate scan prune to the query's buckets.
+    q_term_set = qterms.select("term").distinct()
+    dfs = (
+        index.postings.join(F.broadcast(q_term_set), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     matched = (
         F.broadcast(qterms)
         .join(index.postings, "term")
@@ -201,6 +213,8 @@ def rrf_fuse(
     work.  Determinization: 1/(k+rank) from integer ranks is exact
     double arithmetic, the rounded sum is engine-reproducible, and the
     fused rank tie-breaks by doc_id."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse: at least one ranked list is required")
     contribs = [
         df.select(
             F.col(query_col).alias("query_id"),

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from jurimetria_etl_spark.operators.dedup import widen_partitions
 from jurimetria_etl_spark.operators.similarity import (
     _nearest_cells,
-    cosine_sim,
+    cosine_sim_safe,
     train_ivf_centroids,
 )
 
@@ -209,26 +209,13 @@ def semdedup_flags(
                 .collect()
             )
             centroids = [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
-        if assign not in ("auto", "fold", "arrow"):
-            raise ValueError(f"assign={assign!r}: auto | fold | arrow")
-        use_arrow = assign == "arrow" or (
-            assign == "auto" and len(centroids) >= 64
-        )
-        if use_arrow:
-            scored = _assign_arrow(vec_col, centroids)
-        else:
-            scored = _nearest_cells(F.col(vec_col), centroids, 1)[0]
-        ranked_in = embeddings.withColumn("__sc", scored).select(
-            "*",
-            F.col("__sc")["cid"].alias("sem_cluster"),
-            F.col("__sc")["s"].alias("__csim"),
-        ).drop("__sc")
+        ranked_in = _assign_cells(embeddings, centroids, vec_col, assign)
     else:
         cents = cluster_means(embeddings, cluster_col, vec_col)
         ranked_in = (
             embeddings.join(F.broadcast(cents), cluster_col)
             .withColumn(
-                "__csim", cosine_sim(F.col(vec_col), F.col("centroid"))
+                "__csim", cosine_sim_safe(F.col(vec_col), F.col("centroid"))
             )
             .withColumnRenamed(cluster_col, "sem_cluster")
             .drop("centroid")

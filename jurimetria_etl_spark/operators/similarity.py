@@ -46,6 +46,18 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_sim_safe(a: Column, b: Column) -> Column:
+    """``cosine_sim`` with the norm clamped at 1e-300 — a zero-norm
+    vector scores 0.0 against everything instead of NULL, matching the
+    numpy kernels (``_assign_arrow`` / the semdedup scan), so the fold
+    and arrow assignment modes stay output-identical on degenerate
+    rows."""
+    return _dot(a, b) / (
+        F.greatest(_norm(a), F.lit(1e-300))
+        * F.greatest(_norm(b), F.lit(1e-300))
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     probe_id: int,
@@ -170,13 +182,30 @@ def cosine_topk_batch(
     )
     if round_to is not None:
         sim = F.round(sim, round_to)
+    # Two-level top-k: a window partitioned only by query would sort the
+    # ENTIRE scored corpus in |probes| single tasks (the global-window
+    # trap, sampling.py:14).  Level 1 keeps k per (query, scan
+    # partition) — the exchange spreads over |probes|·|partitions|
+    # buckets and ships a narrow 4-column row; level 2 ranks the
+    # ≤ |partitions|·k survivors per query.  Exact: every global top-k
+    # row is its scan partition's top-≤k row.
+    lw = Window.partitionBy("__qid", "__pid").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
     w = Window.partitionBy("__qid").orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
     )
     return (
         widen_partitions(embeddings)
         .crossJoin(p)
-        .select(F.col("__qid"), F.col(id_col), sim.alias("cos_sim"))
+        .select(
+            F.col("__qid"),
+            F.col(id_col),
+            sim.alias("cos_sim"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .withColumn("__lrk", F.row_number().over(lw))
+        .where(F.col("__lrk") <= k)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -757,7 +786,10 @@ def _nearest_cells(
     scored = F.transform(
         mat,
         lambda c, i: F.struct(
-            F.round(cosine_sim(vec_col, c), 9).alias("s"),
+            # clamped: a zero-norm vector must score 0.0 (not NULL) so
+            # this fold and _assign_arrow's numpy matmul pick the SAME
+            # cell — the semdedup store/probe mode-equivalence contract
+            F.round(cosine_sim_safe(vec_col, c), 9).alias("s"),
             F.element_at(cids, i + 1).alias("cid"),
         ),
     )

@@ -230,8 +230,12 @@ def curate_document_stream(
                 dedup_incremental_bloom,
             )
 
+            # id_col lets mode="auto" switch to the join probe when the
+            # provisioned filter outgrows the dense bitset ceiling (large
+            # bloom_capacity) instead of raising in bloom_might_contain.
             fresh = dedup_incremental_bloom(
-                batch_df, fp_store, bloom=bloom, text_col=text_col
+                batch_df, fp_store, bloom=bloom, text_col=text_col,
+                id_col=id_col,
             )
         else:
             fresh = dedup_incremental(batch_df, fp_store, text_col)
@@ -253,10 +257,16 @@ def curate_document_stream(
                     f"semdedup_store_dir requires a {vec_col!r} column "
                     "on the document stream"
                 )
+            # Derive id/vector types from the live batch — the store was
+            # written from these columns, so a string id or array<double>
+            # embedding must round-trip, not coerce through a hardcoded
+            # long/float (same rule as spans.py's out_schema).
+            id_t = batch_df.schema[id_col].dataType.simpleString()
+            vec_t = batch_df.schema[vec_col].dataType.simpleString()
             sem_store = _read_or_empty(
                 spark,
                 semdedup_store_dir,
-                f"sem_cluster int, {id_col} long, {vec_col} array<float>",
+                f"sem_cluster int, {id_col} {id_t}, {vec_col} {vec_t}",
             )
             survivors = semdedup_incremental(
                 survivors,

@@ -131,10 +131,14 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # join.  Zero python nodes: build and probe are native expressions.
     "x34_bloom_incremental_dedup": (2, 0, 13, 3),
     # x35 (r8): BM25 keyword top-k — postings/doc-length/df aggs, the
-    # tiny query-term and df frames broadcast (3 BHJs), the one-row
+    # tiny query-term and df frames broadcast (3+ BHJs), the one-row
     # (n_docs, avgdl) stats frame is the pinned BNLJ attach, per-query
-    # row_number window.  Zero python nodes.
-    "x35_bm25_search": (1, 0, 12, 3),
+    # row_number window.  Zero python nodes.  +2 exchanges vs the first
+    # r8 pin: the df aggregate now semi-joins postings to the query term
+    # set BEFORE aggregating (a full-vocabulary df table is corpus-sized
+    # and must never be built or broadcast per search) — the pruning
+    # join's exchange pair is the price of a match-sized broadcast.
+    "x35_bm25_search": (1, 0, 14, 3),
     # x36 (r8): SemDeDup on the given label clustering — widen
     # repartition, the two centroid-mean aggs ((label,pos) then label),
     # the broadcast centroid attach, the rank-window exchange, the
@@ -147,8 +151,13 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # broadcast probe cross-join (exact batch scoring IS |probes| x
     # |corpus| by definition; the ANN paths are the sublinear variants).
     # Query-term / df / probe frames broadcast (4 BHJs); the RRF fusion
-    # works on match-sized frames only.  Zero python nodes.
-    "x37_hybrid_search": (2, 0, 16, 4),
+    # works on match-sized frames only.  Zero python nodes.  +3
+    # exchanges vs the first r8 pin: the BM25 df prune (+2, see x35) and
+    # the dense side's two-level top-k (+1) — the per-query window alone
+    # would sort the whole scored corpus in |probes| single tasks, so a
+    # (query, scan-partition) pre-rank spreads the sort and the final
+    # window ranks only |partitions|·k survivors.
+    "x37_hybrid_search": (2, 0, 19, 4),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

@@ -215,3 +215,30 @@ def test_top_k_per_domain_k_fraction_and_tie_semantics(spark):
         top_k_per_domain(df, "domain", "score")
     with pytest.raises(ValueError):
         top_k_per_domain(df, "domain", "score", k=1, fraction=0.5)
+
+
+def test_top_fraction_per_domain_has_no_forced_broadcast(spark):
+    """r8 review: the per-domain count is unbounded in |domains| — it
+    must ride the rank window's own partitioning (one exchange, two
+    window functions), never a forced broadcast join."""
+    from jurimetria_etl_spark.operators.sampling import top_k_per_domain
+
+    docs = load_fixture(spark, SF, "documents")
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        out = top_k_per_domain(docs, "source", "n_chars", fraction=0.2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert out.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -290,3 +290,12 @@ def test_hybrid_plan_native(spark, frames):
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_rrf_fuse_empty_list_raises(spark):
+    import pytest
+
+    from jurimetria_etl_spark.operators.search import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one ranked list"):
+        rrf_fuse([])

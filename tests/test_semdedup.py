@@ -297,3 +297,32 @@ def test_incremental_batch_internal_rule(spark):
     }
     assert 3 in out
     assert len(out & {1, 2}) == 1  # exactly one of the dup pair survives
+
+
+def test_zero_norm_rows_assign_identically_in_fold_and_arrow(spark):
+    """r8 review: an all-zero embedding must score 0.0 (not NULL)
+    against every centroid in BOTH kernels, so the fold and arrow modes
+    pick the same cell and the same rank key — a store built with one
+    kernel stays probe-compatible with the other."""
+    from jurimetria_etl_spark.operators.semdedup import _assign_cells
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),  # degenerate
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    got = {}
+    for mode in ("fold", "arrow"):
+        got[mode] = sorted(
+            (r.vec_id, r.sem_cluster, r["__csim"])
+            for r in _assign_cells(emb, cents, "embedding", mode)
+            .select("vec_id", "sem_cluster", "__csim")
+            .collect()
+        )
+    assert got["fold"] == got["arrow"]
+    zero = [t for t in got["fold"] if t[0] == 0][0]
+    assert zero[2] == 0.0 and zero[1] == 1  # sim 0.0, ties to higher cid

@@ -107,3 +107,43 @@ def test_delta_log_fold_is_retry_idempotent(spark, tmp_path):
         map(tuple, bloom_fold_words(spark.read.parquet(path)).collect())
     )
     assert refolded == folded_once
+
+
+def test_capacity_above_dense_ceiling_falls_back_to_join_probe(
+    spark, tmp_path
+):
+    """r8 review: a ``bloom_capacity`` whose geometry exceeds the dense
+    bitset ceiling (2^27 bits) must flip ``bloom_might_contain`` to the
+    join probe — the stream passes ``id_col`` through, so mode='auto'
+    degrades instead of raising on every batch after the first."""
+    from jurimetria_etl_spark.operators.bloom import DENSE_MAX_BITS
+
+    flat = str(tmp_path / "flat_big")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, BATCH0), flat, "000", base_t)
+    _drop(_docs(spark, BATCH1), flat, "001", base_t + 600)
+    dirs = {
+        n: str(tmp_path / f"{n}_big")
+        for n in ("corpus", "fps", "sigs", "ckpt", "bloom")
+    }
+    q = curate_document_stream(
+        read_documents_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        bloom_store_dir=dirs["bloom"],
+        bloom_capacity=15_000_000,  # ~144M bits: above the dense ceiling
+    )
+    assert q.awaitTermination(240)
+    # the provisioned geometry really is past the ceiling (the test's
+    # premise), and dedup semantics match the small-capacity runs
+    geom = (
+        spark.read.parquet(store_data_dir(dirs["bloom"]))
+        .select("n_bits").first()
+    )
+    assert geom["n_bits"] > DENSE_MAX_BITS
+    texts = {
+        r.text
+        for r in spark.read.parquet(
+            store_data_dir(dirs["corpus"])
+        ).collect()
+    }
+    assert len(texts) == 4

@@ -114,3 +114,46 @@ def test_missing_centroids_fails_loudly(spark, tmp_path):
     with pytest.raises(Exception, match="semdedup_centroids"):
         q.awaitTermination(180)
         q.processAllAvailable()
+
+
+def test_double_embeddings_and_store_schema_round_trip(spark, tmp_path):
+    """r8 review: the semdedup store read-back schema must derive from
+    the LIVE batch schema — ``array<double>`` embeddings (the natural
+    type from Python floats) previously hit a hardcoded ``array<float>``
+    read schema and failed every batch after the first."""
+    schema_d = SCHEMA.replace("array<float>", "array<double>")
+    flat = str(tmp_path / "flat_d")
+    base_t = time.time() - 3600
+
+    def docs_d(rows):
+        return spark.createDataFrame(
+            [(i, "drop", "en", t, [float(x) for x in v]) for i, t, v in rows],
+            schema_d,
+        )
+
+    _drop(docs_d(BATCH0), flat, "000", base_t)
+    _drop(docs_d(BATCH1), flat, "001", base_t + 600)
+    dirs = {
+        n: str(tmp_path / f"{n}_d")
+        for n in ("corpus", "fps", "sigs", "ckpt", "sem")
+    }
+    cents = [
+        (k, [float(x) for x in RNG.normal(size=DIM)]) for k in range(2)
+    ]
+    q = curate_document_stream(
+        (
+            spark.readStream.schema(schema_d)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        ),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        semdedup_store_dir=dirs["sem"],
+        semdedup_centroids=cents,
+        semdedup_eps=0.99,
+    )
+    assert q.awaitTermination(180)
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(store_data_dir(dirs["corpus"])).collect()
+    }
+    assert ids == {0, 1, 2, 11}  # doc 10 still dies at the semantic stage
