@@ -54,6 +54,8 @@ def curate_corpus(
     semdedup_centroids: list[tuple[int, list[float]]] | None = None,
     semdedup_n_clusters: int = 16,
     vec_col: str = "embedding",
+    classifier: tuple[list[float], float] | None = None,
+    classifier_threshold: float = 0.5,
 ) -> DataFrame:
     """Curated corpus: documents that pass the language and quality gates,
     with exact duplicates collapsed (lowest id wins) and MinHash near-dups
@@ -90,6 +92,12 @@ def curate_corpus(
       (``semdedup_centroids`` or ``semdedup_n_clusters`` seed cells)
       and a per-cluster prior-similarity scan.  Same stage order as the
       streaming composite (exact → minhash → semantic).
+    - ``classifier=(weights, bias)`` adds the hashed-linear quality
+      classifier (operators/classify.py — the fastText-style filter):
+      a ``quality_prob`` audit column in the same profiling projection
+      and a ``≥ classifier_threshold`` term in the gate.  Train on a
+      labeled sample with ``train_hashed_linear``; the apply is one
+      scan-fused fold, so the stage costs no extra pass.
     - ``strip_lines_min_df=<n>`` likewise strips duplicated LINES
       (``duplicate_lines`` / ``strip_duplicate_lines`` — the
       CCNet/RefinedWeb paragraph axis: variable-length natural units
@@ -146,16 +154,26 @@ def curate_corpus(
         docs = strip_boilerplate_bulk(
             docs, bp, span_len, id_col, text_col, replace=True
         )
-    profiled = docs.select(
-        "*",
+    profile_cols = [
         X.lang_id(text_col).alias("lang_pred"),
         X.quality_score(text_col).alias("quality"),
         X.token_count(text_col).alias("ws_tokens"),
         X.bpe_ish_token_count(text_col).alias("bpe_tokens"),
-    )
+    ]
+    if classifier is not None:
+        from jurimetria_etl_spark.operators.classify import (
+            linear_quality_score,
+        )
+
+        profile_cols.append(
+            linear_quality_score(text_col, *classifier).alias("quality_prob")
+        )
+    profiled = docs.select("*", *profile_cols)
     gate = F.col("lang_pred").isin(list(languages)) & (
         F.col("quality") >= min_quality
     )
+    if classifier is not None:
+        gate = gate & (F.col("quality_prob") >= classifier_threshold)
     if quality_rules is not None:
         from jurimetria_etl_spark.operators.quality import passes_quality
 

@@ -1717,6 +1717,42 @@ WHERE r.rk <= CAST(ceil(r.n * 0.2) AS INT)
 """
 
 
+# Round-8: hashed-linear quality classifier apply (operators/classify.py)
+# — the fastText-style corpus-wide scoring pass.  FIXED deterministic
+# weights (training is driver-side and engine-specific; the 100-TB path
+# is the apply, which is what the oracle checks).
+_X40_D = 32
+_X40_W = [((i * 37) % 13 - 6) / 10.0 for i in range(_X40_D)]
+_X40_BIAS = 0.1
+
+
+def x40_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear-classifier probability over hashed
+    bag-of-words features — one narrow scan-fused fold, no shuffle."""
+    from jurimetria_etl_spark.operators.classify import classify_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return classify_documents(docs, _X40_W, _X40_BIAS).select(
+        "doc_id", "quality_prob"
+    )
+
+
+_X40_WLIT = "[" + ", ".join(str(w) for w in _X40_W) + "]"
+X40_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS ts
+  FROM documents)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-({_X40_BIAS} +
+         COALESCE(list_sum(list_transform(ts,
+           t -> ({_X40_WLIT})[CAST({h60("'clf:' || t")} % {_X40_D} AS INT) + 1]
+         )), 0.0) / greatest(len(ts), 1)))), 6) AS quality_prob
+FROM toks
+"""
+
+
 # 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
@@ -1804,4 +1840,7 @@ EXT_DEREGISTERED: dict[str, Q] = {
     "x38_split_guarded": Q(x38_split_guarded, X38_SQL),
     "x39_top_per_domain": Q(x39_top_per_domain, X39_SQL),
     "x39b_top_frac_per_domain": Q(x39b_top_frac_per_domain, X39B_SQL),
+    # Never registered (window full): the classifier-filtering apply —
+    # fixed hashed-linear weights scored corpus-wide (operators/classify.py).
+    "x40_classifier_scores": Q(x40_classifier_scores, X40_SQL),
 }

@@ -1,0 +1,122 @@
+"""Hashed-linear quality classifier (operators/classify.py): pure-python
+scoring parity, deterministic training, separable-corpus accuracy, and
+the driver-collect guard."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from jurimetria_etl_spark.operators.classify import (
+    classify_documents,
+    filter_by_classifier,
+    train_hashed_linear,
+)
+
+D = 32
+WEIGHTS = [((i * 37) % 13 - 6) / 10.0 for i in range(D)]
+BIAS = 0.1
+
+
+def _py_bucket(tok: str, d: int = D, salt: str = "clf") -> int:
+    return int(hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()[:15], 16) % d
+
+
+def _py_score(text: str, w: list[float], b: float) -> float:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    total = sum(w[_py_bucket(t)] for t in toks)
+    raw = b + total / max(len(toks), 1)
+    return round(1.0 / (1.0 + math.exp(-raw)), 6)
+
+
+def test_score_matches_python_model(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog!",
+        "spark SHUFFLE join, broadcast hash join; sort-merge join",
+        "a",
+        "",  # no tokens -> sigmoid(bias)
+        "123 456 mixed0alnum tokens-and-punct...",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in classify_documents(df, WEIGHTS, BIAS).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(_py_score(t, WEIGHTS, BIAS), abs=1e-6)
+    assert got[3] == pytest.approx(
+        round(1 / (1 + math.exp(-BIAS)), 6), abs=1e-6
+    )
+
+
+GOOD = [
+    "peer reviewed study of climate physics and careful measurement",
+    "the theorem proof follows from induction on tree depth",
+    "students learn algebra geometry and rigorous mathematical logic",
+    "detailed encyclopedia article describing cell biology processes",
+]
+SPAM = [
+    "win big casino bonus click now free spins jackpot",
+    "cheap pills discount offer buy now limited deal",
+    "congratulations winner claim prize instantly click here",
+    "hot singles nearby click free signup bonus offer",
+]
+
+
+def _labeled(spark):
+    rows = [(i, t, 1) for i, t in enumerate(GOOD)] + [
+        (100 + i, t, 0) for i, t in enumerate(SPAM)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_train_separates_and_is_deterministic(spark):
+    df = _labeled(spark)
+    w1, b1 = train_hashed_linear(df, "label", n_features=64, iters=200)
+    w2, b2 = train_hashed_linear(df, "label", n_features=64, iters=200)
+    assert w1 == w2 and b1 == b2  # zero-init full-batch GD: bit-identical
+
+    # held-out docs reusing the vocabularies classify correctly
+    test = spark.createDataFrame(
+        [
+            (0, "rigorous proof of the geometry theorem", 1),
+            (1, "free casino bonus click now", 0),
+        ],
+        "doc_id long, text string, want int",
+    )
+    got = classify_documents(test, w1, b1).collect()
+    for r in got:
+        assert (r["quality_prob"] >= 0.5) == (r["want"] == 1)
+
+    kept = {
+        r["doc_id"]
+        for r in filter_by_classifier(test, w1, b1, threshold=0.5).collect()
+    }
+    assert kept == {0}
+
+
+def test_train_guards(spark):
+    df = _labeled(spark)
+    with pytest.raises(ValueError, match="max_rows"):
+        train_hashed_linear(df, "label", max_rows=3)
+    with pytest.raises(ValueError, match="empty"):
+        train_hashed_linear(df.where("label = 9"), "label")
+
+
+def test_apply_plan_is_narrow(spark):
+    """The corpus-sized apply must stay a scan-fused expression: no
+    exchange, no join, no python node."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    plan = (
+        classify_documents(df, WEIGHTS, BIAS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan

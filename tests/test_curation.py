@@ -336,3 +336,40 @@ def test_curate_corpus_semantic_stage(spark):
         curate_corpus(
             docs.drop("embedding"), min_quality=0.0, semdedup_eps=0.99
         ).collect()
+
+
+def test_classifier_stage_gates_the_composite(spark):
+    """curate_corpus(classifier=...) must add quality_prob to the audit
+    columns and drop documents below the threshold — everything else
+    identical to the unclassified run."""
+    from jurimetria_etl_spark.operators.classify import train_hashed_linear
+    from jurimetria_etl_spark.plans.curation import curate_corpus
+
+    good = [
+        "peer reviewed study of climate physics and careful measurement",
+        "the theorem proof follows from induction on the tree depth",
+        "students learn algebra geometry and rigorous mathematical logic",
+    ]
+    spam = [
+        "win big casino bonus click now free spins jackpot prize",
+        "cheap pills discount offer buy now limited deal click here",
+    ]
+    train = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(good)]
+        + [(100 + i, t, 0) for i, t in enumerate(spam)],
+        "doc_id long, text string, label int",
+    )
+    w, b = train_hashed_linear(train, "label", n_features=64, iters=200)
+
+    docs = train.drop("label")
+    base = curate_corpus(docs, min_quality=0.0, languages=("en", "pt", "es"))
+    clf = curate_corpus(
+        docs,
+        min_quality=0.0,
+        languages=("en", "pt", "es"),
+        classifier=(w, b),
+    )
+    assert "quality_prob" in clf.columns
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    clf_ids = {r.doc_id for r in clf.select("doc_id").collect()}
+    assert clf_ids == {i for i in base_ids if i < 100}  # spam gated out

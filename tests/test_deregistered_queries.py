@@ -164,6 +164,9 @@ PAIRS = [
     (E.x38_split_guarded, E.X38_SQL),
     (E.x39_top_per_domain, E.X39_SQL),
     (E.x39b_top_frac_per_domain, E.X39B_SQL),
+    # never registered (window full, r8): the hashed-linear classifier
+    # apply — fixed weights, engine-identical md5 feature buckets:
+    (E.x40_classifier_scores, E.X40_SQL),
 ]
 
 
