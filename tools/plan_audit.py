@@ -111,6 +111,38 @@ AUDITED = [
         "corpus-wide exchange carries xxhash64 longs; span text resolved "
         "behind the broadcast survivor semi-filter",
     ),
+    (
+        "x35_bm25_search",
+        "df agg computed AFTER a query-term semi-join prune (never the "
+        "full vocabulary); q-term/df broadcasts match-sized; 1-row stats "
+        "BNLJ attach",
+    ),
+    (
+        "x36_semdedup",
+        "one rank-window exchange on the cluster key reused by the scan "
+        "group; the single python node is the blocked-numpy Arrow scan",
+    ),
+    (
+        "x37_hybrid_search",
+        "dense side: broadcast probe cross-join + two-level top-k (scan-"
+        "partition pre-rank, then per-query rank); fusion match-sized",
+    ),
+    (
+        "x38_split_guarded",
+        "split label is a narrow md5 expression; leakage probe joins "
+        "8-byte shingle hashes; eval set size-gated, quarantine left join "
+        "AQE-sized",
+    ),
+    (
+        "x39_top_per_domain",
+        "rank window ships a 3-column narrow projection; survivors "
+        "semi-join back un-hinted (AQE)",
+    ),
+    (
+        "x40_classifier_scores",
+        "single scan-fused fold (transform+aggregate over tokens); zero "
+        "exchanges, zero joins, zero python",
+    ),
 ]
 
 
