@@ -617,7 +617,6 @@ def near_dup_clusters(
         .withColumn("__label", F.col("__id"))
         .localCheckpoint()
     )
-    prev_sum = None
     converged = False
     for _ in range(max_iters):
         neigh = (
@@ -625,10 +624,11 @@ def near_dup_clusters(
             .groupBy("__src")
             .agg(F.min("__label").alias("__nlabel"))
         )
-        labels = (
+        stepped = (
             labels.join(neigh, labels["__id"] == neigh["__src"], "left")
             .select(
                 F.col("__id"),
+                F.col("__label").alias("__prev"),
                 F.least(
                     F.col("__label"),
                     F.coalesce(F.col("__nlabel"), F.col("__label")),
@@ -636,11 +636,15 @@ def near_dup_clusters(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("__label")).first()[0]
-        if cur_sum == prev_sum:
+        # Fixed point iff no label moved this round.  Counting CHANGES is
+        # type-agnostic — a sum-of-labels probe silently breaks on string
+        # ids (sum casts to NULL, and None == None on round 1 would
+        # declare convergence before propagation finished).
+        changed = stepped.where(F.col("__label") != F.col("__prev")).count()
+        labels = stepped.select("__id", "__label")
+        if changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # Labels advance one hop per round, so a component whose diameter
         # exceeds max_iters would silently keep >1 survivor — refuse to

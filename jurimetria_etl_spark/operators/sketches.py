@@ -113,7 +113,17 @@ def approx_quantiles(
     out = (
         df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
     )
-    names = [f"q{str(p).replace('0.', '')}" for p in probabilities]
+    # Percent-based, dot-free, unambiguous names: 0.5 -> p50, 1.0 -> p100,
+    # 0.999 -> p99_9.  (The old '0.'-strip scheme named 0.5 'q5' — which
+    # reads as the 5th percentile — and 1.0 'q1.0', whose dot breaks
+    # F.col without backticks.)
+    def _name(p: float) -> str:
+        pct = p * 100
+        return f"p{int(pct)}" if pct == int(pct) else (
+            "p" + str(pct).replace(".", "_")
+        )
+
+    names = [_name(float(p)) for p in probabilities]
     return out.select(
         *(group_cols or []),
         *[

@@ -290,6 +290,7 @@ def duplicate_spans_against(
     text_col: str = "text",
     left_fps: DataFrame | None = None,
     right_fps: DataFrame | None = None,
+    broadcast_max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Cross-CORPUS duplicate spans: every ``span_len``-char span present
     in a ``left`` document AND a ``right`` document, as
@@ -405,13 +406,25 @@ def duplicate_spans_against(
     shared_h = hl.join(hr, "__h", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Size-gated like every survivor set (module comment at
+    # SURVIVOR_BROADCAST_MAX_ROWS): on densely overlapping corpora — two
+    # crawls of the same sites — the intersection approaches the smaller
+    # side's whole distinct-gram set, where a forced broadcast is an OOM
+    # and AQE's shuffle join is the graceful path.  One count serves both
+    # joins; the persisted frame makes the two sides identical subplans.
+    n_shared = shared_h.count()
+    build = (
+        F.broadcast(shared_h)
+        if n_shared <= broadcast_max_rows
+        else shared_h
+    )
     kept_l = grams_l.join(
-        F.broadcast(shared_h),
+        build,
         F.xxhash64(F.col("__ls")) == F.col("__h"),
         "left_semi",
     )
     kept_r = grams_r.join(
-        F.broadcast(shared_h),
+        build,
         F.xxhash64(F.col("__rs")) == F.col("__h"),
         "left_semi",
     )
@@ -459,7 +472,36 @@ def strip_boilerplate(
     )
 
 
-def _span_stripper(span_set, span_len: int, extend_runs: bool, prefilter: bool = True):
+_RH_MOD = 1 << 64
+_RH_B = 1000003
+_RH_BINV = pow(_RH_B, -1, _RH_MOD)
+
+
+def _span_hash_array(span_set):
+    """Sorted unique uint64 rolling hashes of every span — computed ONCE
+    on the driver (strip_boilerplate_bulk ships it inside the broadcast)
+    because the O(|set|·L) python ord() loop must not be re-paid by
+    every task of every batch."""
+    import numpy as np
+
+    def _h(s: str) -> int:
+        h = 0
+        bp = 1
+        for c in s:
+            h = (h + ord(c) * bp) % _RH_MOD
+            bp = (bp * _RH_B) % _RH_MOD
+        return h
+
+    return np.unique(np.array([_h(s) for s in span_set], dtype=np.uint64))
+
+
+def _span_stripper(
+    span_set,
+    span_len: int,
+    extend_runs: bool,
+    prefilter: bool = True,
+    rh_arr=None,
+):
     """Build the per-executor ``strip_one(text)`` scanner of
     ``strip_boilerplate_bulk`` — one left-to-right pass, leftmost match
     wins, no cascade, optional maximal-run extension (semantics pinned in
@@ -514,21 +556,10 @@ def _span_stripper(span_set, span_len: int, extend_runs: bool, prefilter: bool =
 
         return strip_one_naive
 
-    MOD = 1 << 64
-    B = 1000003
-    BINV = pow(B, -1, MOD)
-
-    def _span_hash(s: str) -> int:
-        h = 0
-        bp = 1
-        for c in s:
-            h = (h + ord(c) * bp) % MOD
-            bp = (bp * B) % MOD
-        return h
-
-    rh_arr = np.unique(
-        np.array([_span_hash(s) for s in span_set], dtype=np.uint64)
-    )
+    B = _RH_B
+    BINV = _RH_BINV
+    if rh_arr is None:
+        rh_arr = _span_hash_array(span_set)
     tables = {"n": 0}
 
     def _grow(n: int):
@@ -658,18 +689,30 @@ def strip_boilerplate_bulk(
             "top-N) or raise max_spans deliberately"
         )
     span_rows = [r[0] for r in spans.select(span_col).distinct().collect()]
+    if any(s is None for s in span_rows):
+        raise ValueError(
+            "strip_boilerplate_bulk: strip-list contains NULL spans — "
+            "drop them upstream (a NULL matches nothing and would poison "
+            "the broadcast scan set)"
+        )
     bad = [s for s in span_rows if len(s) != span_len]
     if bad:
         raise ValueError(
             f"strip_boilerplate_bulk: all spans must have length "
             f"{span_len}; got e.g. {bad[0]!r}"
         )
-    bc = spark.sparkContext.broadcast(frozenset(span_rows))
+    span_set = frozenset(span_rows)
+    # The rolling-hash array rides the broadcast precomputed: it is a
+    # pure function of the span set and costs O(|set|·L) python ops —
+    # per-task recomputation would dominate small batches.
+    bc = spark.sparkContext.broadcast((span_set, _span_hash_array(span_set)))
 
     if replace:
 
         def scan_replace(batches):
-            strip_one = _span_stripper(bc.value, span_len, extend_runs)
+            strip_one = _span_stripper(
+                bc.value[0], span_len, extend_runs, rh_arr=bc.value[1]
+            )
             for pdf in batches:
                 pdf[text_col] = pdf[text_col].map(strip_one)
                 yield pdf
@@ -684,7 +727,9 @@ def strip_boilerplate_bulk(
     def scan(batches):
         import pandas as pd
 
-        strip_one = _span_stripper(bc.value, span_len, extend_runs)
+        strip_one = _span_stripper(
+            bc.value[0], span_len, extend_runs, rh_arr=bc.value[1]
+        )
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -843,9 +888,14 @@ def strip_duplicate_lines(
             f"lines (> max_lines={max_lines}); filter it (min_df / top-N) "
             "or raise max_lines deliberately"
         )
-    bc = spark.sparkContext.broadcast(
-        frozenset(r[0] for r in lines.select(line_col).distinct().collect())
-    )
+    line_rows = [r[0] for r in lines.select(line_col).distinct().collect()]
+    if any(l is None for l in line_rows):
+        raise ValueError(
+            "strip_duplicate_lines: strip-list contains NULL lines — "
+            "drop them upstream (a NULL matches nothing and would poison "
+            "the broadcast line set)"
+        )
+    bc = spark.sparkContext.broadcast(frozenset(line_rows))
 
     def _strip_one_factory():
         line_set = bc.value

@@ -75,8 +75,11 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
         raise
 
 
+# id field formatted per stream (name AND type from the live batch —
+# hardcoding "doc_id long" would break renamed/string-id streams)
 _SIG_SCHEMA = (
-    "doc_id long, bands array<struct<band:int,bkey:bigint>>, sh array<bigint>"
+    "{id_col} {id_t}, bands array<struct<band:int,bkey:bigint>>, "
+    "sh array<bigint>"
 )
 
 
@@ -119,9 +122,13 @@ def curate_document_stream(
     ``duplicate_spans_against(new, corpus, right_fps=store)`` runs
     cross-batch span detection without re-winnowing history — the
     fingerprint-store pattern applied to the suffix-array-dedup axis.
-    Append order: LAST (the store is advisory candidate pruning; fps are
-    distinct per doc, so a retried batch's duplicate rows only repeat
-    candidacy hints and are deduplicated on read).
+    Append order: BEFORE the fp store, like every other sink — the store
+    is the ONLY source of right-side candidacy in
+    ``duplicate_spans_against``, so a crash between the fp append and a
+    later span-fp append would permanently omit those documents' span
+    candidacy (the replay drops them at the exact-dedup gate).  A
+    retried batch's duplicate rows only repeat candidacy hints and are
+    deduplicated on read.
 
     ``strip_spans`` (optional) applies a STATIC boilerplate strip-list —
     a prior offline ``boilerplate_spans`` run over the corpus — to every
@@ -211,11 +218,19 @@ def curate_document_stream(
                 replace=True,
             )
         fp_store = _read_or_empty(spark, fp_store_dir, "fp bigint")
-        sig_store = _read_or_empty(spark, sig_store_dir, _SIG_SCHEMA)
+        # Store read-back schemas derive the id column's NAME and TYPE
+        # from the live batch (same rule as the semdedup store below and
+        # spans.py's out_schema): a renamed or string-typed id must
+        # round-trip, not coerce through a hardcoded "doc_id long".
+        id_t = batch_df.schema[id_col].dataType.simpleString()
+        sig_store = _read_or_empty(
+            spark, sig_store_dir, _SIG_SCHEMA.format(id_col=id_col, id_t=id_t)
+        )
         bloom = None
         if bloom_store_dir is not None:
             from jurimetria_etl_spark.operators.bloom import (
                 BLOOM_WORDS_SCHEMA,
+                bloom_build,
                 bloom_fold_words,
                 bloom_from_words,
             )
@@ -225,6 +240,27 @@ def curate_document_stream(
             )
             if word_log.head(1):
                 bloom = bloom_from_words(bloom_fold_words(word_log))
+            elif fp_store.head(1):
+                # Bloom store enabled on a stream with fp HISTORY: the
+                # filter must cover every store fingerprint (the
+                # superset invariant — a filter seeded only from this
+                # batch would pass old duplicates as "definitely fresh"
+                # and skip the store anti-join).  One-time backfill from
+                # the fp store, appended to the log first so a retry
+                # sees a non-empty log and does not backfill twice
+                # (bit_or fold makes a double append harmless anyway).
+                from jurimetria_etl_spark.sinks.maintenance import (
+                    store_data_dir as _sdd,
+                )
+
+                seed = bloom_build(
+                    fp_store, "fp",
+                    expected_items=bloom_capacity, fpp=bloom_fpp,
+                )
+                seed.words.write.mode("append").parquet(
+                    _sdd(bloom_store_dir)
+                )
+                bloom = seed
         if bloom is not None:
             from jurimetria_etl_spark.operators.bloom import (
                 dedup_incremental_bloom,
@@ -313,6 +349,21 @@ def curate_document_stream(
             ).write.mode("append").parquet(
                 store_data_dir(semdedup_store_dir)
             )
+        if span_fp_store_dir is not None:
+            # BEFORE the fp append, like every other store: the fp store
+            # is the exact-dedup gatekeeper — once a doc's fingerprint
+            # lands there a replay drops the doc before reaching any
+            # later sink, so a crash between fp and span-fp appends would
+            # permanently omit the batch's span fingerprints (and with
+            # them its duplicate/leak candidacy in
+            # duplicate_spans_against).
+            from jurimetria_etl_spark.operators.spans import (
+                winnowed_fingerprints,
+            )
+
+            winnowed_fingerprints(
+                survivors, span_len, span_k, id_col, text_col
+            ).write.mode("append").parquet(store_data_dir(span_fp_store_dir))
         new_fps = survivors.select(fingerprint(text_col).alias("fp"))
         if bloom_store_dir is not None:
             # BEFORE the fp append (superset invariant — see docstring).
@@ -335,14 +386,6 @@ def curate_document_stream(
                 store_data_dir(bloom_store_dir)
             )
         new_fps.write.mode("append").parquet(store_data_dir(fp_store_dir))
-        if span_fp_store_dir is not None:
-            from jurimetria_etl_spark.operators.spans import (
-                winnowed_fingerprints,
-            )
-
-            winnowed_fingerprints(
-                survivors, span_len, span_k, id_col, text_col
-            ).write.mode("append").parquet(store_data_dir(span_fp_store_dir))
 
     writer = (
         docs_stream.writeStream.foreachBatch(handle_batch)

@@ -454,3 +454,27 @@ def test_near_dup_store_schema_stable(spark):
     b = build_near_dup_store(docs.limit(20))
     assert a.schema == b.schema
     assert a.unionByName(b).count() == 30
+
+
+def test_near_dup_clusters_string_ids_iterative_path(spark):
+    """r8 review: the iterative path's convergence probe must be
+    type-agnostic — with STRING ids a sum-of-labels check casts to NULL
+    and declares convergence after one round, mislabeling chains.  Both
+    paths must agree on string ids exactly as they do on longs."""
+    from jurimetria_etl_spark.operators.dedup import near_dup_clusters
+
+    # chain c~b, b~a plus an isolated pair z~y: min labels {a, y}
+    pairs = spark.createDataFrame(
+        [("c", "b"), ("b", "a"), ("z", "y")],
+        "left_id string, right_id string",
+    )
+    slow = {
+        (r["id"], r["cluster_id"])
+        for r in near_dup_clusters(pairs, max_driver_pairs=0).collect()
+    }
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in near_dup_clusters(pairs).collect()
+    }
+    want = {("a", "a"), ("b", "a"), ("c", "a"), ("y", "y"), ("z", "y")}
+    assert slow == want and fast == want

@@ -206,7 +206,7 @@ def test_approx_quantiles_within_rank_error(events):
     got = SK.approx_quantiles(
         events, "value", [0.25, 0.5, 0.9], accuracy=acc
     ).first()
-    for prob, key in [(0.25, "q25"), (0.5, "q5"), (0.9, "q9")]:
+    for prob, key in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]:
         est = got[key]
         below = events.where(F.col("value") <= est).count()
         assert abs(below / n - prob) <= 1 / acc + 1 / n
@@ -216,7 +216,7 @@ def test_approx_quantiles_grouped(events):
         events, "value", [0.5], group_cols=["event_type"]
     ).collect()
     assert len(rows) == events.select("event_type").distinct().count()
-    assert all(r["q5"] is not None for r in rows)
+    assert all(r["p50"] is not None for r in rows)
 
 
 def test_profile_columns_one_pass(spark, events):
@@ -237,3 +237,12 @@ def test_profile_columns_one_pass(spark, events):
     ).first()[0]
     plan = profile_columns(events)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_approx_quantile_names_are_unambiguous(events):
+    """r8 review: 1.0 must name a selectable dot-free column (old scheme
+    produced 'q1.0') and 0.5/0.05 must not collide or mislead."""
+    row = SK.approx_quantiles(events, "value", [0.05, 0.5, 0.999, 1.0])
+    assert row.columns == ["p5", "p50", "p99_9", "p100"]
+    got = row.first()
+    assert got["p100"] is not None and F is not None

@@ -342,3 +342,47 @@ def test_streaming_curation_equals_sequential_batches(spark, tmp_path):
     assert got == surv_all
     assert spark.read.parquet(fps).count() == len(surv_all)
     assert spark.read.parquet(sigs).count() == len(surv_all)
+
+
+def test_curation_stream_with_renamed_string_id(spark, tmp_path):
+    """r8 review: the signature store's read-back schema must derive the
+    id column's NAME and TYPE from the live batch — a stream keyed
+    `uid string` previously hit the hardcoded 'doc_id long' and failed
+    at the second micro-batch."""
+    import time
+
+    from jurimetria_etl_spark.streaming.curation import (
+        curate_document_stream,
+    )
+    from tests.conftest import stage_drop
+
+    rows0 = [
+        ("a1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("b2", "pack my box with five dozen assorted liquor jugs now"),
+    ]
+    rows1 = [
+        ("c3", "the quick brown fox jumps over the lazy dog tonight"),  # dup
+        ("d4", "sphinx of black quartz judge my vow this very evening"),
+    ]
+    schema = "uid string, text string"
+    flat = str(tmp_path / "flat")
+    base_t = time.time() - 3600
+    stage_drop(spark.createDataFrame(rows0, schema), flat, "000", base_t)
+    stage_drop(
+        spark.createDataFrame(rows1, schema), flat, "001", base_t + 600
+    )
+    dirs = [str(tmp_path / n) for n in ("corpus", "fps", "sigs", "ckpt")]
+    q = curate_document_stream(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        ),
+        *dirs,
+        id_col="uid",
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["uid"] for r in spark.read.parquet(dirs[0]).select("uid").collect()
+    }
+    assert got == {"a1", "b2", "d4"}  # c3 is an exact cross-batch dup

@@ -147,3 +147,53 @@ def test_capacity_above_dense_ceiling_falls_back_to_join_probe(
         ).collect()
     }
     assert len(texts) == 4
+
+
+def test_bloom_enabled_on_existing_fp_history_backfills(spark, tmp_path):
+    """r8 review: turning bloom_store_dir ON for a stream that already
+    has fp history must seed the filter from the existing store (the
+    superset invariant) — a filter covering only new batches would pass
+    old duplicates as 'definitely fresh' and corrupt exact dedup."""
+    flat = str(tmp_path / "flat_late")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, BATCH0), flat, "000", base_t)
+    dirs = {
+        n: str(tmp_path / f"{n}_late")
+        for n in ("corpus", "fps", "sigs", "ckpt", "ckpt2", "bloom")
+    }
+    # phase 1: no bloom — fp history accumulates
+    q = curate_document_stream(
+        read_documents_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+    )
+    assert q.awaitTermination(180)
+
+    # phase 2: bloom enabled; BATCH1 contains a duplicate of phase-1 doc 1
+    _drop(_docs(spark, BATCH1), flat, "001", base_t + 600)
+    q2 = curate_document_stream(
+        read_documents_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt2"],
+        bloom_store_dir=dirs["bloom"],
+        bloom_capacity=10_000,
+    )
+    assert q2.awaitTermination(180)
+
+    texts = {
+        r.text
+        for r in spark.read.parquet(store_data_dir(dirs["corpus"])).collect()
+    }
+    assert len(texts) == 4  # doc 10 (dup of phase-1 doc 1) was dropped
+
+    # and the backfilled filter covers the PHASE-1 fingerprints
+    fp_store = spark.read.parquet(store_data_dir(dirs["fps"]))
+    bl = bloom_from_words(
+        bloom_fold_words(
+            spark.read.parquet(store_data_dir(dirs["bloom"]))
+        )
+    )
+    misses = (
+        bloom_might_contain(fp_store, "fp", bl)
+        .where(~F.col("might_contain"))
+        .count()
+    )
+    assert misses == 0

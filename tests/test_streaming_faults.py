@@ -145,3 +145,58 @@ def test_curation_retry_converges_after_mid_append_crash(
 
     # the fingerprint gatekeeper converged: one fp per surviving document
     assert spark.read.parquet(fps).distinct().count() == len(expected)
+
+
+def test_span_fp_store_converges_after_crash_at_span_append(
+    spark, tmp_path, monkeypatch
+):
+    """r8 review: the span-fp append must run BEFORE the fp append.  A
+    crash at the span append then replays the whole batch (its docs are
+    not yet fp-gated), so the span store converges — under fp-first
+    ordering the replay would drop the docs at the exact-dedup gate and
+    their span candidacy would be omitted forever."""
+    import jurimetria_etl_spark.operators.spans as spans_mod
+    import jurimetria_etl_spark.streaming.curation as cur
+
+    flat = _stage_two_drops(spark, tmp_path)
+    corpus, fps, sigs, ckpt, spanfps = (
+        str(tmp_path / n)
+        for n in ("corpus", "fps", "sigs", "ckpt", "spanfps")
+    )
+    real = spans_mod.winnowed_fingerprints
+    calls = {"n": 0}
+
+    def poisoned(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash: executor lost mid-append")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(spans_mod, "winnowed_fingerprints", poisoned)
+    stream = cur.read_documents_stream(spark, flat, max_files_per_trigger=1)
+    q = cur.curate_document_stream(
+        stream, corpus, fps, sigs, ckpt, span_fp_store_dir=spanfps
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+
+    monkeypatch.setattr(spans_mod, "winnowed_fingerprints", real)
+    stream2 = cur.read_documents_stream(spark, flat, max_files_per_trigger=1)
+    q2 = cur.curate_document_stream(
+        stream2, corpus, fps, sigs, ckpt, span_fp_store_dir=spanfps
+    )
+    q2.awaitTermination(180)
+
+    expected = _sequential_reference(spark, flat)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus).select("doc_id").distinct().collect()
+    }
+    assert got == expected
+    # THE invariant: every curated document's span fingerprints are in
+    # the store (dup appends allowed — candidacy hints dedup on read)
+    span_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(spanfps).select("doc_id").distinct().collect()
+    }
+    assert span_ids == expected
