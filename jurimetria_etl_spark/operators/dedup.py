@@ -49,8 +49,22 @@ def widen_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFr
 
 # ───────────────────────── tokenize / shingle ──────────────────────────────
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of trimmed text."""
+    """SINGLE-SPACE tokens of trimmed text — the pinned STRUCTURAL
+    tokenization for shingles/fingerprints/minhash.  Only consistency
+    matters for those (both sides of every comparison use it, and every
+    persisted fingerprint/signature store was built with it — changing
+    it would invalidate them all).  For metrics that are semantically
+    WORD counts (Gopher rules, stopword hits, lang-ID) use ``ws_words``:
+    this split merges newline/tab-separated words into one token."""
     return F.split(F.trim(col), " ")
+
+
+def ws_words(col: Column | str) -> Column:
+    """Non-empty WHITESPACE-run tokens (``\\s+`` split) — the linguistic
+    tokenization for counting metrics.  'the cat\\nthe dog' is four
+    words; the structural single-space split above sees three."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

@@ -31,13 +31,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jurimetria_etl_spark.operators.dedup import tokens
+from jurimetria_etl_spark.operators.dedup import ws_words
 from jurimetria_etl_spark.operators.text import LANG_STOPWORDS, _stopword_count
 
 
 def words(col: Column | str) -> Column:
-    """Non-empty whitespace tokens (split('') yields [''] — drop it)."""
-    return F.filter(tokens(col), lambda t: t != "")
+    """Non-empty whitespace-RUN tokens (``\\s+`` split — dedup.ws_words):
+    every word metric here is a semantic word count, and the structural
+    single-space split would merge newline/tab-separated words
+    ('cat\\nthe' as one token), systematically undercounting words and
+    stopwords on multi-line prose."""
+    return ws_words(col)
 
 
 def lines(col: Column | str) -> Column:

@@ -48,9 +48,10 @@ def redact_pii(
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
     """Per-category match counts (audit metric for a scrub run).  Counted
-    on the RAW text in the same order-independent way the oracle does —
-    counts of overlapping categories (cpf within phone-like shapes) are
-    resolved by the same longest-first pattern order as redact_pii."""
+    on the PROGRESSIVELY-REDACTED text — each category sees the text
+    after higher-priority categories were consumed, mirroring
+    redact_pii exactly (an email inside a URL counts as URL, not email);
+    the oracle replicates the same staged counting."""
     c = F.col(col) if isinstance(col, str) else col
     out: dict[str, Column] = {}
     # Count on the progressively-redacted text so each category sees the

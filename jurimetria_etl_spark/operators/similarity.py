@@ -39,23 +39,25 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+    """Euclidean norm CLAMPED at 1e-150.  Every use in this module is a
+    cosine denominator, and one all-zero embedding (an empty document)
+    must score 0.0 against everything — not throw DIVIDE_BY_ZERO under
+    ANSI mode (Spark 4 default) or emit NULL under non-ANSI — matching
+    the numpy kernels' norm clamps.  1e-150, not 1e-300: denominators
+    are PRODUCTS of two clamped norms, and 1e-300² underflows to 0.0
+    (two zero-norm sides would divide by zero again); 1e-150² = 1e-300
+    stays a positive double.  Value-invisible for any real vector."""
+    return F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-150))
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def cosine_sim_safe(a: Column, b: Column) -> Column:
-    """``cosine_sim`` with the norm clamped at 1e-300 — a zero-norm
-    vector scores 0.0 against everything instead of NULL, matching the
-    numpy kernels (``_assign_arrow`` / the semdedup scan), so the fold
-    and arrow assignment modes stay output-identical on degenerate
-    rows."""
-    return _dot(a, b) / (
-        F.greatest(_norm(a), F.lit(1e-300))
-        * F.greatest(_norm(b), F.lit(1e-300))
-    )
+# Historical alias: the clamp now lives in _norm itself, so the "safe"
+# form IS the default — kept for callers (semdedup) that name the
+# degenerate-row contract explicitly.
+cosine_sim_safe = cosine_sim
 
 
 def cosine_topk(
@@ -125,11 +127,13 @@ def cosine_topk_pandas(
     import numpy as np
 
     pv = np.asarray(list(probe_row[vec_col]), dtype="float64")
-    pv = pv / np.linalg.norm(pv)
+    # clamped like _norm: a zero-norm probe/row scores 0.0, keeping the
+    # documented output equality with the JVM path on degenerate rows
+    pv = pv / max(np.linalg.norm(pv), 1e-300)
 
     def cos_sim_batch(vecs):
         m = np.stack(vecs.to_numpy()).astype("float64")
-        norms = np.linalg.norm(m, axis=1)
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
         return pd.Series((m @ pv) / norms)
 
     # real (non-string) annotations: `from __future__ import annotations`
@@ -906,9 +910,10 @@ def _nearest_cells_py(
     ``_nearest_cells``; n_cells × dim flops — trivial)."""
 
     def cos(a: list[float], b: list[float]) -> float:
+        # clamped like _norm / the numpy kernels: zero-norm scores 0.0
         dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
+        na = max(math.sqrt(sum(x * x for x in a)), 1e-300)
+        nb = max(math.sqrt(sum(x * x for x in b)), 1e-300)
         return dot / (na * nb)
 
     ranked = sorted(
@@ -960,7 +965,7 @@ def ann_ivf_topk_pruned(
     # re-folding |probe| for every corpus row.
     import numpy as np
 
-    pn = math.sqrt(sum(x * x for x in probe_vec))
+    pn = max(math.sqrt(sum(x * x for x in probe_vec)), 1e-300)
     sim = _dot(F.col(vec_col), F.lit(np.asarray(probe_vec, dtype="float64"))) / (
         _norm(F.col(vec_col)) * F.lit(pn)
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jurimetria_etl_spark.operators.dedup import tokens
+from jurimetria_etl_spark.operators.dedup import tokens, ws_words
 
 # Stopword marker sets per language — tiny by design (heuristic lang-ID, not
 # a model); CJK detected by codepoint range.
@@ -30,7 +30,9 @@ def _stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    toks = tokens(F.lower(col) if isinstance(col, str) else F.lower(col))
+    # linguistic tokenization (\s+ runs): a newline between words must
+    # not merge them and hide a stopword hit (dedup.ws_words docstring)
+    toks = ws_words(F.lower(col))
     return {lang: _stopword_count(toks, words) for lang, words in LANG_STOPWORDS.items()}
 
 
@@ -43,7 +45,11 @@ def lang_id(col: Column | str) -> Column:
     best = F.greatest(en, fr, es, de)
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.when(F.regexp_count(c, F.lit(CJK_PATTERN)) > 0, F.lit("zh"))
+        # NULL text (e.g. a PERMISSIVE-mode corrupt JSON row) is
+        # undetermined — without this guard every WHEN evaluates NULL
+        # and falls through to the 'de' branch.
+        F.when(c.isNull(), F.lit("und"))
+        .when(F.regexp_count(c, F.lit(CJK_PATTERN)) > 0, F.lit("zh"))
         .when(best == 0, F.lit("und"))
         .when(en == best, F.lit("en"))
         .when(fr == best, F.lit("fr"))
@@ -53,8 +59,9 @@ def lang_id(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col)).cast("bigint")
+    """Non-empty whitespace-run token count (linguistic tokenization —
+    see dedup.ws_words)."""
+    return F.size(ws_words(col)).cast("bigint")
 
 
 WORDLIKE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -101,11 +108,7 @@ def quality_score(col: Column | str) -> Column:
     0.4·(distinct/total)      — lexical diversity (spam/boilerplate ↓)
     0.2·min(5·stopword_ratio, 1) — natural-language-ness
     NULL for empty documents (NULL-propagating division)."""
-    # drop empty tokens: split("") yields [""], which must count as 0
-    toks = F.filter(
-        tokens(F.lower(col) if isinstance(col, str) else F.lower(col)),
-        lambda t: t != "",
-    )
+    toks = ws_words(F.lower(col))  # non-empty by construction
     n_tok = F.size(toks)
     n_tok_d = F.nullif(n_tok, F.lit(0)).cast("double")
     n_uniq = F.size(F.array_distinct(toks))

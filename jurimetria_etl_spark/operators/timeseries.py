@@ -79,10 +79,14 @@ def bucket_agg_gapfill(
     # a near-tie double to 6 decimals is where engines legitimately
     # disagree (sf1 oracle run caught exactly one such boundary,
     # 50.6749975 -> .674997 vs .674998).
+    # __obs marks bucket EXISTENCE: is_filled must flag synthesized gap
+    # rows only — a bucket whose input rows are all NULL-valued is
+    # observed (agg NULL), not synthesized, and testing __agg IS NULL
+    # would conflate the two.
     per_bucket = (
         events.select(*keys, bucket, F.col(value_col).alias("__v"))
         .groupBy(*keys, "__bucket_s")
-        .agg(agg_fn("__v").alias("__agg"))
+        .agg(agg_fn("__v").alias("__agg"), F.lit(True).alias("__obs"))
     )
     spans = per_bucket.groupBy(*keys).agg(
         F.min("__bucket_s").alias("__lo"), F.max("__bucket_s").alias("__hi")
@@ -98,7 +102,7 @@ def bucket_agg_gapfill(
     out_cols = [
         *keys,
         F.timestamp_seconds(F.col("__bucket_s")).alias("bucket_start"),
-        F.col("__agg").isNull().alias("is_filled"),
+        F.col("__obs").isNull().alias("is_filled"),
     ]
     if fill == "none":
         filled: Column = F.col("__agg")

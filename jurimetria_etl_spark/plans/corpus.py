@@ -1398,7 +1398,8 @@ Q36_SQL = """
 WITH per_bucket AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS agg_v
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS agg_v,
+         TRUE AS obs
   FROM events
   GROUP BY 1, 2),
 spans AS (
@@ -1409,10 +1410,10 @@ dense AS (
   FROM spans s,
        LATERAL (SELECT unnest(generate_series(s.lo, s.hi, 3600)) AS g) gs),
 joined AS (
-  SELECT d.event_type, d.bucket_s, p.agg_v
+  SELECT d.event_type, d.bucket_s, p.agg_v, p.obs
   FROM dense d LEFT JOIN per_bucket p USING (event_type, bucket_s))
 SELECT event_type, bucket_s,
-       agg_v IS NULL AS is_filled,
+       obs IS NULL AS is_filled,
        last_value(agg_v IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY bucket_s
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value

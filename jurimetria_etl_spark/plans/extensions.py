@@ -20,6 +20,15 @@ from jurimetria_etl_spark.plans.corpus import Q, Q23_SQL, _t
 # ── SQL fragment builders (DuckDB dialect) ─────────────────────────────────
 TOKS = "string_split(trim(text), ' ')"
 TOKS_LC = "string_split(trim(lower(text)), ' ')"
+# Linguistic tokenization (dedup.ws_words): whitespace-RUN split, empties
+# dropped — used by every oracle replicating word-count/stopword/lang-ID
+# metrics.  TOKS/TOKS_LC above remain the structural single-space split
+# of the shingle/fingerprint family.
+WS_TOKS = "list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')"
+WS_TOKS_LC = (
+    "list_filter(string_split_regex(trim(lower(text)), '\s+'), "
+    "w -> w <> '')"
+)
 
 
 def h60(expr: str) -> str:
@@ -271,7 +280,7 @@ def _lang_filter_sql(words: tuple[str, ...]) -> str:
 
 
 X09_SQL = f"""
-WITH t AS (SELECT doc_id, text, {TOKS_LC} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, {WS_TOKS_LC} AS toks FROM documents),
 s AS (SELECT doc_id, text,
   {_lang_filter_sql(X.LANG_STOPWORDS["en"])} AS en,
   {_lang_filter_sql(X.LANG_STOPWORDS["fr"])} AS fr,
@@ -279,7 +288,8 @@ s AS (SELECT doc_id, text,
   {_lang_filter_sql(X.LANG_STOPWORDS["de"])} AS de
   FROM t)
 SELECT doc_id,
-  CASE WHEN regexp_matches(text, '{X.CJK_PATTERN}') THEN 'zh'
+  CASE WHEN text IS NULL THEN 'und'
+       WHEN regexp_matches(text, '{X.CJK_PATTERN}') THEN 'zh'
        WHEN greatest(en, fr, es, de) = 0 THEN 'und'
        WHEN en = greatest(en, fr, es, de) THEN 'en'
        WHEN fr = greatest(en, fr, es, de) THEN 'fr'
@@ -298,7 +308,7 @@ def x10_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])
 X10_SQL = f"""
-WITH t AS (SELECT doc_id, list_filter({TOKS_LC}, x -> x <> '') AS toks FROM documents),
+WITH t AS (SELECT doc_id, {WS_TOKS_LC} AS toks FROM documents),
 s AS (SELECT doc_id,
         len(toks) AS n_tok,
         len(list_distinct(toks)) AS n_uniq,
@@ -324,7 +334,7 @@ def x11_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X11_SQL = f"""
 SELECT doc_id,
-       CAST(len({TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len({WS_TOKS}) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '{X.WORDLIKE_PATTERN}')) AS BIGINT) AS bpe_tokens,
        CAST(ceil(length(text) / 4) AS BIGINT) AS est_tokens
 FROM documents
@@ -355,7 +365,7 @@ def x09_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X11_CHARS_SQL = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS chars,
-       CAST(len({TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len({WS_TOKS}) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '{X.WORDLIKE_PATTERN}')) AS BIGINT) AS bpe_tokens,
        CAST(ceil(length(text) / 4) AS BIGINT) AS est_tokens
 FROM documents
@@ -923,8 +933,8 @@ def x24_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WS = "list_filter(string_split(trim(text), ' '), w -> w <> '')"
-_WS_LC = "list_filter(string_split(trim(lower(text)), ' '), w -> w <> '')"
+_WS = WS_TOKS
+_WS_LC = WS_TOKS_LC
 _LINES = "string_split(text, chr(10))"
 _GRAMS2 = (
     f"list_transform(generate_series(1, len({_WS}) - 1), "

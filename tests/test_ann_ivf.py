@@ -112,3 +112,37 @@ def test_kmeans_trained_centroids_separate_planted_blobs(spark):
         ).collect()
     ]
     assert full == brute
+
+
+def test_zero_norm_vectors_score_zero_not_crash(spark):
+    """r8 review (verified live pre-fix): one all-zero embedding threw
+    DIVIDE_BY_ZERO under ANSI Spark in every unclamped cosine path.  The
+    clamp lives in _norm now: zero vectors score 0.0 everywhere, and the
+    pandas path agrees with the JVM path on degenerate rows."""
+    from jurimetria_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+        cosine_topk_pandas,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # degenerate
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    jvm = cosine_topk(emb, probe_id=1, k=2).collect()
+    pnd = cosine_topk_pandas(emb, probe_id=1, k=2).collect()
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in pnd]
+    scores = {r["vec_id"]: r["cos_sim"] for r in jvm}
+    assert scores[3] == 0.0  # zero vector: worst match, never NULL/error
+
+    # a zero-norm PROBE scores 0.0 against everything, ties by id
+    probes = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "query_id long, probe array<double>"
+    )
+    got = cosine_topk_batch(emb, probes, k=3).collect()
+    assert {r["cos_sim"] for r in got} == {0.0}
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3]

@@ -271,3 +271,31 @@ def test_mix_corpora_drops_unweighted_sources(spark):
     out = mix_corpora(df, {"src0": 1.0})
     assert out.select("source").distinct().collect()[0][0] == "src0"
     assert out.count() == 10
+
+
+def test_word_metrics_split_on_whitespace_runs(spark):
+    """r8 review (verified live pre-fix): a single-space split merged
+    'cat\\nthe' into one token, undercounting words and stopwords on
+    multi-line prose."""
+    from jurimetria_etl_spark.operators.quality import (
+        stopword_count,
+        word_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat\nthe dog sat of in is to a and")], "id long, t string"
+    )
+    row = df.select(
+        word_count("t").alias("wc"), stopword_count("t").alias("sc")
+    ).first()
+    assert row["wc"] == 11
+    assert row["sc"] == 8
+
+
+def test_lang_id_null_text_is_undetermined(spark):
+    """r8 review (verified live pre-fix): NULL text fell through every
+    WHEN to the 'de' branch."""
+    from jurimetria_etl_spark.operators.text import lang_id
+
+    df = spark.createDataFrame([(1, None)], "id long, t string")
+    assert df.select(lang_id("t").alias("l")).first()["l"] == "und"

@@ -18,7 +18,8 @@ LOCF_ORACLE = f"""
 WITH per_bucket AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / {BUCKET}) AS BIGINT) * {BUCKET} AS bucket_s,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS agg_v
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS agg_v,
+         TRUE AS obs
   FROM read_parquet('{SF}/events.parquet')
   GROUP BY 1, 2),
 spans AS (
@@ -28,10 +29,10 @@ dense AS (
   SELECT s.event_type, gs.g AS bucket_s
   FROM spans s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi, {BUCKET})) AS g) gs),
 joined AS (
-  SELECT d.event_type, d.bucket_s, p.agg_v
+  SELECT d.event_type, d.bucket_s, p.agg_v, p.obs
   FROM dense d LEFT JOIN per_bucket p USING (event_type, bucket_s))
 SELECT event_type, bucket_s,
-       agg_v IS NULL AS is_filled,
+       obs IS NULL AS is_filled,
        last_value(agg_v IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY bucket_s
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
@@ -126,3 +127,25 @@ def test_dense_and_plan_contracts(spark):
     assert "Python" not in plan and "Cartesian" not in plan
     with pytest.raises(ValueError, match="locf"):
         bucket_agg_gapfill(ev, BUCKET, keys=["event_type"], fill="cubic")
+
+def test_observed_all_null_bucket_is_not_marked_filled(spark):
+    """r8 review (verified live pre-fix): a bucket with real input rows
+    whose values are all NULL was flagged is_filled=True, conflating
+    observed-but-null with synthesized gap rows."""
+    from datetime import datetime
+
+    rows = [
+        ("k", datetime(2024, 1, 1, 0, 30), None),
+        ("k", datetime(2024, 1, 1, 2, 30), 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    got = {
+        int(r.bucket_start.timestamp()) // 3600: r.is_filled
+        for r in bucket_agg_gapfill(ev, 3600, ["event_type"]).collect()
+    }
+    base = int(datetime(2024, 1, 1, 0).timestamp()) // 3600
+    assert got[base] is False       # observed (all-NULL values)
+    assert got[base + 1] is True    # the synthesized gap
+    assert got[base + 2] is False   # observed
