@@ -20,10 +20,12 @@ def lenient_ts(col: Column | str) -> Column:
     """F3 — lenient ISO-8601 parse: unparseable/out-of-bounds → NULL.
 
     Matches the reference's ``errors="coerce"`` / OutOfBoundsDatetime→None
-    behavior (``/root/reference/src/jurimetria_pipeline.py:51-58,275``):
-    Spark's ``to_timestamp`` already yields NULL on failure with ANSI off.
+    behavior (``/root/reference/src/jurimetria_pipeline.py:51-58,275``).
+    ``try_to_timestamp``, not ``to_timestamp``: Spark 4 defaults ANSI ON
+    (and this engine never turns it off), where plain ``to_timestamp``
+    ABORTS the job on the first malformed string instead of coercing.
     """
-    return F.to_timestamp(col)
+    return F.try_to_timestamp(F.col(col) if isinstance(col, str) else col)
 
 
 def utc_to_sp(col: Column | str) -> Column:
@@ -52,7 +54,12 @@ def local_date_bound_to_utc(date_str: str) -> Column:
 def reformat_br_date(col: Column | str) -> Column:
     """F4 — ``dd/mm/yyyy`` → ``yyyy-mm-dd`` (``/root/reference/legacy/
     legacy_datajud_connector.py:65-72``)."""
-    return F.date_format(F.to_date(col, "dd/MM/yyyy"), "yyyy-MM-dd")
+    # try_to_timestamp + cast, not to_date: same ANSI-coercion rationale
+    # as lenient_ts — a malformed BR date must yield NULL, not abort.
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(
+        F.try_to_timestamp(c, F.lit("dd/MM/yyyy")).cast("date"), "yyyy-MM-dd"
+    )
 
 
 def iso_render_sp(col: Column | str) -> Column:
@@ -70,6 +77,15 @@ def iso_render_sp(col: Column | str) -> Column:
     abs_off = F.abs(off)
     hh = F.lpad(F.floor(abs_off / 3600).cast("string"), 2, "0")
     mm = F.lpad(F.floor((abs_off % 3600) / 60).cast("string"), 2, "0")
+    # pd.Timestamp.isoformat() appends '.ffffff' (six digits) whenever the
+    # instant has nonzero microseconds and omits it entirely otherwise —
+    # match both cases, not just the whole-second one.
+    frac = F.date_format(local, "SSSSSS")
+    frac_part = F.when(
+        frac != "000000", F.concat(F.lit("."), frac)
+    ).otherwise(F.lit(""))
     return F.concat(
-        F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss"), sign, hh, F.lit(":"), mm
+        F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss"),
+        frac_part,
+        sign, hh, F.lit(":"), mm,
     )

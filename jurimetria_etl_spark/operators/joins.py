@@ -28,7 +28,14 @@ def enrich_municipio(
         municipios.select(
             F.col("CD_MUN").cast("int").alias("__cd_mun"),
             F.col("NM_MUN").alias("__nm_mun"),
-        ).na.drop(subset=["__cd_mun"])  # W4: drop NULL-key dim rows
+        )
+        .na.drop(subset=["__cd_mun"])  # W4: drop NULL-key dim rows
+        # one row per code, like the reference's dict lookup — a
+        # duplicated key in the dim would FAN OUT fact rows through the
+        # left join (deterministic pick: max name; the Excel adapter
+        # already deduped in file order upstream)
+        .groupBy("__cd_mun")
+        .agg(F.max("__nm_mun").alias("__nm_mun"))
     )
     joined = processos.join(
         dim,
@@ -84,7 +91,12 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
     )
-    r2 = right.select(
+    # A NULL right_ts has no position on the time axis and must never
+    # match: NULLs sort FIRST in the window order, so an unfiltered
+    # NULL-ts row would forward-fill as the "latest" match for left rows
+    # with no real predecessor (pandas merge_asof rejects NaT keys for
+    # the same reason).
+    r2 = right.where(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias("__asof_side"),

@@ -610,7 +610,7 @@ Q25_SQL = """
 SELECT date_trunc('hour', ts) AS w_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
        event_type, count(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM events
 GROUP BY 1, 2, 3
 """

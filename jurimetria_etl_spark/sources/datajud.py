@@ -102,7 +102,15 @@ def fetch_raw_hits(
             payload["search_after"] = search_after
         try:
             status, body = transport(url, headers, payload)
-        except Exception:
+        except Exception as e:
+            # Reference :127-136 guards only the request ATTEMPT
+            # (connection refused / DNS / timeout → empty); an HTTP
+            # error STATUS — 5xx, 401, 403, raised by raise_for_status
+            # AFTER the 400/404 skip — propagates loudly there, and must
+            # here too: a bad API key or a mid-pagination 500 silently
+            # masquerading as an empty tribunal is data loss.
+            if type(e).__name__ == "HTTPError":
+                raise
             return  # transport error → empty (reference :133-136)
         if status in (400, 404):
             return  # skip tribunal (reference :138-140)

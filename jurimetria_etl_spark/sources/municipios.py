@@ -25,6 +25,10 @@ def load_municipios(spark: SparkSession, path: str) -> DataFrame:
         pdf = pdf.dropna(subset=["CD_MUN"])
         pdf["CD_MUN"] = pdf["CD_MUN"].astype(int)
         pdf["CD_UF"] = pdf["CD_UF"].astype(int)
+        # Mirror the reference's dict build (last assignment wins per
+        # code, :202-237): a duplicated CD_MUN in the workbook must not
+        # fan out fact rows through the later left join.
+        pdf = pdf.drop_duplicates(subset=["CD_MUN"], keep="last")
         df = spark.createDataFrame(pdf[[f.name for f in MUNICIPIOS_SCHEMA]], MUNICIPIOS_SCHEMA)
     elif path.endswith(".csv"):
         df = spark.read.option("header", True).schema(MUNICIPIOS_SCHEMA).csv(path)

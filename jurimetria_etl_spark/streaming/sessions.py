@@ -102,7 +102,15 @@ def _round_half_up6(v: float) -> float:
     )
 
 
-def _summary_frame(user: int, sessions: list) -> pd.DataFrame:
+def _key_user(key: "tuple") -> "int | None":
+    """Grouping-key user id; a NULL user (nullable schema) groups under
+    None — ``int(None)`` would kill the whole streaming query in the
+    Python worker, while the batch session_window path emits a null-user
+    row, and the stream must match it."""
+    return None if key[0] is None else int(key[0])
+
+
+def _summary_frame(user: "int | None", sessions: list) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "user_id": [user] * len(sessions),
@@ -123,7 +131,7 @@ def _make_session_fn(gap_us: int):
         if state.hasTimedOut:
             s, e, n, t = state.get
             state.remove()
-            yield _summary_frame(int(key[0]), [[s, e, n, t]])
+            yield _summary_frame(_key_user(key), [[s, e, n, t]])
             return
         pairs: list[tuple[int, float]] = []
         for pdf in pdfs:
@@ -149,7 +157,7 @@ def _make_session_fn(gap_us: int):
             )
             state.setTimeoutTimestamp(deadline_ms)
         if sessions:  # gap exceeded within the data: closed by evidence
-            yield _summary_frame(int(key[0]), sessions)
+            yield _summary_frame(_key_user(key), sessions)
 
     return update
 
@@ -192,14 +200,14 @@ try:  # transformWithState runtime needs google.protobuf (absent here)
             )
             self._handle.registerTimer((int(open_s[1]) + self._gap_us) // 1_000)
             if sessions:
-                yield _summary_frame(int(key[0]), sessions)
+                yield _summary_frame(_key_user(key), sessions)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if self._state.exists():
                 s, e, n, t = self._state.get()
                 if expiredTimerInfo.getExpiryTimeInMs() >= (e + self._gap_us) // 1_000:
                     self._state.clear()
-                    yield _summary_frame(int(key[0]), [[s, e, n, t]])
+                    yield _summary_frame(_key_user(key), [[s, e, n, t]])
 
         def close(self) -> None:
             pass
@@ -260,10 +268,23 @@ def session_summaries(
 
 
 def _parse_seconds(interval: str) -> int:
-    qty, unit = interval.split()
+    """Seconds of a Spark interval string — multi-part ('1 hour 30
+    minutes') and day/week units included, since ``session_window``
+    itself accepts them and this helper must not reject gaps the batch
+    path allows."""
     mult = {
         "second": 1, "seconds": 1,
         "minute": 60, "minutes": 60,
         "hour": 3600, "hours": 3600,
-    }[unit]
-    return int(qty) * mult
+        "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }
+    parts = interval.split()
+    if not parts or len(parts) % 2:
+        raise ValueError(f"cannot parse interval {interval!r}")
+    total = 0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        if unit not in mult:
+            raise ValueError(f"unsupported unit {unit!r} in {interval!r}")
+        total += int(qty) * mult[unit]
+    return total

@@ -33,7 +33,9 @@ def read_events_stream(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
     )
-    if path.endswith(".json") or path.rstrip("/").endswith("json"):
+    # extension match only: a DIRECTORY named e.g. 'events_raw_json'
+    # holding parquet drops must not be fed to the json reader
+    if path.rstrip("/").endswith((".json", ".jsonl")):
         return reader.json(path)
     return reader.parquet(path)
 
@@ -53,7 +55,11 @@ def tumbling_window_agg(
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+            # decimal(18,6), NOT (18,2): the exact-decimal accumulation
+            # trick (engine-reproducible sums) must not ROUND inputs
+            # first — the generator emits 4-decimal values, and a (18,2)
+            # cast silently corrupted every total by up to 0.005/row.
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
         )
         .select(
             F.col("w.start").alias("w_start"),
@@ -136,16 +142,29 @@ def stream_to_parquet(
     out_dir: str,
     checkpoint_dir: str,
     once: bool = True,
+    output_mode: str = "complete",
 ):
-    """foreachBatch parquet sink (complete-mode aggregates written as
-    overwrite-per-batch snapshots; checkpoint dir makes restarts
-    exactly-once)."""
+    """foreachBatch parquet sink.
+
+    ``output_mode="complete"`` (default) overwrites a full snapshot per
+    micro-batch — convenient for BOUNDED jobs (availableNow backfills),
+    but on a continuous stream it disables watermark state eviction (the
+    state store retains every window ever seen) and rejects append-only
+    operators (``dedup_stream``, ``session_summaries``).  For unbounded
+    runs pass ``output_mode="append"``: only watermark-finalized rows
+    arrive per batch and are APPENDED, state stays bounded.  The
+    checkpoint dir makes restarts exactly-once either way."""
+    if output_mode not in ("complete", "append", "update"):
+        raise ValueError(
+            f"output_mode={output_mode!r}: complete | append | update"
+        )
+    file_mode = "overwrite" if output_mode == "complete" else "append"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_dir)
+        batch_df.write.mode(file_mode).parquet(out_dir)
 
     writer = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(write_batch)
     )

@@ -226,3 +226,22 @@ def test_range_join_refuses_mixed_timestamp_types(spark):
     )
     with _pytest.raises(ValueError, match="mix TIMESTAMP"):
         range_join_bucketed(pts, ivs, pts["ts"], ivs["lo"], ivs["hi"])
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """r8 review (verified live pre-fix): a NULL-ts right row sorted
+    first in the window and forward-filled as the 'latest' match for
+    left rows with no real predecessor."""
+    from datetime import datetime
+
+    from jurimetria_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "PAYLOAD")], "k long, ts timestamp, val string"
+    )
+    out = asof_join(left, right, on="k").collect()
+    assert len(out) == 1
+    assert out[0]["val"] is None and out[0]["ts_r"] is None

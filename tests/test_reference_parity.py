@@ -214,3 +214,88 @@ def test_union_by_name_empty_and_drift(spark):
     b = spark.createDataFrame([(2,)], "k int")
     got = union_all_by_name([a, b]).collect()
     assert {(r["k"], r["a"]) for r in got} == {(1, "x"), (2, None)}
+
+
+# ─────────────────────────── r8 review regressions ──────────────────────────
+def test_lenient_parse_coerces_under_ansi(spark):
+    """r8 review (verified live pre-fix): Spark 4 defaults ANSI on and
+    plain to_timestamp/to_date ABORT on malformed input — the F3/F4
+    contract is the reference's errors='coerce' NULL."""
+    from jurimetria_etl_spark.functions.temporal import (
+        lenient_ts,
+        reformat_br_date,
+        utc_to_sp,
+    )
+
+    df = spark.createDataFrame(
+        [("not-a-date",), ("2023-05-01T12:00:00Z",), ("99/99/9999",)],
+        "s string",
+    )
+    rows = df.select(
+        lenient_ts("s").alias("ts"),
+        reformat_br_date("s").alias("d"),
+        utc_to_sp("s").alias("sp"),
+    ).collect()
+    assert rows[0] == (None, None, None)
+    assert rows[1]["ts"] is not None and rows[1]["sp"] is not None
+    assert rows[2] == (None, None, None)
+
+
+def test_iso_render_sp_keeps_nonzero_microseconds(spark):
+    """r8 review: pd.Timestamp.isoformat() renders '.ffffff' whenever the
+    instant has nonzero microseconds — F7 parity must too."""
+    import pandas as pd
+
+    from jurimetria_etl_spark.functions.temporal import iso_render_sp
+
+    df = spark.createDataFrame(
+        [
+            ("2023-05-01T12:00:00.123Z",),
+            ("2023-05-01T12:00:00Z",),
+        ],
+        "s string",
+    )
+    got = [
+        r["iso"]
+        for r in df.select(
+            iso_render_sp(F.to_timestamp("s")).alias("iso")
+        ).collect()
+    ]
+    want = [
+        pd.Timestamp(s).tz_convert("America/Sao_Paulo").isoformat()
+        for s in ("2023-05-01T12:00:00.123Z", "2023-05-01T12:00:00Z")
+    ]
+    assert got == want
+
+
+def test_enrich_municipio_duplicate_codes_do_not_fan_out(spark):
+    """r8 review: a duplicated CD_MUN in the dim must keep the join
+    1:1 like the reference's dict lookup, not multiply fact rows."""
+    from jurimetria_etl_spark.operators.joins import enrich_municipio
+
+    procs = spark.createDataFrame([(1, "3550308")], "id long, municipio string")
+    dim = spark.createDataFrame(
+        [(3550308, "SP-a", 35), (3550308, "SP-b", 35)],
+        "CD_MUN int, NM_MUN string, CD_UF int",
+    )
+    out = enrich_municipio(procs, dim).collect()
+    assert len(out) == 1
+    assert out[0]["municipio"] == "SP-b"  # deterministic max-name pick
+
+
+def test_datajud_http_status_error_propagates():
+    """r8 review: the reference swallows only the request ATTEMPT
+    (connection errors); raise_for_status errors (401/5xx) crash loudly
+    — a bad API key must not masquerade as an empty tribunal."""
+    import pytest
+
+    from jurimetria_etl_spark.sources.datajud import fetch_raw_hits
+
+    class HTTPError(Exception):
+        pass
+
+    def bad_auth(url, headers, payload):
+        raise HTTPError("401 Unauthorized")
+
+    with pytest.raises(HTTPError):
+        list(fetch_raw_hits("TJSP", transport=bad_auth))

@@ -155,3 +155,33 @@ def test_tws_gate_raises_documented_error_when_dep_missing(spark, drops):
     closed = [r for r in all_batch if r[2] + deadline <= wm]
     assert not [r for r in closed if r not in got]
     assert got <= set(all_batch)
+
+
+def test_parse_seconds_units_and_multipart():
+    """r8 review: session_window accepts day/week and multi-part
+    intervals — the python gap parser must too."""
+    import pytest
+
+    from jurimetria_etl_spark.streaming.sessions import _parse_seconds
+
+    assert _parse_seconds("1 day") == 86400
+    assert _parse_seconds("2 weeks") == 1209600
+    assert _parse_seconds("1 hour 30 minutes") == 5400
+    with pytest.raises(ValueError):
+        _parse_seconds("1 fortnight")
+    with pytest.raises(ValueError):
+        _parse_seconds("")
+
+
+def test_null_user_key_does_not_crash_summary():
+    """r8 review: int(None) killed the python worker; a NULL grouping
+    key summarizes under user None like the batch path."""
+    from jurimetria_etl_spark.streaming.sessions import (
+        _key_user,
+        _summary_frame,
+    )
+
+    assert _key_user((None,)) is None
+    assert _key_user((7,)) == 7
+    pdf = _summary_frame(None, [[0, 1_000_000, 2, 3.0]])
+    assert pdf["user_id"].isna().all()

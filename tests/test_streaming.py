@@ -386,3 +386,91 @@ def test_curation_stream_with_renamed_string_id(spark, tmp_path):
         r["uid"] for r in spark.read.parquet(dirs[0]).select("uid").collect()
     }
     assert got == {"a1", "b2", "d4"}  # c3 is an exact cross-batch dup
+
+
+def test_tumbling_total_does_not_round_before_summing(spark):
+    """r8 review (verified live pre-fix): values were cast decimal(18,2)
+    BEFORE summing, so [0.004, 0.004] totaled 0.0 instead of 0.008."""
+    from datetime import datetime
+
+    from jurimetria_etl_spark.streaming.windows import tumbling_window_agg
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 7, "c", 0.004, "{}"),
+            (2, datetime(2024, 1, 1, 0, 20), 7, "c", 0.004, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = tumbling_window_agg(ev).first()
+    assert row["total"] == 0.008
+
+
+def test_stream_to_parquet_append_mode_handles_append_only_ops(
+    spark, tmp_path
+):
+    """r8 review: complete mode rejects append-only operators
+    (dedup_stream) and retains unbounded state on continuous streams —
+    the sink must offer the append path."""
+    import time
+
+    from jurimetria_etl_spark.streaming.windows import (
+        dedup_stream,
+        read_events_stream,
+        stream_to_parquet,
+    )
+    from tests.conftest import stage_drop
+
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 7, "c", 1.0, "{}"),
+        (1, datetime(2024, 1, 1, 0, 11), 7, "c", 1.0, "{}"),  # dup id
+        (2, datetime(2024, 1, 1, 0, 12), 8, "d", 2.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    flat = str(tmp_path / "flat")
+    stage_drop(ev, flat, "000", time.time() - 3600)
+    q = stream_to_parquet(
+        dedup_stream(read_events_stream(spark, flat), ["event_id"]),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 2  # the duplicate event_id was dropped
+
+
+def test_events_stream_dir_named_like_json_reads_parquet(spark, tmp_path):
+    """r8 review: a parquet drop DIRECTORY named '..._json' must not be
+    fed to the json reader (extension match only)."""
+    import time
+
+    from jurimetria_etl_spark.streaming.windows import read_events_stream
+    from tests.conftest import stage_drop
+
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 10), 7, "c", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    flat = str(tmp_path / "events_raw_json")
+    stage_drop(ev, flat, "000", time.time() - 3600)
+    stream = read_events_stream(spark, flat)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rawjson_dir")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("select * from rawjson_dir").collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 1
