@@ -344,9 +344,15 @@ def dedup_incremental_bloom(
     if bloom is None:
         bloom = bloom_build(seen_fps, fp_col, fpp=fpp)
     batch = new_df.withColumn("__fp", fingerprint(text_col))
+    # Join-mode probing needs a unique row key; when the caller supplies
+    # none, the fingerprint IS one — dedup drops duplicate fingerprints
+    # anyway, so folding the k per-position verdicts per __fp is exact.
+    # Without this, the default call shape (no id_col) would raise in
+    # bloom_might_contain exactly when the store outgrows the dense
+    # bitset ceiling — the scale this operator exists for.
     flagged = bloom_might_contain(
         batch, F.col("__fp"), bloom, result_col="__maybe",
-        id_col=id_col, mode=mode,
+        id_col=id_col or "__fp", mode=mode,
     )
     fresh = flagged.where(~F.col("__maybe"))
     suspects = flagged.where(F.col("__maybe")).join(

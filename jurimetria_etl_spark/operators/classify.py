@@ -164,8 +164,9 @@ def train_hashed_linear(
     )
     X = np.zeros((n, n_features))
     y = np.zeros(n)
-    row_ix = {r["__row"]: i for i, r in enumerate(labels.collect())}
-    for r in labels.collect():
+    label_rows = labels.collect()  # one job; reused for both index and y
+    row_ix = {r["__row"]: i for i, r in enumerate(label_rows)}
+    for r in label_rows:
         y[row_ix[r["__row"]]] = r["__y"]
     for r in feats.collect():
         X[row_ix[r["__row"]], r["__b"]] = r["__v"]

@@ -47,17 +47,20 @@ def movimentos_sorted(col: Column | str) -> Column:
         ),
     )
     # Sort key: coalesce(ts, epoch) — NULL sorts as 1970-01-01, matching the
-    # reference's `x[2] or default`.  Stable on the key; struct comparison
-    # breaks residual ties by (codigo, nome) which the reference leaves to
-    # Python sort stability — pinned in tests with distinct timestamps.
+    # reference's `x[2] or default`.  The SECOND key field is the ORIGINAL
+    # array index: the reference's Python sort is stable (equal timestamps
+    # keep input order), and array_sort's struct comparison would otherwise
+    # reorder ties by (codigo, nome) — an observable parity divergence in
+    # the rendered movimentos.
     return F.transform(
         F.array_sort(
             F.transform(
                 parsed,
-                lambda m: F.struct(
+                lambda m, i: F.struct(
                     F.coalesce(
                         m["data_hora"], F.to_timestamp(F.lit("1970-01-01"))
                     ).alias("k"),
+                    i.alias("__i"),
                     m["codigo"].alias("codigo"),
                     m["nome"].alias("nome"),
                     m["data_hora"].alias("data_hora"),
@@ -101,5 +104,8 @@ def flatten_hits(hits: DataFrame, tribunal: str | Column) -> DataFrame:
                 F.array().cast("array<struct<codigo:bigint,nome:string,dataHora:string>>"),
             )
         ).alias("movimentos"),
-        F.element_at(F.col("sort"), 1).alias("sort"),
+        # try_element_at: a hit carrying "sort": [] must yield NULL, not
+        # abort the whole ingest under ANSI's INVALID_ARRAY_INDEX (same
+        # lenient posture as temporal.lenient_ts).
+        F.try_element_at(F.col("sort"), F.lit(1)).alias("sort"),
     )

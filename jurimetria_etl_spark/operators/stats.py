@@ -52,7 +52,11 @@ def profile_columns(
     aggs = [total.alias("__n")]
     for c in names:
         aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"),
+            # coalesce completes the empty-frame guard: sum() over zero
+            # rows is NULL, and null_rate must read 0.0, not NULL
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)
+            ).alias(f"__null_{c}"),
             F.approx_count_distinct(c, rsd=distinct_rsd).alias(f"__dist_{c}"),
         ]
         if isinstance(df.schema[c].dataType, MapType):

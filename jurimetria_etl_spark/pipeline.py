@@ -81,9 +81,16 @@ def build_dataframe(
         order = F.array_position(
             F.array(*[F.lit(t) for t in tribunais]), F.col("tribunal")
         )
-        df = df.orderBy(order.asc(), F.col("data_ajuizamento").desc_nulls_last()).limit(
-            max_processos
-        )
+        # numero_processo completes a TOTAL order: the date key has large
+        # tie classes (same-instant filings; W1 keeps NULL dates, which
+        # all compare equal at the tail), and a limit boundary inside a
+        # tie class would otherwise pick survivors by task order —
+        # breaking the documented reproducible cut.
+        df = df.orderBy(
+            order.asc(),
+            F.col("data_ajuizamento").desc_nulls_last(),
+            F.col("numero_processo").asc_nulls_last(),
+        ).limit(max_processos)
 
     if municipios_path:
         df = enrich_municipio(df, load_municipios(spark, municipios_path))

@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # AQE coalescing only shrinks partitions — the pinned shuffle
+        # count above would otherwise CAP every cluster shuffle at the
+        # local core count (multi-TB partitions at 100 TB).  A high
+        # initialPartitionNum gives AQE real headroom: shuffles START
+        # wide and coalesce down to the data, locally and on a cluster.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "2048"),
+        )
         # Arrow for the (few) pandas_udf paths — vectorized transfer.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Nested-schema pruning so struct projections reach the parquet scan.

@@ -37,9 +37,15 @@ _TAG_RE = re.compile(r"<[^>]+>")
 
 
 def _cell_text(cell_html: str) -> str:
-    """F9 — strip tags and whitespace (the reference's
-    ``get_text(strip=True)``)."""
-    return _TAG_RE.sub(" ", cell_html).strip()
+    """F9 — strip tags, decode HTML entities, collapse whitespace runs
+    (the reference's bs4 ``get_text(strip=True)`` does all three:
+    '<td>Execu\u00e7\u00e3o &amp; <b>Tributos</b></td>' must read
+    'Execu\u00e7\u00e3o & Tributos', not a literal '&amp;' with a
+    double space)."""
+    import html as _html
+
+    text = _html.unescape(_TAG_RE.sub(" ", cell_html))
+    return re.sub(r"\s+", " ", text).strip()
 
 
 def _reformat_date(br_date: str) -> str:
@@ -107,6 +113,7 @@ def fetch_esaj_rows(
     out: list[dict[str, str]] = []
     query = dict(params or {})
     page = 1
+    prev_rows: list[dict[str, str]] | None = None
     while True:
         if max_pages is not None and page > max_pages:
             break
@@ -117,6 +124,13 @@ def fetch_esaj_rows(
         rows = parse_esaj_table(html)
         if not rows:
             break
+        # Repeated-page guard (the datajud connector's seen-cursor set,
+        # sources/datajud.py): servers commonly CLAMP an out-of-range
+        # paginaConsulta to the last page, which would loop forever with
+        # max_pages=None.
+        if rows == prev_rows:
+            break
+        prev_rows = rows
         out.extend(rows)
         page += 1
         if pause:
@@ -129,8 +143,14 @@ def esaj_scan(
     transport: HtmlTransport,
     base_url: str = "https://esaj.tjce.jus.br/cpopg/search.do",
     max_pages: int | None = None,
+    params: dict[str, Any] | None = None,
 ) -> DataFrame:
-    rows = fetch_esaj_rows(transport, base_url, max_pages)
+    """S6 scan.  ``params`` defaults to the reference's full search-form
+    payload (``esaj_query()``) — the form fields must ride EVERY page
+    request, or a live scrape queries an unfiltered/invalid form."""
+    rows = fetch_esaj_rows(
+        transport, base_url, max_pages, params=params or esaj_query()
+    )
     return spark.createDataFrame(rows or [], ESAJ_ROW_SCHEMA)
 
 

@@ -168,3 +168,35 @@ def test_plan_has_no_python_nodes(spark, keys, built):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_dedup_bloom_join_mode_defaults_without_id_col(spark):
+    """r8 review: the advertised call shape (no id_col) must survive a
+    filter past the dense ceiling — the fingerprint itself is the join
+    key (dedup collapses duplicate fingerprints anyway)."""
+    from jurimetria_etl_spark.operators.bloom import (
+        bloom_build,
+        dedup_incremental_bloom,
+    )
+
+    seen = spark.createDataFrame(
+        [("the quick brown fox",)], "text string"
+    ).select(F.expr("xxhash64(text)").alias("fp"))
+    from jurimetria_etl_spark.operators.dedup import fingerprint
+
+    seen = spark.createDataFrame(
+        [("seen doc one two three",)], "text string"
+    ).select(fingerprint("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (1, "seen doc one two three"),   # store dup -> dropped
+            (2, "fresh doc alpha beta"),
+            (3, "fresh doc alpha beta"),     # in-batch dup -> one survives
+        ],
+        "doc_id long, text string",
+    )
+    bl = bloom_build(seen, "fp")
+    out = dedup_incremental_bloom(batch, seen, bloom=bl, mode="join")
+    texts = {r["text"] for r in out.collect()}
+    assert texts == {"fresh doc alpha beta"}
+    assert out.count() == 1

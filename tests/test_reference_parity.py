@@ -299,3 +299,40 @@ def test_datajud_http_status_error_propagates():
 
     with pytest.raises(HTTPError):
         list(fetch_raw_hits("TJSP", transport=bad_auth))
+
+
+def test_flatten_empty_sort_array_yields_null(spark):
+    """r8 review (verified live pre-fix): a hit carrying "sort": []
+    aborted the ingest with INVALID_ARRAY_INDEX under ANSI."""
+    from jurimetria_etl_spark.operators.flatten import flatten_hits
+    from jurimetria_etl_spark.schemas import HIT_SCHEMA
+
+    hit = {"_source": {"numeroProcesso": "1"}, "sort": []}
+    df = spark.createDataFrame([hit], HIT_SCHEMA)
+    rows = flatten_hits(df, "TJCE").collect()
+    assert len(rows) == 1 and rows[0]["sort"] is None
+
+
+def test_movimentos_equal_timestamps_keep_input_order(spark):
+    """r8 review: the reference's Python sort is STABLE — equal (or
+    equally-NULL) dataHora movements keep input order, not (codigo,
+    nome) order."""
+    from jurimetria_etl_spark.operators.flatten import movimentos_sorted
+
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    (9, "z-late", "2023-01-01T10:00:00Z"),
+                    (1, "a-early", "2023-01-01T10:00:00Z"),
+                    (5, "null-two", None),
+                    (2, "null-one", None),
+                ],
+            )
+        ],
+        "movimentos array<struct<codigo:bigint,nome:string,dataHora:string>>",
+    )
+    got = df.select(movimentos_sorted("movimentos").alias("m")).first()["m"]
+    # NULLs (epoch key) first in input order, then the tied pair in
+    # input order: 5, 2, 9, 1
+    assert [m["codigo"] for m in got] == [5, 2, 9, 1]

@@ -246,3 +246,14 @@ def test_approx_quantile_names_are_unambiguous(events):
     assert row.columns == ["p5", "p50", "p99_9", "p100"]
     got = row.first()
     assert got["p100"] is not None and F is not None
+
+
+def test_profile_columns_empty_frame_null_rate_zero(spark):
+    """r8 review: sum() over zero rows is NULL — the empty-frame profile
+    must report null_rate 0.0, not NULL."""
+    from jurimetria_etl_spark.operators.stats import profile_columns
+
+    df = spark.createDataFrame([], "a long, b string")
+    rows = profile_columns(df).collect()
+    assert len(rows) == 2
+    assert all(r["null_rate"] == 0.0 for r in rows)

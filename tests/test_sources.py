@@ -101,11 +101,39 @@ def test_esaj_pagination_stops_on_empty_and_non200():
     assert fetch_esaj_rows(bad) == []
 
 
+def _paged_esaj_html(page: int) -> str:
+    # page-distinct content: the r8 repeated-page guard stops when a
+    # server CLAMPS out-of-range pages to the last page (identical
+    # consecutive bodies), so max_pages tests must vary per page
+    return ESAJ_HTML.replace("0001", f"{page:04d}1").replace(
+        "0002", f"{page:04d}2"
+    )
+
+
 def test_esaj_max_pages():
     def transport(url, params):
-        return 200, ESAJ_HTML
+        return 200, _paged_esaj_html(params["paginaConsulta"])
 
     assert len(fetch_esaj_rows(transport, max_pages=3)) == 6
+
+
+def test_esaj_repeated_page_guard_stops_clamped_pagination():
+    """r8 review: with max_pages=None a server that clamps past-the-end
+    pages to the last page must not loop forever."""
+    def clamped(url, params):
+        return 200, _paged_esaj_html(min(params["paginaConsulta"], 2))
+
+    rows = fetch_esaj_rows(clamped)  # no max_pages: the guard must stop
+    assert len(rows) == 4  # pages 1 and 2; the clamped repeat is dropped
+
+
+def test_esaj_cell_text_unescapes_entities_and_collapses_ws():
+    """r8 review: bs4 get_text parity — entities decoded, interior
+    whitespace runs collapsed."""
+    from jurimetria_etl_spark.sources.esaj import _cell_text
+
+    assert _cell_text("Execu\u00e7\u00e3o &amp; <b>Tributos</b>") == "Execu\u00e7\u00e3o & Tributos"
+    assert _cell_text("foo <b>bar</b>") == "foo bar"
 
 
 def test_datajud_stats_projection():
@@ -179,7 +207,7 @@ def test_legacy_cli_esaj_max_pages_and_dates():
     def transport(url, params):
         assert params["dataIni"] == "2023-01-01"
         assert params["dataFim"] == "2023-06-30"
-        return 200, ESAJ_HTML
+        return 200, _paged_esaj_html(params["paginaConsulta"])
 
     result = main(
         [
