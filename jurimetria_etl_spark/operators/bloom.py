@@ -236,7 +236,12 @@ def bloom_might_contain(
     word frame — needs ``id_col``, a unique row key, to fold the k
     per-position verdicts back onto rows).  Both modes compute the same
     answer; the gate is a memory posture, not a semantics switch
-    (pinned in tests/test_bloom.py).
+    (pinned in tests/test_bloom.py).  One deliberate asymmetry: a NULL
+    ``id_col`` key cannot fold back through the equi-join, so join mode
+    reports True (maybe-present) for such rows — the only direction a
+    Bloom filter is allowed to err — where dense mode evaluates the
+    hash of the NULL probe key row-local.  Downstream exact re-checks
+    (``dedup_incremental_bloom``) make the two indistinguishable.
     """
     c = F.col(col) if isinstance(col, str) else col
     if mode == "auto":
@@ -307,9 +312,16 @@ def bloom_might_contain(
         .groupBy("__bid")
         .agg(F.min("__hit").alias(result_col))
     )
+    # NULL join keys never match the verdict frame, so without the
+    # coalesce a NULL-id row would get a NULL verdict and vanish from
+    # BOTH branches of any maybe/not-maybe split (silent row loss, and a
+    # semantics divergence from dense mode, which evaluates the test
+    # expression row-local).  Defaulting to True routes NULL-key rows to
+    # the "suspect" side, where the exact re-check decides — a Bloom
+    # false positive is always safe, a false negative never is.
     return df.join(
         verdicts.withColumnRenamed("__bid", id_col), id_col, "left"
-    )
+    ).withColumn(result_col, F.coalesce(F.col(result_col), F.lit(True)))
 
 
 def dedup_incremental_bloom(

@@ -38,10 +38,12 @@ from jurimetria_etl_spark.operators.dedup import hash60
 
 
 def _tokens(col: Column) -> Column:
-    """Lowercased alphanumeric tokens (identical to search.py:_tokens —
-    the classifier must see the same features online and offline)."""
+    """Lowercased Unicode-word tokens (identical to search.py:_tokens —
+    the classifier must see the same features online and offline).
+    \\p{L}/\\p{N}, not [^a-z0-9]: the domain corpus is accented
+    Portuguese and ASCII classes shred it into fragment features."""
     return F.filter(
-        F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: F.length(t) > 0
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: F.length(t) > 0
     )
 
 

@@ -42,15 +42,32 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_TOKEN_SPLIT = r"[^a-z0-9]+"
+# Unicode letter/number classes, NOT [^a-z0-9]: the reference's corpus
+# is Brazilian judicial Portuguese (jurimetria_pipeline.py:163-179 —
+# "Ação de Indenização", accented class/subject names), and an ASCII
+# class would treat every accented letter as a delimiter, shredding
+# "indenização" into fragments and flooding the idf table with
+# one-letter terms.  \p{L}/\p{N} are supported identically by Java
+# regex (Spark) and RE2 (DuckDB), so the oracle recomputes the same
+# tokens (pinned in tests/test_search.py).
+_TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
 
 
-def _tokens(col: Column) -> Column:
-    """Lowercased alphanumeric tokens; the empty strings a leading/
-    trailing delimiter produces are filtered out."""
-    return F.filter(
-        F.split(F.lower(col), _TOKEN_SPLIT), lambda t: F.length(t) > 0
-    )
+def _tokens(col: Column, fold_accents: bool = False) -> Column:
+    """Lowercased Unicode-word tokens; the empty strings a leading/
+    trailing delimiter produces are filtered out.  ``fold_accents=True``
+    maps accented letters to their base form BEFORE splitting
+    (scrub.py's translate table), so "indenizacao" matches
+    "indenização" — opt-in because it conflates accent-distinct words
+    ("nó"/"no"); the index and the query MUST use the same setting."""
+    c = F.lower(col)
+    if fold_accents:
+        from jurimetria_etl_spark.operators.scrub import (
+            fold_accents as _fold,
+        )
+
+        c = _fold(c)
+    return F.filter(F.split(c, _TOKEN_SPLIT), lambda t: F.length(t) > 0)
 
 
 @dataclass(frozen=True)
@@ -71,13 +88,17 @@ def build_text_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df_ratio: float | None = None,
+    fold_accents: bool = False,
 ) -> TextIndex:
     """Inverted-index statistics over ``docs``.  ``max_df_ratio`` (e.g.
     0.5) drops terms occurring in more than that fraction of documents —
     statistical stop-listing that bounds posting-list skew; ``None``
-    keeps everything (exact BM25 over the full vocabulary)."""
+    keeps everything (exact BM25 over the full vocabulary).
+    ``fold_accents=True`` builds an accent-insensitive index; search it
+    with the same flag."""
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col), fold_accents)).alias("term"),
     )
     postings = toks.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
@@ -107,6 +128,7 @@ def bm25_search(
     query_text_col: str = "query_text",
     k1: float = 1.2,
     b: float = 0.75,
+    fold_accents: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.  Output:
     (query_id, doc_id, score, rank), rank 1..k, score rounded 1e-6 and
@@ -122,9 +144,9 @@ def bm25_search(
     """
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.explode(F.array_distinct(_tokens(F.col(query_text_col)))).alias(
-            "term"
-        ),
+        F.explode(
+            F.array_distinct(_tokens(F.col(query_text_col), fold_accents))
+        ).alias("term"),
     )
     # df per term: size of its posting list (count of docs, tf ≥ 1 each) —
     # computed for the QUERY's terms only.  The full-vocabulary df table

@@ -1433,7 +1433,7 @@ X35_SQL = r"""
 WITH toks AS (
   SELECT doc_id, t AS term FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+           unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS t
     FROM documents)
   WHERE length(t) > 0),
 postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -1447,7 +1447,7 @@ q(query_id, query_text) AS (VALUES
 qt AS (
   SELECT DISTINCT query_id, t AS term FROM (
     SELECT query_id,
-           unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS t
+           unnest(string_split_regex(lower(query_text), '[^\p{L}\p{N}]+')) AS t
     FROM q)
   WHERE length(t) > 0),
 dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
@@ -1508,7 +1508,7 @@ X37_SQL = r"""
 WITH toks AS (
   SELECT doc_id, t AS term FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+           unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS t
     FROM documents)
   WHERE length(t) > 0),
 postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -1522,7 +1522,7 @@ q(query_id, query_text) AS (VALUES
 qt AS (
   SELECT DISTINCT query_id, t AS term FROM (
     SELECT query_id,
-           unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS t
+           unnest(string_split_regex(lower(query_text), '[^\p{L}\p{N}]+')) AS t
     FROM q)
   WHERE length(t) > 0),
 dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
@@ -1748,17 +1748,23 @@ def x40_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _X40_WLIT = "[" + ", ".join(str(w) for w in _X40_W) + "]"
+# {{L}}/{{N}} doubled: this is an f-string; the SQL regex must read
+# \p{L}\p{N} — the same Unicode classes the Spark tokenizer uses.
+# The CASE guard mirrors Spark's NULL-text behavior (aggregate over a
+# NULL token array is NULL), where DuckDB's COALESCE+greatest would
+# otherwise manufacture sigmoid(bias) for NULL text.
 X40_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
                      t -> length(t) > 0) AS ts
   FROM documents)
 SELECT doc_id,
+       CASE WHEN ts IS NULL THEN NULL ELSE
        ROUND(1.0 / (1.0 + exp(-({_X40_BIAS} +
          COALESCE(list_sum(list_transform(ts,
            t -> ({_X40_WLIT})[CAST({h60("'clf:' || t")} % {_X40_D} AS INT) + 1]
-         )), 0.0) / greatest(len(ts), 1)))), 6) AS quality_prob
+         )), 0.0) / greatest(len(ts), 1)))), 6) END AS quality_prob
 FROM toks
 """
 

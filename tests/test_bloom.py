@@ -17,7 +17,7 @@ from jurimetria_etl_spark.operators.bloom import (
     bloom_params,
     dedup_incremental_bloom,
 )
-from jurimetria_etl_spark.operators.dedup import dedup_incremental
+from jurimetria_etl_spark.operators.dedup import dedup_incremental, fingerprint
 
 N = 10_000
 
@@ -200,3 +200,46 @@ def test_dedup_bloom_join_mode_defaults_without_id_col(spark):
     texts = {r["text"] for r in out.collect()}
     assert texts == {"fresh doc alpha beta"}
     assert out.count() == 1
+
+
+def test_join_mode_keeps_null_key_rows(spark):
+    """r8 ADVICE (medium): a NULL join key never matches the verdict
+    fold-back equi-join, so without the coalesce a NULL-id row got a
+    NULL verdict and vanished from BOTH branches of the maybe split.
+    Contract: join mode must report True (the safe Bloom direction) for
+    NULL-key rows, and dedup_incremental_bloom must keep a NULL-text
+    row in every mode, exactly like dedup_incremental."""
+    seen = spark.createDataFrame(
+        [("seen doc one two three",)], "text string"
+    ).select(fingerprint("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (1, "seen doc one two three"),  # store dup -> dropped
+            (2, "fresh doc alpha beta"),    # fresh -> kept
+            (3, None),                      # NULL text -> NULL fp -> kept
+        ],
+        "doc_id long, text string",
+    )
+    bl = bloom_build(seen, "fp")
+    plain = dedup_incremental(batch, seen)
+    for mode in ("dense", "join"):
+        out = dedup_incremental_bloom(batch, seen, bloom=bl, mode=mode)
+        got = sorted(
+            (r["doc_id"], r["text"]) for r in out.collect()
+        )
+        want = sorted((r["doc_id"], r["text"]) for r in plain.collect())
+        assert got == want, f"mode={mode}"
+        assert (2, "fresh doc alpha beta") in got and (3, None) in got
+
+    # and at the probe level: a NULL id_col value cannot fold back
+    # through the equi-join, so join mode must report True (the safe
+    # Bloom direction), never NULL
+    null_ids = spark.createDataFrame(
+        [(None, 777), (2, 12345)], "rid long, k long"
+    )
+    flagged = bloom_might_contain(
+        null_ids, "k", bl, id_col="rid", mode="join"
+    )
+    verdicts = {r["rid"]: r["might_contain"] for r in flagged.collect()}
+    assert verdicts[None] is True
+    assert verdicts[2] is not None

@@ -31,7 +31,23 @@ K1, B = 1.2, 0.75
 
 
 def _tok(s: str) -> list[str]:
-    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    """Model of the operator's Unicode tokenizer ([^\\p{L}\\p{N}]+ after
+    lower): group runs of Unicode letter/number characters.  Python's
+    \\w also matches '_' and misses \\p{No} (e.g. 'º'), so we classify
+    per-char with unicodedata instead of re."""
+    import unicodedata
+
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in s.lower():
+        if unicodedata.category(ch)[0] in ("L", "N"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def _model_bm25(docs, queries, k):
@@ -144,6 +160,58 @@ def test_index_stats_shape(spark, frames):
     assert abs(st["avgdl"] - total / len(DOCS)) < 1e-9
     # postings tf sums back to the token count
     assert idx.postings.agg(F.sum("tf")).first()[0] == total
+
+
+def test_portuguese_tokens_survive_whole(spark):
+    """r8 verdict weak #1: the domain corpus is Brazilian judicial
+    Portuguese; 'indenização'/'ação' must tokenize as single terms, not
+    ASCII fragments, and a Portuguese query must retrieve the accented
+    document."""
+    docs_pt = [
+        (0, "Ação de Indenização por Danos Morais — São Paulo"),
+        (1, "Execução Fiscal movida pela Fazenda Pública"),
+        (2, "shuffle join broadcast columnar scan"),
+    ]
+    docs = spark.createDataFrame(docs_pt, "doc_id long, text string")
+    idx = build_text_index(docs)
+    terms = {r["term"] for r in idx.postings.select("term").collect()}
+    assert {"ação", "indenização", "são", "paulo", "execução",
+            "fazenda", "pública"} <= terms
+    # no one-letter shrapnel from splitting inside accented words
+    assert not {"a", "o", "indeniza", "s", "p blica"} & terms
+    q = spark.createDataFrame(
+        [(1, "indenização danos morais"), (2, "execução fiscal")],
+        "query_id int, query_text string",
+    )
+    rows = bm25_search(idx, q, k=1).collect()
+    top = {r["query_id"]: r["doc_id"] for r in rows}
+    assert top == {1: 0, 2: 1}
+    # parity with the python model on the accented corpus
+    got = sorted(map(tuple, bm25_search_docs(docs, q, k=3).collect()))
+    assert got == _model_bm25(
+        docs_pt,
+        [(1, "indenização danos morais"), (2, "execução fiscal")],
+        3,
+    )
+
+
+def test_fold_accents_mode_matches_unaccented_query(spark):
+    """Opt-in accent-insensitive mode: an index built with
+    fold_accents=True resolves the unaccented query 'indenizacao';
+    the default (exact) index does not."""
+    docs = spark.createDataFrame(
+        [(0, "Ação de Indenização por Danos Morais")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "indenizacao")], "query_id int, query_text string"
+    )
+    exact = bm25_search(build_text_index(docs), q, k=5).count()
+    folded = bm25_search(
+        build_text_index(docs, fold_accents=True), q, k=5,
+        fold_accents=True,
+    ).count()
+    assert exact == 0 and folded == 1
 
 
 def test_plan_native_and_broadcast(spark, frames):
