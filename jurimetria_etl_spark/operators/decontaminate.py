@@ -82,22 +82,29 @@ def flag_contamination(
         bench_set = bench_set.persist(StorageLevel.MEMORY_AND_DISK)
         if bench_set.count() <= broadcast_max_rows:
             bench_set = F.broadcast(bench_set)
-    doc_sh = docs.select(
-        F.col(id_col),
-        F.explode(_shingle_hashes(text_col, n)).alias("__sh"),
-    )
-    overlaps = (
-        doc_sh.join(bench_set, doc_sh["__sh"] == bench_set["__bench_sh"])
-        .groupBy(id_col)
-        .agg(F.count("*").alias("overlap_cnt"))
-    )
-    base = docs.select(
-        id_col,
-        F.size(word_shingles(text_col, n)).cast("bigint").alias("n_shingles"),
+    # ONE pass over docs: shingle once, carry the per-doc shingle count
+    # through an explode_outer (zero-shingle and NULL-text docs keep one
+    # NULL row, so every document still gets an output row), LEFT join
+    # the bench set, and aggregate count + matched-count together.  The
+    # r8 shape scanned the doc side twice (overlap agg + a separate
+    # n_shingles scan) and SortMergeJoined them back — the second scan
+    # and the SMJ are pure waste at corpus scale (measured exponent
+    # 0.78 on the split-guard path; this is the r8 verdict's fix #2).
+    doc_sh = (
+        docs.select(
+            F.col(id_col),
+            _shingle_hashes(text_col, n).alias("__shs"),
+        )
+        .select(
+            id_col,
+            F.size("__shs").cast("bigint").alias("n_shingles"),
+            F.explode_outer("__shs").alias("__sh"),
+        )
     )
     out = (
-        base.join(overlaps, id_col, "left")
-        .withColumn("overlap_cnt", F.coalesce("overlap_cnt", F.lit(0)))
+        doc_sh.join(bench_set, doc_sh["__sh"] == bench_set["__bench_sh"], "left")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count("__bench_sh").alias("overlap_cnt"))
         .withColumn(
             "overlap_ratio",
             F.round(

@@ -134,6 +134,47 @@ def test_split_leakage_guard_quarantines_overlapping_train_docs(spark):
     assert all(got[i] == "train" for i in trains[1:])
 
 
+def test_contamination_probe_scans_docs_once(spark, tmp_path):
+    """r8 verdict fix #2: flag_contamination must compute
+    (n_shingles, overlap_cnt) in ONE pass over the doc side — the old
+    shape scanned docs twice and SortMergeJoined the halves back.  Pin:
+    exactly one FileScan of the docs parquet in the executed plan, no
+    SortMergeJoin anywhere, values unchanged vs a python model."""
+    from jurimetria_etl_spark.operators.decontaminate import flag_contamination
+
+    dp, bp = str(tmp_path / "docs"), str(tmp_path / "bench")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "short"),          # too short to shingle -> n_shingles 0
+            (4, None),             # NULL text -> empty shingles, clean
+        ],
+        "doc_id long, text string",
+    ).write.parquet(dp)
+    spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    ).write.parquet(bp)
+    docs, bench = spark.read.parquet(dp), spark.read.parquet(bp)
+    out = flag_contamination(docs, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count(dp.rsplit("/", 1)[-1]) <= plan.count("Scan parquet")
+    # one scan of the docs file; the bench side is its own single scan
+    doc_scans = len(
+        [ln for ln in plan.splitlines() if "Scan parquet" in ln and "docs" in ln]
+    )
+    assert doc_scans == 1, f"expected 1 docs scan, plan had {doc_scans}"
+    assert "SortMergeJoin" not in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_shingles"] == 4 and rows[1]["overlap_cnt"] == 4
+    assert rows[1]["contaminated"] is True
+    assert rows[2]["overlap_cnt"] == 0 and rows[2]["contaminated"] is False
+    assert rows[3]["n_shingles"] == 0 and rows[3]["contaminated"] is False
+    assert rows[4]["n_shingles"] == 0 and rows[4]["contaminated"] is False
+    assert len(rows) == 4  # every doc gets a row, zero-shingle ones too
+
+
 def test_contamination_size_gate_falls_back_to_shuffle(spark):
     """The guard's eval shingle set scales with the corpus (it is a split,
     not an external benchmark) — above ``broadcast_max_rows`` the explicit
