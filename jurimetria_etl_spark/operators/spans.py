@@ -55,13 +55,24 @@ from pyspark.sql import functions as F
 # densely templated corpus the ≥min_df set is a large fraction of the
 # corpus' distinct grams — multi-GB at 100-TB scale.  An unconditional
 # ``F.broadcast()`` hint overrides ``autoBroadcastJoinThreshold`` and
-# Spark's 8 GB broadcast ceiling is a hard failure, so the hint must be
-# SIZE-GATED: the survivor frame is its own pass-1 aggregate, so
-# persist + count is cheap; under the row threshold the broadcast
-# semi-filter is the fast path, above it the hint is dropped and AQE
-# plans a shuffle join — the byte-amplified exchange returns as a
-# graceful fallback instead of a driver/executor OOM.  2M 8-byte keys
-# is ~32 MB in a LongHashedRelation — comfortably inside any executor.
+# Spark's 8 GB broadcast ceiling is a hard failure, so the survivor
+# join must never force a broadcast on faith.
+#
+# DEFAULT posture (broadcast_max_rows=None): no hint, no extra job —
+# the survivor frame is a pass-1 AGGREGATE, so its exact runtime size
+# sits at an AQE stage boundary and AQE converts the semi-join to a
+# broadcast when the measured bytes fit (session.py enables AQE with a
+# 32 MB threshold).  That is the same decision the manual gate made,
+# taken from better evidence (actual bytes, not a row-count proxy) and
+# for free: the r8 manual persist+count cost a dedicated Spark job per
+# span-family call (r8 verdict note #3 — x28/x29/x32 cold roughly
+# doubled at fixture scale).
+#
+# MANUAL gate (broadcast_max_rows=<int>): persist + count the survivor
+# frame and hint under the threshold — the portability path for
+# AQE-disabled sessions or thresholds pinned below the useful size.
+# 2M 8-byte keys is ~32 MB in a LongHashedRelation — comfortably
+# inside any executor.
 SURVIVOR_BROADCAST_MAX_ROWS = 2_000_000
 
 
@@ -69,12 +80,15 @@ def _survivor_semi_filter(
     frame: DataFrame,
     key: Column,
     surviving: DataFrame,
-    broadcast_max_rows: int,
+    broadcast_max_rows: int | None,
 ) -> DataFrame:
-    """Semi-filter ``frame`` on ``key ∈ surviving.__h`` with a size-gated
-    broadcast hint (module comment above).  ``surviving`` is persisted so
-    its pass-1 aggregation runs once (count + join build), released by
-    the ContextCleaner when the returned plan is unreferenced."""
+    """Semi-filter ``frame`` on ``key ∈ surviving.__h``.  ``None`` is
+    the zero-extra-job AQE posture; an int is the manual size-gated
+    broadcast hint (module comment above) — there ``surviving`` is
+    persisted so its pass-1 aggregation runs once (count + join build),
+    released by the ContextCleaner when the plan is unreferenced."""
+    if broadcast_max_rows is None:
+        return frame.join(surviving, key == F.col("__h"), "left_semi")
     from pyspark import StorageLevel
 
     surviving = surviving.persist(StorageLevel.MEMORY_AND_DISK)
@@ -169,7 +183,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     fps: DataFrame | None = None,
-    broadcast_max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """All ``span_len``-char spans shared by ≥2 distinct documents:
     (left_id, right_id, span) with left_id < right_id, one row per
@@ -290,7 +304,7 @@ def duplicate_spans_against(
     text_col: str = "text",
     left_fps: DataFrame | None = None,
     right_fps: DataFrame | None = None,
-    broadcast_max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """Cross-CORPUS duplicate spans: every ``span_len``-char span present
     in a ``left`` document AND a ``right`` document, as
@@ -410,14 +424,19 @@ def duplicate_spans_against(
     # SURVIVOR_BROADCAST_MAX_ROWS): on densely overlapping corpora — two
     # crawls of the same sites — the intersection approaches the smaller
     # side's whole distinct-gram set, where a forced broadcast is an OOM
-    # and AQE's shuffle join is the graceful path.  One count serves both
-    # joins; the persisted frame makes the two sides identical subplans.
-    n_shared = shared_h.count()
-    build = (
-        F.broadcast(shared_h)
-        if n_shared <= broadcast_max_rows
-        else shared_h
-    )
+    # and AQE's shuffle join is the graceful path.  Default (None): no
+    # count job, AQE decides from the persisted frame's runtime bytes;
+    # manual int gate: one count serves both joins.  Either way the
+    # persist makes the two sides identical subplans.
+    if broadcast_max_rows is None:
+        build = shared_h
+    else:
+        n_shared = shared_h.count()
+        build = (
+            F.broadcast(shared_h)
+            if n_shared <= broadcast_max_rows
+            else shared_h
+        )
     kept_l = grams_l.join(
         build,
         F.xxhash64(F.col("__ls")) == F.col("__h"),
@@ -747,7 +766,7 @@ def boilerplate_spans(
     min_df: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """Corpus-level boilerplate table: (span, n_docs) for every
     ``span_len``-char span occurring in ≥ ``min_df`` distinct documents
@@ -806,7 +825,7 @@ def duplicate_lines(
     min_line_chars: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """Corpus-level duplicated-LINE table: (line, n_docs) for every line
     (newline-delimited, length ≥ ``min_line_chars`` after trim) occurring

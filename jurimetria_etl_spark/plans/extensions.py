@@ -1810,6 +1810,11 @@ EXTENSIONS: dict[str, Q] = {
     # its pytest-oracle row in test_deregistered_queries.py).
     "x23_pii_scrub": Q(x23_pii_scrub, X23_SQL),
     "x25_decontaminate": Q(x25_decontaminate, X25_SQL),
+    # Round-9 rotation (t03/t09 → pytest-oracle): the two r8 axes that
+    # lacked driver-gate rows — Bloom-prefiltered incremental dedup and
+    # BM25 keyword search (r8 verdict task 4).
+    "x34_bloom_incremental_dedup": Q(x34_bloom_incremental_dedup, X34_SQL),
+    "x35_bm25_search": Q(x35_bm25_search, X35_SQL),
 }
 
 # Round-5 rotation: the minhash/simhash intermediate stages rotated out to
@@ -1839,14 +1844,6 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # Never registered (window full): the strip application half of the
     # registered x32_duplicate_lines.
     "x33_strip_duplicate_lines": Q(x33_strip_duplicate_lines, X33_SQL),
-    # Never registered (window full): Bloom-prefiltered incremental
-    # dedup — the r8 membership-summary operator (operators/bloom.py).
-    "x34_bloom_incremental_dedup": Q(
-        x34_bloom_incremental_dedup, X34_SQL
-    ),
-    # Never registered (window full): BM25 keyword top-k — the lexical
-    # retrieval axis (operators/search.py).
-    "x35_bm25_search": Q(x35_bm25_search, X35_SQL),
     # Mid-round-8 rotation out (to admit x36/x37): the n-gram Jaccard
     # exact join — x05 keeps the shingle/candidate join shape registered.
     "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),

