@@ -32,8 +32,11 @@ def enrich_municipio(
         .na.drop(subset=["__cd_mun"])  # W4: drop NULL-key dim rows
         # one row per code, like the reference's dict lookup — a
         # duplicated key in the dim would FAN OUT fact rows through the
-        # left join (deterministic pick: max name; the Excel adapter
-        # already deduped in file order upstream)
+        # left join.  load_municipios dedups LAST-wins (file order, the
+        # reference's dict-build rule) on every adapter path, so this
+        # max-name pick only fires for dims handed in directly; for
+        # those it is a documented deterministic divergence (no file
+        # order exists on an arbitrary DataFrame to replay)
         .groupBy("__cd_mun")
         .agg(F.max("__nm_mun").alias("__nm_mun"))
     )

@@ -268,6 +268,75 @@ def maintain_stores(
     return reports
 
 
+def recluster_semdedup_store(
+    spark: SparkSession,
+    store: str,
+    new_centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    assign: str = "auto",
+) -> dict:
+    """Re-cluster a SemDeDup store onto a NEW centroid set — the
+    maintenance remedy for geometry drift (operators/semdedup.py: the
+    centroid set is the store's generation contract, and
+    ``max_cluster_rows`` overflows advise "re-cluster" — this is the
+    operator that makes that advice actionable).
+
+    Reads the current generation's survivor (id, vector) rows,
+    re-assigns each to its nearest NEW centroid
+    (``build_semdedup_store``'s kernel), writes the re-assigned rows
+    into a fresh version directory partitioned by ``sem_cluster`` (so
+    incremental batches keep partition-pruned cell reads), verifies the
+    row count, and atomically publishes the manifest.  Readers that
+    resolved the old generation keep an intact directory — reclaim with
+    ``store_prune`` after the grace interval, the ``compact_store``
+    posture exactly.
+
+    The survivor SET is intentionally unchanged: which vectors were
+    kept was decided when they streamed in; re-clustering rebalances
+    the cells future batches scan against, it does not re-litigate
+    history.  Callers must hand the SAME ``new_centroids`` to
+    ``semdedup_incremental`` / ``curate_document_stream`` from the next
+    batch on (pass both atomically — a mixed-generation read is exactly
+    what the manifest swap prevents)."""
+    from jurimetria_etl_spark.operators.semdedup import build_semdedup_store
+
+    src = store_data_dir(store)
+    cur = spark.read.parquet(src)
+    for col in (id_col, vec_col):
+        if col not in cur.columns:
+            raise ValueError(
+                f"recluster_semdedup_store: store at {src!r} has no "
+                f"{col!r} column — not a semdedup store?"
+            )
+    reassigned = build_semdedup_store(
+        cur.select(id_col, vec_col), new_centroids, id_col, vec_col, assign
+    )
+    _, total = dir_stats(src)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(store, _VERSIONS, version)
+    _rewrite(reassigned, vdir, n_out, ["sem_cluster"])
+    src_rows = _rows_in(spark, src)
+    new_rows = _rows_in(spark, vdir)
+    if new_rows != src_rows:
+        shutil.rmtree(vdir, ignore_errors=True)
+        return {
+            "skipped": True,
+            "verified": False,
+            "reason": f"rewrite rows {new_rows} != source rows {src_rows}",
+        }
+    _publish(store, version)
+    return {
+        "skipped": False,
+        "verified": True,
+        "version": version,
+        "rows": new_rows,
+        "n_clusters": len(new_centroids),
+    }
+
+
 def store_prune(store: str) -> list[str]:
     """Delete every non-current generation: old version directories and —
     once a manifest exists — the legacy root files a plain-dir upgrade

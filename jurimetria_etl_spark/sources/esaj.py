@@ -113,7 +113,7 @@ def fetch_esaj_rows(
     out: list[dict[str, str]] = []
     query = dict(params or {})
     page = 1
-    prev_rows: list[dict[str, str]] | None = None
+    seen_processos: set[str] = set()
     while True:
         if max_pages is not None and page > max_pages:
             break
@@ -126,11 +126,17 @@ def fetch_esaj_rows(
             break
         # Repeated-page guard (the datajud connector's seen-cursor set,
         # sources/datajud.py): servers commonly CLAMP an out-of-range
-        # paginaConsulta to the last page, which would loop forever with
-        # max_pages=None.
-        if rows == prev_rows:
+        # paginaConsulta to the last (or first) page, which would loop
+        # forever with max_pages=None.  Keyed on the page's process
+        # NUMBERS — the row identity — against everything seen so far,
+        # not whole-page content equality: two legitimate pages with
+        # identical non-key cells (r8 ADVICE) still advance because
+        # their processos differ, while a clamp to ANY earlier page
+        # contributes no unseen processo and terminates.
+        page_ids = {r["processo"] for r in rows}
+        if page_ids <= seen_processos:
             break
-        prev_rows = rows
+        seen_processos |= page_ids
         out.extend(rows)
         page += 1
         if pause:

@@ -108,6 +108,8 @@ def curate_document_stream(
     semdedup_centroids: list[tuple[int, list[float]]] | None = None,
     semdedup_eps: float = 0.95,
     vec_col: str = "embedding",
+    classifier: tuple[list[float], float] | None = None,
+    classifier_threshold: float = 0.5,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -184,6 +186,18 @@ def curate_document_stream(
     filters future batches, so it must land only after the corpus
     holds the doc).
 
+    ``classifier=(weights, bias)`` (optional) applies the hashed-linear
+    quality gate (operators/classify.py) to each micro-batch AFTER the
+    strip lists and BEFORE any fingerprinting — the same rounded-score
+    ``quality_prob ≥ classifier_threshold`` predicate
+    ``plans.curation.curate_corpus`` applies, so a document the batch
+    pipeline would reject never enters the streamed corpus or its
+    dedup stores (r8 verdict: the streaming path previously curated
+    without the quality filter the batch path applies).  Weights are a
+    generation contract like the strip lists: retrained weights change
+    which documents land, so pair a weight change with a new corpus
+    generation, not an in-place swap.
+
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
     """
@@ -217,6 +231,19 @@ def curate_document_stream(
                 text_col,
                 replace=True,
             )
+        if classifier is not None:
+            from jurimetria_etl_spark.operators.classify import (
+                linear_quality_score,
+            )
+
+            # Same rounded-score gate as curate_corpus (plans/curation.py)
+            # so stream and batch keep/reject identical documents.
+            batch_df = batch_df.where(
+                linear_quality_score(text_col, *classifier)
+                >= F.lit(classifier_threshold)
+            )
+            if not batch_df.head(1):
+                return
         fp_store = _read_or_empty(spark, fp_store_dir, "fp bigint")
         # Store read-back schemas derive the id column's NAME and TYPE
         # from the live batch (same rule as the semdedup store below and

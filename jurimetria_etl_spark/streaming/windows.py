@@ -152,16 +152,25 @@ def stream_to_parquet(
     state store retains every window ever seen) and rejects append-only
     operators (``dedup_stream``, ``session_summaries``).  For unbounded
     runs pass ``output_mode="append"``: only watermark-finalized rows
-    arrive per batch and are APPENDED, state stays bounded.  The
-    checkpoint dir makes restarts exactly-once either way."""
+    arrive per batch, each written to its own ``batch_id=<n>`` partition
+    directory with OVERWRITE — a batch replayed after a crash between
+    the write and the checkpoint commit rewrites its own partition
+    instead of double-appending (a plain parquet append inside
+    foreachBatch is only at-least-once), so restarts are exactly-once
+    in BOTH modes.  Readers of the append layout see a ``batch_id``
+    partition column — provenance for free; drop it if unwanted."""
     if output_mode not in ("complete", "append", "update"):
         raise ValueError(
             f"output_mode={output_mode!r}: complete | append | update"
         )
-    file_mode = "overwrite" if output_mode == "complete" else "append"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode(file_mode).parquet(out_dir)
+        if output_mode == "complete":
+            batch_df.write.mode("overwrite").parquet(out_dir)
+        else:
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
 
     writer = (
         agg.writeStream.outputMode(output_mode)

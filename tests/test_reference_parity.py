@@ -283,6 +283,25 @@ def test_enrich_municipio_duplicate_codes_do_not_fan_out(spark):
     assert out[0]["municipio"] == "SP-b"  # deterministic max-name pick
 
 
+def test_load_municipios_csv_dedups_last_wins(spark, tmp_path):
+    """r8 ADVICE: the CSV adapter must resolve duplicate codes with the
+    reference's dict-build rule — LAST row in file order wins — so a
+    malformed dim names the same municipality on every adapter path
+    (the join's max-name guard would pick 'ZZ-alpha' here)."""
+    from jurimetria_etl_spark.sources.municipios import load_municipios
+
+    csv = tmp_path / "mun.csv"
+    csv.write_text(
+        "CD_UF,NM_UF,NM_UF_SIGLA,CD_MUN,NM_MUN,AR_MUN_2024\n"
+        "35,Sao Paulo,SP,3550308,ZZ-alpha,1.0\n"
+        "35,Sao Paulo,SP,3550308,AA-last,1.0\n"
+        "23,Ceara,CE,2304400,Fortaleza,2.0\n"
+    )
+    dim = load_municipios(spark, str(csv))
+    rows = {r["CD_MUN"]: r["NM_MUN"] for r in dim.collect()}
+    assert rows == {3550308: "AA-last", 2304400: "Fortaleza"}
+
+
 def test_datajud_http_status_error_propagates():
     """r8 review: the reference swallows only the request ATTEMPT
     (connection errors); raise_for_status errors (401/5xx) crash loudly

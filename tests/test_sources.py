@@ -127,6 +127,37 @@ def test_esaj_repeated_page_guard_stops_clamped_pagination():
     assert len(rows) == 4  # pages 1 and 2; the clamped repeat is dropped
 
 
+def test_esaj_identical_cells_distinct_processos_do_not_stop():
+    """r8 ADVICE: the clamp guard keys on the PROCESSO identity, not
+    whole-page content — two legitimate pages whose non-key cells render
+    identically must both land."""
+    def transport(url, params):
+        p = params["paginaConsulta"]
+        if p > 2:
+            return 200, "<html>no table</html>"
+        # same classe/assunto/orgao/data cells on both pages; only the
+        # process numbers differ (replace the longer token first — its
+        # substring is a prefix of the other replacement's output)
+        return 200, ESAJ_HTML.replace("0002", f"P{p}B").replace(
+            "0001", f"P{p}A"
+        )
+
+    rows = fetch_esaj_rows(transport)
+    assert [r["processo"] for r in rows] == ["P1A", "P1B", "P2A", "P2B"]
+
+
+def test_esaj_clamp_to_first_page_stops():
+    """A server clamping EVERY out-of-range page back to page 1 (not the
+    last page) must also terminate: the guard compares against all seen
+    processos, not just the previous page."""
+    def clamp_first(url, params):
+        p = params["paginaConsulta"]
+        return 200, _paged_esaj_html(p if p <= 2 else 1)
+
+    rows = fetch_esaj_rows(clamp_first)
+    assert len(rows) == 4  # pages 1-2 once each, then the clamp stops it
+
+
 def test_esaj_cell_text_unescapes_entities_and_collapses_ws():
     """r8 review: bs4 get_text parity — entities decoded, interior
     whitespace runs collapsed."""

