@@ -277,9 +277,37 @@ def main() -> None:
     shared_warm = sum(warm[n] for n in shared)
     shared_duck = sum(duck[n] for n in shared)
 
+    # Composition guard (r8 verdict task 7): compare this run's warm
+    # series to the PREVIOUS recorded run over common keys and flag any
+    # query whose warm time moved >1.5× either way — the r8 x28
+    # cold-doubling triage was manual because the artifact carried no
+    # round-over-round delta.  "Previous" is whatever BENCH_DETAIL.json
+    # held before this run (the driver writes once per round, so at the
+    # gate this is the prior round's warm series).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prev_warm: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prev_warm = json.load(f).get("warm_queries") or {}
+    except Exception:
+        pass
+    warm_delta: dict[str, float] = {}
+    flagged: dict[str, float] = {}
+    for name, w in warm.items():
+        p = prev_warm.get(name)
+        if isinstance(p, (int, float)) and p > 0 and w > 0:
+            r = round(w / p, 2)
+            warm_delta[name] = r
+            if r > 1.5 or r < (1 / 1.5):
+                flagged[name] = r
+
     # Per-query warm/DuckDB detail rides in a file; only totals go to
     # stdout so the driver's bounded tail always captures the final line.
     detail = {
+        "warm_delta_vs_prev": warm_delta,
+        "warm_delta_flagged": flagged,
         "queries": timings,
         "warm_queries": warm,
         "errors": errors,
@@ -290,9 +318,6 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -333,6 +358,11 @@ def main() -> None:
         summary["sf1_warm_total_sec"] = sf1["warm_total_sec"]
         summary["sf1_duckdb_total_sec"] = sf1["duckdb_total_sec"]
         summary["sf1_warm_vs_duckdb_ratio"] = sf1["warm_vs_duckdb_ratio"]
+    # small stdout footprint: count + worst mover; full map in the detail
+    if flagged:
+        worst = max(flagged, key=lambda n: max(flagged[n], 1 / flagged[n]))
+        summary["warm_delta_flagged"] = len(flagged)
+        summary["warm_delta_worst"] = f"{worst}:{flagged[worst]}"
     if errors:
         summary["n_errors"] = len(errors)
     line = json.dumps(summary, separators=(",", ":"))

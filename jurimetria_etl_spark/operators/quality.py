@@ -66,9 +66,12 @@ def mean_word_length(col: Column | str) -> Column:
 
 def alpha_word_fraction(col: Column | str) -> Column:
     """Fraction of words containing at least one alphabetic character
+    — any Unicode letter (\\p{L}), not [A-Za-z]: an accent-only
+    Portuguese word like "é" or "às" is alphabetic (r9; the ASCII class
+    under-counted the reference's own language)
     (C4/Gopher: prose has ≥80%; tables of numbers do not)."""
     ws = words(col)
-    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike(r"\p{L}")))
     return n_alpha / F.nullif(F.size(ws), F.lit(0)).cast("double")
 
 

@@ -18,6 +18,12 @@ from jurimetria_etl_spark.operators.dedup import tokens, ws_words
 # a model); CJK detected by codepoint range.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "is", "to", "in"),
+    # Portuguese — the reference's own corpus language (Brazilian
+    # judicial text, jurimetria_pipeline.py:163-179).  Markers chosen
+    # pt-distinctive: none collide with the other lists ("os" ≠ es
+    # "los", "uma" ≠ fr "une"), so adding the language cannot flip an
+    # existing en/fr/es/de verdict.
+    "pt": ("que", "não", "uma", "para", "com", "os", "do"),
     "fr": ("le", "la", "et", "les", "des", "une", "est"),
     "es": ("el", "los", "las", "una", "es", "y", "en"),
     "de": ("der", "die", "und", "das", "ein", "ist", "nicht"),
@@ -37,12 +43,15 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 
 def lang_id(col: Column | str) -> Column:
-    """Heuristic language-ID: CJK presence → zh; otherwise the language with
-    the highest stopword hit-count, fixed precedence en>fr>es>de on ties,
-    'und' (undetermined) when no stopword hits at all."""
+    """Heuristic language-ID: CJK presence → zh; otherwise the language
+    with the highest stopword hit-count, fixed precedence
+    en>pt>fr>es>de on ties, 'und' (undetermined) when no stopword hits
+    at all."""
     scores = lang_scores(col)
-    en, fr, es, de = scores["en"], scores["fr"], scores["es"], scores["de"]
-    best = F.greatest(en, fr, es, de)
+    en, pt, fr, es, de = (
+        scores["en"], scores["pt"], scores["fr"], scores["es"], scores["de"]
+    )
+    best = F.greatest(en, pt, fr, es, de)
     c = F.col(col) if isinstance(col, str) else col
     return (
         # NULL text (e.g. a PERMISSIVE-mode corrupt JSON row) is
@@ -52,6 +61,7 @@ def lang_id(col: Column | str) -> Column:
         .when(F.regexp_count(c, F.lit(CJK_PATTERN)) > 0, F.lit("zh"))
         .when(best == 0, F.lit("und"))
         .when(en == best, F.lit("en"))
+        .when(pt == best, F.lit("pt"))
         .when(fr == best, F.lit("fr"))
         .when(es == best, F.lit("es"))
         .otherwise(F.lit("de"))

@@ -283,6 +283,7 @@ X09_SQL = f"""
 WITH t AS (SELECT doc_id, text, {WS_TOKS_LC} AS toks FROM documents),
 s AS (SELECT doc_id, text,
   {_lang_filter_sql(X.LANG_STOPWORDS["en"])} AS en,
+  {_lang_filter_sql(X.LANG_STOPWORDS["pt"])} AS pt,
   {_lang_filter_sql(X.LANG_STOPWORDS["fr"])} AS fr,
   {_lang_filter_sql(X.LANG_STOPWORDS["es"])} AS es,
   {_lang_filter_sql(X.LANG_STOPWORDS["de"])} AS de
@@ -290,10 +291,11 @@ s AS (SELECT doc_id, text,
 SELECT doc_id,
   CASE WHEN text IS NULL THEN 'und'
        WHEN regexp_matches(text, '{X.CJK_PATTERN}') THEN 'zh'
-       WHEN greatest(en, fr, es, de) = 0 THEN 'und'
-       WHEN en = greatest(en, fr, es, de) THEN 'en'
-       WHEN fr = greatest(en, fr, es, de) THEN 'fr'
-       WHEN es = greatest(en, fr, es, de) THEN 'es'
+       WHEN greatest(en, pt, fr, es, de) = 0 THEN 'und'
+       WHEN en = greatest(en, pt, fr, es, de) THEN 'en'
+       WHEN pt = greatest(en, pt, fr, es, de) THEN 'pt'
+       WHEN fr = greatest(en, pt, fr, es, de) THEN 'fr'
+       WHEN es = greatest(en, pt, fr, es, de) THEN 'es'
        ELSE 'de' END AS lang_pred
 FROM s
 """
@@ -948,7 +950,7 @@ WITH m AS (
     CAST(len({_WS}) AS BIGINT) AS n_words,
     round(list_sum(list_transform({_WS}, w -> len(w))) * 1.0
           / nullif(len({_WS}), 0), 6) AS mean_word_len,
-    round(len(list_filter({_WS}, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+    round(len(list_filter({_WS}, w -> regexp_matches(w, '\\p{{L}}'))) * 1.0
           / nullif(len({_WS}), 0), 6) AS alpha_word_frac,
     round((len(regexp_extract_all(text, '#'))
            + len(regexp_extract_all(text, '\\.\\.\\.'))

@@ -84,6 +84,44 @@ def test_quality_metrics_on_prose(spark):
     assert r["symbol_word_ratio"] == 0.0
 
 
+def test_quality_metrics_on_portuguese_prose(spark):
+    """r8 verdict task 8: the reference's corpus is accented Portuguese —
+    pin the word metrics on it so a tokenizer/regex change cannot
+    silently regress the domain.  Every word here is alphabetic,
+    including the accent-only 'é' and 'às' (the old [A-Za-z] class
+    counted them as non-alpha)."""
+    pt = (
+        "A ação de indenização é movida às partes que não têm uma "
+        "decisão para o processo com os documentos do órgão público"
+    )
+    r = _rules_row(spark, pt)
+    assert r["n_words"] == len(pt.split())
+    assert r["alpha_word_frac"] == 1.0
+    assert r["symbol_word_ratio"] == 0.0
+
+
+def test_lang_id_detects_portuguese(spark):
+    """Language-ID over the reference's own language: a Portuguese
+    sentence must come back 'pt', and the English/fr/es/de verdicts
+    must be unchanged by the new list (pt markers are disjoint)."""
+    from jurimetria_etl_spark.operators.text import lang_id
+
+    rows = [
+        (1, "a sentença que não foi proferida para o réu com os autos do processo"),
+        (2, "the quick brown fox is one of the animals in the story"),
+        (3, "le chat et la souris sont des animaux est une histoire"),
+        (4, "el perro y los gatos las casas una es en madrid"),
+        (5, "der hund und die katze das haus ist ein nicht"),
+        (6, "zzz qqq xxx"),  # no stopword hits anywhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", lang_id("text").alias("lang")).collect()
+    }
+    assert got == {1: "pt", 2: "en", 3: "fr", 4: "es", 5: "de", 6: "und"}
+
+
 def test_quality_empty_doc_fails_not_nulls_through(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     r = QL.add_quality_rules(df).first()
