@@ -112,17 +112,26 @@ def rolling_fingerprint(col: Column | str) -> Column:
     )
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, lang: str = "en") -> Column:
     """Composite document-quality score in [0,1]:
     0.4·min(n_tokens/100, 1)  — enough content
     0.4·(distinct/total)      — lexical diversity (spam/boilerplate ↓)
     0.2·min(5·stopword_ratio, 1) — natural-language-ness
-    NULL for empty documents (NULL-propagating division)."""
+    NULL for empty documents (NULL-propagating division).
+
+    ``lang`` picks the stopword list for the natural-language term —
+    pass ``"pt"`` for the reference's Portuguese corpus (an accented
+    judicial text scores its stopword floor on pt markers, not en)."""
+    if lang not in LANG_STOPWORDS:
+        raise ValueError(
+            f"quality_score: lang={lang!r} not in "
+            f"{sorted(LANG_STOPWORDS)}"
+        )
     toks = ws_words(F.lower(col))  # non-empty by construction
     n_tok = F.size(toks)
     n_tok_d = F.nullif(n_tok, F.lit(0)).cast("double")
     n_uniq = F.size(F.array_distinct(toks))
-    stop = _stopword_count(toks, LANG_STOPWORDS["en"])
+    stop = _stopword_count(toks, LANG_STOPWORDS[lang])
     score = (
         F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
         + (n_uniq / n_tok_d) * 0.4

@@ -34,6 +34,7 @@ def curate_corpus(
     text_col: str = "text",
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
+    quality_lang: str = "en",
     near_dup_threshold: float = 0.7,
     transitive: bool = True,
     minhash_k: int = 8,
@@ -156,7 +157,10 @@ def curate_corpus(
         )
     profile_cols = [
         X.lang_id(text_col).alias("lang_pred"),
-        X.quality_score(text_col).alias("quality"),
+        # score the stopword floor on the corpus's own language —
+        # curating a Portuguese corpus (languages=("pt",)) with the en
+        # list would under-score every accepted document
+        X.quality_score(text_col, lang=quality_lang).alias("quality"),
         X.token_count(text_col).alias("ws_tokens"),
         X.bpe_ish_token_count(text_col).alias("bpe_tokens"),
     ]
@@ -324,7 +328,8 @@ def prepare_training_shards(
     from jurimetria_etl_spark.operators.text import chunk_documents
 
     curated = curate_corpus(
-        docs, id_col, text_col, languages, min_quality, near_dup_threshold,
+        docs, id_col, text_col, languages, min_quality,
+        near_dup_threshold=near_dup_threshold,
         intermediate_dir=intermediate_dir,
     )
     chunks = chunk_documents(

@@ -299,7 +299,10 @@ def recluster_semdedup_store(
     history.  Callers must hand the SAME ``new_centroids`` to
     ``semdedup_incremental`` / ``curate_document_stream`` from the next
     batch on (pass both atomically — a mixed-generation read is exactly
-    what the manifest swap prevents)."""
+    what the manifest swap prevents).  Derive the new set from the
+    store's own vectors with ``similarity.train_ivf_centroids`` (e.g.
+    ``n_clusters = rows // target_occupancy`` — the scaled-cells rule
+    SCALE.md measures)."""
     from jurimetria_etl_spark.operators.semdedup import build_semdedup_store
 
     src = store_data_dir(store)

@@ -101,28 +101,26 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "x18_near_dup_clusters": (0, 0, 2, 0),
     "x20_pack_shards": (0, 0, 4, 1),
     "x22_training_shards": (0, 0, 4, 1),
-    # x28 (r7 hash pre-pass, r8 size-gated survivor broadcast): widen →
-    # winnow fps (narrow) → windowed fp count → candidate-doc semi-join →
-    # persisted cand ids → long-keyed xxhash64(span) count persisted as
-    # the SIZE-GATED survivor set → broadcast survivor semi-filter →
-    # span-keyed group + in-group pair expansion.  NOTE: the pinned
-    # number counts PRINTED exchanges — each persisted subtree prints its
-    # AQE final AND initial plan, so nested caches multiply occurrences;
-    # the executed shuffles are far fewer (each cached subtree fills
-    # once).  The pin still catches any plan-shape drift exactly.
-    "x28_duplicate_spans": (0, 0, 28, 3),
-    # x29 (r7 hash-keyed, r8 size-gated): widen → long-keyed
-    # xxhash64(span) df count persisted (survivor set, printed
-    # final+initial = 4 of the 7) → gated broadcast survivor semi-filter
-    # → survivor-sized span recount.  The corpus-wide exchange carries
-    # 8-byte longs, never raw spans.
-    "x29_boilerplate_spans": (0, 0, 7, 1),
+    # x28 (r7 hash pre-pass; r9 AQE-gated survivor semi-join): widen →
+    # winnow fps (narrow) → windowed fp count → candidate-doc semi-join
+    # (persisted cand ids) → long-keyed xxhash64(span) count (the
+    # survivor set — r9: no persist/count job; AQE converts the
+    # semi-join from runtime bytes) → span-keyed group + in-group pair
+    # expansion.  r8's pin was 28: the persisted survivor subtree
+    # printed its AQE final AND initial plan and the dedicated count
+    # job replanted the pipeline; dropping the manual gate halves the
+    # printed exchanges (28 → 13) and removes a Spark job per call.
+    "x28_duplicate_spans": (0, 0, 13, 3),
+    # x29 (r7 hash-keyed; r9 AQE-gated): widen → long-keyed
+    # xxhash64(span) df count (survivor set, unpersisted) → survivor
+    # semi-filter (AQE decides broadcast) → survivor-sized span recount.
+    # The corpus-wide exchange carries 8-byte longs, never raw spans.
+    "x29_boilerplate_spans": (0, 0, 5, 1),
     "x27_hll_daily_uniques": (0, 0, 2, 0),
-    # x32 (r8): line-level dedup, same hash-keyed two-pass shape as x29
-    # (4 of the 7 printed exchanges are the persisted survivor subtree's
-    # final+initial plans) — corpus-wide exchange carries longs, gated
-    # broadcast survivor semi-filter, line-keyed recount.
-    "x32_duplicate_lines": (0, 0, 7, 1),
+    # x32 (r8; r9 AQE-gated): line-level dedup, same hash-keyed two-pass
+    # shape as x29 — corpus-wide exchange carries longs, AQE survivor
+    # semi-filter, line-keyed recount.
+    "x32_duplicate_lines": (0, 0, 5, 1),
     # x34 (r8): Bloom-prefiltered incremental dedup — fingerprint store
     # build (agg exchange), Bloom word build (bit_or agg), dense bitset
     # compaction (range join + single-row agg), the 2 pinned BNLJs are

@@ -122,6 +122,30 @@ def test_lang_id_detects_portuguese(spark):
     assert got == {1: "pt", 2: "en", 3: "fr", 4: "es", 5: "de", 6: "und"}
 
 
+def test_quality_score_language_parameter(spark):
+    """quality_score(lang=) scores the natural-language term on the
+    corpus's own stopwords: Portuguese prose gets full stopword credit
+    under 'pt' but near-zero under the default 'en'; the other two
+    terms are language-neutral so the delta isolates the stopword
+    floor.  Unknown languages fail loudly."""
+    import pytest as _pytest
+
+    from jurimetria_etl_spark.operators.text import quality_score
+
+    pt = (
+        "uma decisão que não foi proferida para o réu com os autos "
+        "do processo que correm para a vara com os prazos do recurso"
+    )
+    df = spark.createDataFrame([(1, pt)], "doc_id long, text string")
+    row = df.select(
+        quality_score("text").alias("en_q"),
+        quality_score("text", lang="pt").alias("pt_q"),
+    ).first()
+    assert row["pt_q"] > row["en_q"]
+    with _pytest.raises(ValueError, match="lang="):
+        df.select(quality_score("text", lang="xx"))
+
+
 def test_quality_empty_doc_fails_not_nulls_through(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     r = QL.add_quality_rules(df).first()
