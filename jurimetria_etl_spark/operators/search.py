@@ -213,6 +213,88 @@ def bm25_search_docs(
     )
 
 
+def append_text_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fold_accents: bool = False,
+) -> None:
+    """Append one batch's inverted-index rows to a persisted index
+    store — the lexical axis's incremental-store form (the pattern of
+    the fingerprint / minhash-signature / Bloom / SemDeDup stores:
+    parquet appends, fold on read, maintenance-time compaction).
+
+    Layout: ``<index_dir>/postings`` (term, doc_id, tf) and
+    ``<index_dir>/doc_lens`` (doc_id, dl), each a manifested store
+    (``sinks.maintenance``) so ``compact_store`` / ``store_prune`` work
+    per frame.  Corpus statistics (n_docs, avgdl, df) are DERIVED at
+    load — nothing stored goes stale as batches append.
+
+    Retry semantics: a replayed batch appends byte-identical rows, and
+    ``load_text_index`` folds duplicates with ``max`` per key — so
+    at-least-once ``foreachBatch`` delivery is idempotent.  The
+    contract that makes ``max`` exact: one immutable text per
+    ``id_col`` value (the curation pipeline's exact-dedup gate
+    guarantees it upstream); re-ingesting CHANGED text under an old id
+    is a store-generation change, not an append.  Tokenization
+    (``fold_accents`` included) is part of the store's generation
+    contract, like the span stores' strip lists."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    idx = build_text_index(
+        docs, id_col, text_col, fold_accents=fold_accents
+    )
+    # doc_lens first: a crash in between leaves length-only docs that
+    # cannot match any query term (scoreless, harmless) and the retry
+    # restores postings; postings-first would let a term match a doc
+    # whose dl is missing and NULL-poison its score.
+    idx.doc_lens.write.mode("append").parquet(
+        store_data_dir(f"{index_dir}/doc_lens")
+    )
+    idx.postings.write.mode("append").parquet(
+        store_data_dir(f"{index_dir}/postings")
+    )
+
+
+def load_text_index(
+    spark,
+    index_dir: str,
+    max_df_ratio: float | None = None,
+) -> TextIndex:
+    """Rehydrate a persisted incremental index (``append_text_index``):
+    fold duplicate appended rows (``max`` per key — see the retry
+    contract there), derive (n_docs, avgdl) from the folded lengths,
+    and optionally stop-list by ``max_df_ratio`` exactly like
+    ``build_text_index``.  The folds are one aggregation each at search
+    time; ``sinks.maintenance.compact_store`` on the two subdirs keeps
+    the file counts bounded between batches."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    postings = (
+        spark.read.parquet(store_data_dir(f"{index_dir}/postings"))
+        .groupBy("term", "doc_id")
+        .agg(F.max("tf").alias("tf"))
+    )
+    doc_lens = (
+        spark.read.parquet(store_data_dir(f"{index_dir}/doc_lens"))
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+    )
+    stats = doc_lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    if max_df_ratio is not None:
+        dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        keep = (
+            dfs.join(F.broadcast(stats))
+            .where(F.col("__df") <= F.col("n_docs") * F.lit(max_df_ratio))
+            .select("term")
+        )
+        postings = postings.join(keep, "term", "left_semi")
+    return TextIndex(postings=postings, doc_lens=doc_lens, stats=stats)
+
+
 def rrf_fuse(
     ranked_lists: list[DataFrame],
     k: int = 60,

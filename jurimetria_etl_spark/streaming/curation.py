@@ -110,6 +110,7 @@ def curate_document_stream(
     vec_col: str = "embedding",
     classifier: tuple[list[float], float] | None = None,
     classifier_threshold: float = 0.5,
+    text_index_dir: str | None = None,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -197,6 +198,15 @@ def curate_document_stream(
     generation contract like the strip lists: retrained weights change
     which documents land, so pair a weight change with a new corpus
     generation, not an in-place swap.
+
+    ``text_index_dir`` (optional) maintains the incremental BM25 index
+    (operators/search.py:append_text_index) over the curated corpus:
+    each batch appends its survivors' postings + document lengths, so
+    ``bm25_search(load_text_index(spark, dir), queries)`` serves
+    keyword search over everything curated so far without re-indexing
+    history.  Appends ride between the span-fp and fp appends (the
+    gatekeeper rule); replays fold away at load.  The tokenizer
+    settings are the store's generation contract.
 
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
@@ -391,6 +401,18 @@ def curate_document_stream(
             winnowed_fingerprints(
                 survivors, span_len, span_k, id_col, text_col
             ).write.mode("append").parquet(store_data_dir(span_fp_store_dir))
+        if text_index_dir is not None:
+            # BEFORE the fp append (gatekeeper rule): once a doc's
+            # fingerprint lands, a replay drops it before reaching any
+            # later sink — a crash between fp and index appends would
+            # permanently omit the doc from keyword search.  A replayed
+            # index append is byte-identical and load_text_index folds
+            # it away (append_text_index's retry contract).
+            from jurimetria_etl_spark.operators.search import (
+                append_text_index,
+            )
+
+            append_text_index(survivors, text_index_dir, id_col, text_col)
         new_fps = survivors.select(fingerprint(text_col).alias("fp"))
         if bloom_store_dir is not None:
             # BEFORE the fp append (superset invariant — see docstring).

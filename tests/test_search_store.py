@@ -1,0 +1,134 @@
+"""Incremental BM25 index store (operators/search.py:append_text_index /
+load_text_index): batched appends must equal a from-scratch index over
+the union (incremental ≡ batch), replays must fold away (at-least-once
+idempotence), compaction must be search-invisible, and the streaming
+curation wiring must serve keyword search over the curated corpus."""
+
+from __future__ import annotations
+
+import time
+
+from jurimetria_etl_spark.operators.search import (
+    append_text_index,
+    bm25_search,
+    build_text_index,
+    load_text_index,
+)
+from jurimetria_etl_spark.sinks.maintenance import compact_store
+from jurimetria_etl_spark.streaming.curation import (
+    curate_document_stream,
+    read_documents_stream,
+)
+from tests.conftest import stage_drop as _drop
+
+BATCH0 = [
+    (0, "spark shuffles data between stages a shuffle is a boundary"),
+    (1, "the join strategy broadcasts the small side to every executor"),
+]
+BATCH1 = [
+    (10, "sort merge join shuffles both sides by the join keys"),
+    (11, "caching data avoids recomputing the shuffle twice"),
+]
+QUERIES = [(100, "spark shuffle"), (200, "join keys")]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _q(spark):
+    return spark.createDataFrame(QUERIES, "query_id int, query_text string")
+
+
+def _search_rows(spark, index):
+    return sorted(map(tuple, bm25_search(index, _q(spark), k=10).collect()))
+
+
+def test_incremental_index_equals_batch(spark, tmp_path):
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    append_text_index(_docs(spark, BATCH1), idx_dir)
+    inc = _search_rows(spark, load_text_index(spark, idx_dir))
+    batch = _search_rows(
+        spark, build_text_index(_docs(spark, BATCH0 + BATCH1))
+    )
+    assert inc == batch and inc  # non-vacuous
+
+
+def test_replayed_append_is_idempotent(spark, tmp_path):
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    before = _search_rows(spark, load_text_index(spark, idx_dir))
+    append_text_index(_docs(spark, BATCH0), idx_dir)  # the retry
+    after = _search_rows(spark, load_text_index(spark, idx_dir))
+    assert after == before
+    # the fold also keeps the stats exact: n_docs counts documents, not
+    # appended rows
+    st = load_text_index(spark, idx_dir).stats.first()
+    assert st["n_docs"] == len(BATCH0)
+
+
+def test_compaction_is_search_invisible(spark, tmp_path):
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    append_text_index(_docs(spark, BATCH1), idx_dir)
+    before = _search_rows(spark, load_text_index(spark, idx_dir))
+    for sub in ("postings", "doc_lens"):
+        rep = compact_store(spark, f"{idx_dir}/{sub}")
+        assert rep.get("verified", rep["skipped"])  # compacted or no-op
+    assert _search_rows(spark, load_text_index(spark, idx_dir)) == before
+
+
+def test_max_df_ratio_applies_at_load(spark, tmp_path):
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    append_text_index(_docs(spark, BATCH1), idx_dir)
+    # "the" occurs in 2/4 docs; at 0.4 it must leave the loaded index
+    idx = load_text_index(spark, idx_dir, max_df_ratio=0.4)
+    terms = {r["term"] for r in idx.postings.select("term").collect()}
+    assert "the" not in terms and "spark" in terms
+
+
+def test_stream_maintains_text_index(spark, tmp_path):
+    """curate_document_stream(text_index_dir=): keyword search over the
+    streamed corpus equals a from-scratch index of the landed corpus —
+    and a document dropped by dedup is never indexed."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    rows0 = [(0, "unique alpha document about spark shuffles")]
+    rows1 = [
+        (1, "unique alpha document about spark shuffles"),  # exact dup
+        (2, "novel beta document about broadcast joins"),
+    ]
+    flat = str(tmp_path / "flat")
+    base_t = time.time() - 3600
+    wide = lambda rs: spark.createDataFrame(
+        [(i, "drop", "en", t) for i, t in rs],
+        "doc_id bigint, source string, lang string, text string",
+    )
+    _drop(wide(rows0), flat, "000", base_t)
+    _drop(wide(rows1), flat, "001", base_t + 60)
+    idx_dir = str(tmp_path / "tindex")
+    q = curate_document_stream(
+        read_documents_stream(spark, flat),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "fps"),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "ckpt"),
+        text_index_dir=idx_dir,
+    )
+    assert q.awaitTermination(120)
+    idx = load_text_index(spark, idx_dir)
+    indexed = {r["doc_id"] for r in idx.doc_lens.collect()}
+    landed = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            store_data_dir(str(tmp_path / "corpus"))
+        ).collect()
+    }
+    assert indexed == landed == {0, 2}  # the dup was never indexed
+    qdf = spark.createDataFrame(
+        [(1, "broadcast joins")], "query_id int, query_text string"
+    )
+    top = bm25_search(idx, qdf, k=1).first()
+    assert top["doc_id"] == 2
