@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import duckdb
 
-from jurimetria_etl_spark.plans.tpch import TPCH
+from jurimetria_etl_spark.plans.tpch import TPCH, TPCH_EXTRA
 
 SF = "/root/testdata/sf0.001"
 
@@ -27,7 +27,8 @@ def test_q3_topk_and_broadcast(spark):
 
 def test_q5_all_dims_broadcast(spark):
     # six-table join: only the orders⨝lineitem spine may shuffle
-    plan = _physical(TPCH["t03_local_supplier_volume"].spark(spark, SF))
+    # (t03 rotated to TPCH_EXTRA in r9; the plan pin stays)
+    plan = _physical(TPCH_EXTRA["t03_local_supplier_volume"].spark(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
