@@ -74,7 +74,12 @@ def token_count(col: Column | str) -> Column:
     return F.size(ws_words(col)).cast("bigint")
 
 
-WORDLIKE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+# Unicode word/number/symbol chunks (r9): the ASCII form counted every
+# accented letter as its own symbol chunk, so 'ação' cost 4 "tokens" —
+# a wild over-estimate on the reference's Portuguese corpus.  \p
+# classes are identical in Java regex and DuckDB RE2, so the x09/x11
+# oracles (which interpolate this constant) recompute the same counts.
+WORDLIKE_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N} ]"
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:

@@ -302,7 +302,13 @@ def recluster_semdedup_store(
     what the manifest swap prevents).  Derive the new set from the
     store's own vectors with ``similarity.train_ivf_centroids`` (e.g.
     ``n_clusters = rows // target_occupancy`` — the scaled-cells rule
-    SCALE.md measures)."""
+    SCALE.md measures).
+
+    Run inside the same maintenance window as ``compact_store``: an
+    append that resolved the OLD generation's path concurrently with
+    the swap lands in a directory the manifest no longer names (the
+    documented writer-vs-maintenance contract of every manifested
+    store — bare parquet has no transaction log)."""
     from jurimetria_etl_spark.operators.semdedup import build_semdedup_store
 
     src = store_data_dir(store)

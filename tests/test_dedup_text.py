@@ -107,6 +107,12 @@ def test_token_counts(spark):
     # hello , world ! 42 times → 6 chunks
     assert r["bpe"] == 6
     assert r["est"] == 6  # ceil(22/4)
+    # r9: accented Portuguese words are ONE chunk each, not per-char
+    # symbol shrapnel ('ação' was 4 chunks under the old ASCII class)
+    pt = _docs(spark, [(1, "ação de indenização")])
+    assert pt.select(
+        X.bpe_ish_token_count("text").alias("bpe")
+    ).first()["bpe"] == 3
 
 
 def test_lsh_topk_recall_vs_brute_force(spark):
