@@ -207,9 +207,16 @@ def bm25_search_docs(
 ) -> DataFrame:
     """One-shot convenience: index ``docs`` inline and search.  For
     repeated querying persist ``build_text_index`` once instead — the
-    index build is the corpus-sized part."""
+    index build is the corpus-sized part.  ``fold_accents`` (via
+    kwargs) is applied to BOTH sides here — the one call shape where
+    the index/query consistency rule can be enforced rather than
+    documented."""
+    fold = bool(kwargs.get("fold_accents", False))
     return bm25_search(
-        build_text_index(docs, id_col, text_col), queries, k, **kwargs
+        build_text_index(docs, id_col, text_col, fold_accents=fold),
+        queries,
+        k,
+        **kwargs,
     )
 
 
@@ -268,7 +275,13 @@ def load_text_index(
     and optionally stop-list by ``max_df_ratio`` exactly like
     ``build_text_index``.  The folds are one aggregation each at search
     time; ``sinks.maintenance.compact_store`` on the two subdirs keeps
-    the file counts bounded between batches."""
+    the file counts bounded between batches.  Note ``max_df_ratio``
+    plants a FULL-vocabulary df aggregation in the returned postings
+    plan (the stop-list needs every term's df by definition) — for
+    repeated querying, materialize the loaded index once (persist or
+    write-and-reread) rather than paying it per search; the per-search
+    df computation inside ``bm25_search`` itself stays pruned to the
+    query's terms either way."""
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
     postings = (

@@ -212,6 +212,9 @@ def test_fold_accents_mode_matches_unaccented_query(spark):
         fold_accents=True,
     ).count()
     assert exact == 0 and folded == 1
+    # the one-shot form must fold BOTH sides from the single kwarg —
+    # an index/query fold mismatch would silently return nothing
+    assert bm25_search_docs(docs, q, k=5, fold_accents=True).count() == 1
 
 
 def test_plan_native_and_broadcast(spark, frames):
