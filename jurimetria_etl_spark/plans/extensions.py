@@ -1378,7 +1378,10 @@ def x34_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a plain anti-join on the same normalization: the Bloom filter
     must be OUTPUT-INVISIBLE (no false negatives, positives re-checked
     exactly) — only the plan shape may differ."""
-    from jurimetria_etl_spark.operators.bloom import dedup_incremental_bloom
+    from jurimetria_etl_spark.operators.bloom import (
+        bloom_build,
+        dedup_incremental_bloom,
+    )
     from jurimetria_etl_spark.operators.dedup import fingerprint
     from jurimetria_etl_spark.sources.fixtures import load_fixture
 
@@ -1389,7 +1392,14 @@ def x34_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     batch = docs.where(F.col("doc_id") % 3 != 0)
-    out = dedup_incremental_bloom(batch, store, fpp=0.01)
+    # Size the geometry from the corpus row count — a metadata-only
+    # parquet count — instead of letting bloom_build run the whole
+    # store pipeline (scan → fingerprint → distinct → count) once per
+    # call just to learn n.  An upper bound only over-sizes (lower
+    # realized fpp); output is identical because the filter is
+    # output-invisible by contract.
+    bl = bloom_build(store, "fp", expected_items=docs.count(), fpp=0.01)
+    out = dedup_incremental_bloom(batch, store, bloom=bl, fpp=0.01)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return out.select(norm.alias("norm_text"))
 
