@@ -455,8 +455,6 @@ def test_stream_to_parquet_append_mode_handles_append_only_ops(
         ),
         ["event_id"],
     )
-    from jurimetria_etl_spark.streaming.windows import stream_to_parquet as _s
-
     # simulate the crash-replay: re-invoke the foreachBatch body with the
     # same batch_id and payload; row count must not change
     out = str(tmp_path / "out")
