@@ -111,6 +111,7 @@ def curate_document_stream(
     classifier: tuple[list[float], float] | None = None,
     classifier_threshold: float = 0.5,
     text_index_dir: str | None = None,
+    text_index_fold_accents: bool = False,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -206,7 +207,9 @@ def curate_document_stream(
     keyword search over everything curated so far without re-indexing
     history.  Appends ride between the span-fp and fp appends (the
     gatekeeper rule); replays fold away at load.  The tokenizer
-    settings are the store's generation contract.
+    settings — including ``text_index_fold_accents`` — are the store's
+    generation contract; search the loaded index with the same
+    ``fold_accents`` flag.
 
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
@@ -412,7 +415,10 @@ def curate_document_stream(
                 append_text_index,
             )
 
-            append_text_index(survivors, text_index_dir, id_col, text_col)
+            append_text_index(
+                survivors, text_index_dir, id_col, text_col,
+                fold_accents=text_index_fold_accents,
+            )
         new_fps = survivors.select(fingerprint(text_col).alias("fp"))
         if bloom_store_dir is not None:
             # BEFORE the fp append (superset invariant — see docstring).
