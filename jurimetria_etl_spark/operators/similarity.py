@@ -568,6 +568,89 @@ def knn_join(
     )
 
 
+def mine_hard_negatives(
+    embeddings: DataFrame,
+    label_col: str,
+    k: int = 50,
+    m: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    **knn_kwargs,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the ``m`` MOST-SIMILAR vectors carrying a DIFFERENT ``label_col``
+    value — the pairs a contrastive/embedding objective learns most
+    from (near the decision boundary, not random negatives).
+
+    Output: (anchor_id, anchor_label, negative_id, negative_label,
+    cos_sim, neg_rank), neg_rank 1..≤m per anchor, ties broken by
+    negative_id.  Approximate with ``knn_join``'s contract: only
+    negatives among the anchor's ``k`` nearest retrieved neighbors are
+    candidates, so ``k`` is the search depth — raise it when a label
+    dominates local neighborhoods (k same-label neighbors would crowd
+    out every negative).  An anchor whose retrieved neighborhood is
+    entirely same-label yields fewer than m rows (possibly none).
+
+    Plan: one ``knn_join`` (banded LSH + capped exact re-score — the
+    scale path), then the label frame — (id, label), corpus-sized but
+    narrow — joins in twice by id with NO broadcast hint (AQE sizes it;
+    the survivor-set rule), a different-label filter, and one
+    per-anchor window over ≤k rows.  Nothing beyond the knn_join
+    moves vectors.
+
+    Cited vs reference: no counterpart (566-LoC pandas, no vector ops);
+    the SimCSE/DPR hard-negative axis of the training-data brief.
+    """
+    neighbors = knn_join(
+        embeddings, embeddings, k=k, dim=dim,
+        id_col=id_col, vec_col=vec_col, **knn_kwargs,
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lbl")
+    )
+    paired = (
+        neighbors.join(
+            labels.select(
+                F.col("__lid").alias("left_id"),
+                F.col("__lbl").alias("anchor_label"),
+            ),
+            "left_id",
+        )
+        .join(
+            labels.select(
+                F.col("__lid").alias("right_id"),
+                F.col("__lbl").alias("negative_label"),
+            ),
+            "right_id",
+        )
+        # eqNullSafe-negated: a NULL label is "unknown", never a
+        # negative of anything (NULL != x would silently DROP the pair
+        # either way here, but being explicit keeps the contract
+        # readable and NULL-label anchors produce no output rows)
+        .where(
+            ~F.col("anchor_label").eqNullSafe(F.col("negative_label"))
+            & F.col("anchor_label").isNotNull()
+            & F.col("negative_label").isNotNull()
+        )
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cos_sim").desc(), F.col("right_id")
+    )
+    return (
+        paired.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= m)
+        .select(
+            F.col("left_id").alias("anchor_id"),
+            "anchor_label",
+            F.col("right_id").alias("negative_id"),
+            "negative_label",
+            "cos_sim",
+            "neg_rank",
+        )
+    )
+
+
 def cosine_pairs_exact(
     embeddings: DataFrame,
     threshold: float,
