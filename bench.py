@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -277,31 +278,52 @@ def main() -> None:
     shared_warm = sum(warm[n] for n in shared)
     shared_duck = sum(duck[n] for n in shared)
 
-    # Composition guard (r8 verdict task 7): compare this run's warm
-    # series to the PREVIOUS recorded run over common keys and flag any
-    # query whose warm time moved >1.5× either way — the r8 x28
-    # cold-doubling triage was manual because the artifact carried no
-    # round-over-round delta.  "Previous" is whatever BENCH_DETAIL.json
-    # held before this run (the driver writes once per round, so at the
-    # gate this is the prior round's warm series).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    prev_warm: dict[str, float] = {}
+    # Composition guard (r8 verdict task 7): flag any query whose warm
+    # time moved >1.5× either way vs the PRIOR ROUND's series — the r8
+    # x28 cold-doubling triage was manual because the artifact carried
+    # no round-over-round delta.  The delta baseline is round-pinned
+    # (r9 ADVICE): a second bench invocation in the same round would
+    # otherwise compare against itself and silently dilute the signal,
+    # and a smoke run at a different SF would pollute it.  The round id
+    # is derived from the driver's own artifacts (max BENCH_r<N>.json
+    # + 1 = the round in progress); the baseline only advances when the
+    # round id changes AND the previous run's SF matches this run's —
+    # same-round re-runs and off-SF smoke runs carry the stored
+    # baseline forward untouched.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    detail_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+    round_nums = [
+        int(m.group(1))
+        for m in (
+            re.match(r"BENCH_r(\d+)\.json$", f) for f in os.listdir(repo_dir)
+        )
+        if m
+    ]
+    cur_round = (max(round_nums) + 1) if round_nums else 1
+    prev: dict = {}
     try:
         with open(detail_path) as f:
-            prev_warm = json.load(f).get("warm_queries") or {}
+            prev = json.load(f)
     except Exception:
         pass
+    base_warm: dict[str, float] = prev.get("baseline_warm_queries") or {}
+    base_round = prev.get("baseline_round")
+    base_sf = prev.get("baseline_sf")
+    if prev.get("round") != cur_round and prev.get("sf") == detail_sf:
+        base_warm = prev.get("warm_queries") or {}
+        base_round = prev.get("round")
+        base_sf = prev.get("sf")
     warm_delta: dict[str, float] = {}
     flagged: dict[str, float] = {}
-    for name, w in warm.items():
-        p = prev_warm.get(name)
-        if isinstance(p, (int, float)) and p > 0 and w > 0:
-            r = round(w / p, 2)
-            warm_delta[name] = r
-            if r > 1.5 or r < (1 / 1.5):
-                flagged[name] = r
+    if base_sf == detail_sf:
+        for name, w in warm.items():
+            p = base_warm.get(name)
+            if isinstance(p, (int, float)) and p > 0 and w > 0:
+                r = round(w / p, 2)
+                warm_delta[name] = r
+                if r > 1.5 or r < (1 / 1.5):
+                    flagged[name] = r
 
     # Per-query warm/DuckDB detail rides in a file; only totals go to
     # stdout so the driver's bounded tail always captures the final line.
@@ -316,7 +338,11 @@ def main() -> None:
         "duckdb_total_sec": (
             round(duck_total, 3) if duck_total is not None else None
         ),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": detail_sf,
+        "round": cur_round,
+        "baseline_warm_queries": base_warm,
+        "baseline_round": base_round,
+        "baseline_sf": base_sf,
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

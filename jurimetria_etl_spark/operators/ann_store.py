@@ -1,0 +1,315 @@
+"""Persisted incremental IVF ANN index store — the dense-retrieval
+axis's manifested-store form (the pattern of the fingerprint / minhash
+/ Bloom / SemDeDup / BM25-postings stores: parquet appends, fold on
+read, maintenance-time compaction under the manifest's atomic swap).
+
+Before this module the IVF index was session-built only
+(``similarity.ivf_index``): a user running continuous curation +
+retrieval re-assigned the whole corpus every session — at 100 TB a
+full-corpus re-index per run.  Here the index persists as
+``(ivf_cell, id, vector)`` rows partitioned BY CELL, so
+
+- **appends** are per-batch: assign the batch to cells (a narrow
+  literal-matrix map, no shuffle) and append only its rows;
+- **probes** read only their ``n_probe`` cells' partitions (the cell
+  IN-filter is a partition filter on the hive layout — the
+  ``ivf_write_partitioned`` argument, now incremental);
+- **maintenance** is the shared machinery: ``compact_store`` with
+  ``partition_cols=["ivf_cell"]`` bounds file counts,
+  ``recluster_ann_store`` (sinks/maintenance.py) swaps in a new
+  centroid geometry under the same row-count-verified atomic publish.
+
+Generation contract: the CENTROID SET.  Rows assigned under one
+centroid set must never mix with another's, so the store persists its
+centroids in ``_CENTROIDS.json`` at the store root (``_``-prefixed —
+invisible to Spark's file listing) and every append VERIFIES the
+caller's centroids against it, turning a silent mixed-generation
+corruption into an immediate error.  Re-clustering is a new generation
+(``recluster_ann_store``), exactly the span stores' fixed-strip-list
+rule.
+
+Retry semantics: a replayed batch appends byte-identical rows (same
+vectors, same centroid literals → same cells) and ``load_ann_store``
+folds duplicates with one ``(ivf_cell, id)`` dedup — at-least-once
+``foreachBatch`` delivery is idempotent.  The contract that makes the
+fold exact: one immutable vector per id (the curation pipeline's
+exact-dedup gate guarantees it upstream); re-ingesting a CHANGED
+vector under an old id is a generation change, not an append.
+
+``quantize=True`` stores int8 codes + per-vector scale instead of the
+float64 array (``similarity.quantize_embeddings_int8``): ~8× smaller
+rows, probes score the dequantized values; recall vs the exact store
+is pinned in tests, not assumed.
+
+Cited vs reference: no counterpart (the 566-LoC reference has no
+embedding operators); IVF is the standard inverted-file ANN layout
+(Jégou et al., TPAMI 2011 — public literature).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.similarity import (
+    _dot,
+    _nearest_cells,
+    _nearest_cells_py,
+    _norm,
+    dequantize_embeddings_int8,
+    quantize_embeddings_int8,
+)
+
+_CENTROIDS_FILE = "_CENTROIDS.json"
+
+
+# ── centroid persistence (the generation contract, made checkable) ────────
+
+
+def write_ann_centroids(
+    store_dir: str, centroids: list[tuple[int, list[float]]]
+) -> None:
+    """Persist the store's centroid set at the store root (atomic
+    same-filesystem replace, the manifest-publish posture).  ``_``
+    prefix keeps it out of Spark's parquet listing."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _CENTROIDS_FILE)
+    tmp = path + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump([[int(cid), list(map(float, v))] for cid, v in centroids], f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_ann_centroids(store_dir: str) -> list[tuple[int, list[float]]]:
+    """The persisted centroid set — raises if the store has none (a
+    pre-append or foreign directory)."""
+    path = os.path.join(store_dir, _CENTROIDS_FILE)
+    try:
+        with open(path, encoding="utf-8") as f:
+            raw = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"ann store at {store_dir!r} has no {_CENTROIDS_FILE} — "
+            "append_ann_store writes it on first append; pass centroids "
+            "explicitly for a store built by other means"
+        ) from None
+    return [(int(cid), [float(x) for x in vec]) for cid, vec in raw]
+
+
+def _check_generation(
+    store_dir: str, centroids: list[tuple[int, list[float]]]
+) -> None:
+    """First append records the centroid set; later appends must match
+    it EXACTLY (bitwise on the JSON round-trip) — rows assigned under a
+    different geometry silently corrupt every probe's cell pruning."""
+    path = os.path.join(store_dir, _CENTROIDS_FILE)
+    if not os.path.exists(path):
+        write_ann_centroids(store_dir, centroids)
+        return
+    stored = read_ann_centroids(store_dir)
+    given = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    if stored != given:
+        raise ValueError(
+            f"ann store at {store_dir!r}: centroids differ from the "
+            "store's generation contract — re-clustering is a new "
+            "generation (recluster_ann_store), not an append"
+        )
+
+
+# ── build / append / load ──────────────────────────────────────────────────
+
+
+def build_ann_store(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: bool = False,
+    assign: str = "auto",
+) -> DataFrame:
+    """Store rows for a batch: ``(ivf_cell, id, vector)`` — or
+    ``(ivf_cell, id, q, q_scale)`` when ``quantize`` — assigned with
+    the same kernel pair the SemDeDup store uses (``fold`` = pure-JVM
+    literal-matrix scoring, ``arrow`` = batched numpy matmul,
+    output-identical; ``auto`` switches at ≥ 64 centroids).  A narrow
+    map over the batch: no join, no shuffle."""
+    from jurimetria_etl_spark.operators.semdedup import _assign_cells
+
+    assigned = _assign_cells(vectors, centroids, vec_col, assign)
+    rows = assigned.select(
+        F.col("sem_cluster").alias("ivf_cell"), F.col(id_col), F.col(vec_col)
+    )
+    if quantize:
+        rows = quantize_embeddings_int8(rows, vec_col).select(
+            "ivf_cell", id_col, "q", "q_scale"
+        )
+    return rows
+
+
+def append_ann_store(
+    batch: DataFrame,
+    store_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: bool = False,
+    assign: str = "auto",
+) -> None:
+    """Append one batch's index rows, partitioned by ``ivf_cell`` so
+    probes partition-prune to their cells.  First append records the
+    centroid set; every later append verifies it (see module
+    docstring).  Resolves the store manifest per call, so appends land
+    in the generation a between-batch compaction published."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    _check_generation(store_dir, centroids)
+    build_ann_store(
+        batch, centroids, id_col, vec_col, quantize, assign
+    ).write.mode("append").partitionBy("ivf_cell").parquet(
+        store_data_dir(store_dir)
+    )
+
+
+def load_ann_store(
+    spark: SparkSession,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rehydrate the index: ``(ivf_cell, id, vector)`` with replayed
+    appends folded by one ``(ivf_cell, id)`` dedup (rows are
+    byte-identical under the generation contract, so the fold is
+    value-deterministic).  A quantized store dequantizes to ``vec_col``
+    lazily — probes score v̂ = q·s without the caller caring which form
+    is on disk.
+
+    The dedup keys include ``ivf_cell``, so a probe's cell IN-filter on
+    the returned frame pushes BELOW the fold to the scan (Catalyst
+    moves deterministic predicates on grouping keys through the
+    aggregate) — partition pruning survives the load."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    df = spark.read.parquet(store_data_dir(store_dir))
+    if "q" in df.columns and vec_col not in df.columns:
+        df = dequantize_embeddings_int8(df, vec_col=vec_col).drop(
+            "q", "q_scale"
+        )
+    return df.dropDuplicates(["ivf_cell", id_col]).select(
+        "ivf_cell", id_col, vec_col
+    )
+
+
+# ── probes ─────────────────────────────────────────────────────────────────
+
+
+def ann_ivf_topk_store(
+    spark: SparkSession,
+    store_dir: str,
+    probe_vec: list[float],
+    k: int = 5,
+    n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Single-probe top-k over the persisted index.  Cells are ranked
+    driver-side (n_cells × dim flops — trivial), the cell IN-filter
+    prunes the scan to ``n_probe`` partitions, survivors get the exact
+    cosine, TakeOrderedAndProject keeps k.  ``centroids=None`` reads
+    the store's own ``_CENTROIDS.json``."""
+    import math
+
+    import numpy as np
+
+    if centroids is None:
+        centroids = read_ann_centroids(store_dir)
+    cells = _nearest_cells_py(probe_vec, centroids, n_probe)
+    corpus = load_ann_store(spark, store_dir, id_col, vec_col).where(
+        F.col("ivf_cell").isin(cells)
+    )
+    if exclude_id is not None:
+        corpus = corpus.where(F.col(id_col) != exclude_id)
+    pn = max(math.sqrt(sum(x * x for x in probe_vec)), 1e-150)
+    sim = _dot(
+        F.col(vec_col), F.lit(np.asarray(probe_vec, dtype="float64"))
+    ) / (_norm(F.col(vec_col)) * F.lit(pn))
+    return (
+        corpus.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_ivf_topk_batch(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    probes: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "probe",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Batch ANN top-k over any cell-indexed frame (``load_ann_store``
+    output or ``ivf_index``'s): (query_id, id, cos_sim, rank), rank
+    1..k per probe — ``cosine_topk_batch``'s output contract with a
+    sublinear scan: each probe scores only its ``n_probe`` cells.
+
+    Plan: the (tiny) probe frame gets its cell list from the same
+    centroid-literal fold the store's writer used, explodes to
+    (query, cell) rows, and broadcast-joins the corpus ON CELL — an
+    equi-join, so only rows in SOME probe's cells are ever scored, and
+    on the partitioned store layout the cells the join needs are the
+    partitions the scan reads.  Scoring and the two-level top-k
+    (per-(query, scan-partition) pre-rank, then the per-query final
+    window over ≤ |partitions|·k survivors) are ``cosine_topk_batch``'s
+    exactly — the global-window trap does not return at scale."""
+    p = F.broadcast(
+        probes.select(
+            F.col(probe_id_col).alias("__qid"),
+            F.col(probe_vec_col).alias("__p"),
+            _norm(F.col(probe_vec_col)).alias("__pn"),
+            F.explode(
+                _nearest_cells(
+                    F.col(probe_vec_col), centroids, n_probe
+                ).getField("cid")
+            ).alias(cell_col),
+        )
+    )
+    sim = _dot(F.col(vec_col), F.col("__p")) / (
+        _norm(F.col(vec_col)) * F.col("__pn")
+    )
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    lw = Window.partitionBy("__qid", "__pid").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        indexed.join(p, cell_col)
+        .select(
+            F.col("__qid"),
+            F.col(id_col),
+            sim.alias("cos_sim"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .withColumn("__lrk", F.row_number().over(lw))
+        .where(F.col("__lrk") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(probe_id_col), id_col, "cos_sim", "rank"
+        )
+    )

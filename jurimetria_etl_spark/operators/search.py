@@ -253,9 +253,14 @@ def append_text_index(
         docs, id_col, text_col, fold_accents=fold_accents
     )
     # doc_lens first: a crash in between leaves length-only docs that
-    # cannot match any query term (scoreless, harmless) and the retry
-    # restores postings; postings-first would let a term match a doc
-    # whose dl is missing and NULL-poison its score.
+    # cannot match any query term, and the retry restores postings;
+    # postings-first would let a term match a doc whose dl is missing
+    # and NULL-poison its score.  The orphaned doc_lens rows are NOT
+    # fully harmless in the window before the replay lands: they
+    # inflate n_docs and avgdl (idf and length normalization shift for
+    # every query) — scores stay well-defined, ranks can move.
+    # ``load_text_index(strict_stats=True)`` excludes orphans at a
+    # per-load semi-join cost when exactness in that window matters.
     idx.doc_lens.write.mode("append").parquet(
         store_data_dir(f"{index_dir}/doc_lens")
     )
@@ -268,6 +273,7 @@ def load_text_index(
     spark,
     index_dir: str,
     max_df_ratio: float | None = None,
+    strict_stats: bool = False,
 ) -> TextIndex:
     """Rehydrate a persisted incremental index (``append_text_index``):
     fold duplicate appended rows (``max`` per key — see the retry
@@ -281,7 +287,16 @@ def load_text_index(
     repeated querying, materialize the loaded index once (persist or
     write-and-reread) rather than paying it per search; the per-search
     df computation inside ``bm25_search`` itself stays pruned to the
-    query's terms either way."""
+    query's terms either way.
+
+    ``strict_stats=True`` semi-joins ``doc_lens`` against the postings'
+    doc_ids before deriving (n_docs, avgdl, dl), excluding orphaned
+    length rows left by a crash between ``append_text_index``'s two
+    writes (doc_lens lands first).  ``build_text_index`` only emits a
+    length row for docs with ≥ 1 token, so on a healthy store the
+    semi-join is the identity — it exists purely to keep idf/length
+    normalization exact in the crash-to-replay window, at the cost of
+    one postings-side doc_id dedup + join per load."""
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
     postings = (
@@ -294,6 +309,10 @@ def load_text_index(
         .groupBy("doc_id")
         .agg(F.max("dl").alias("dl"))
     )
+    if strict_stats:
+        doc_lens = doc_lens.join(
+            postings.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     stats = doc_lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

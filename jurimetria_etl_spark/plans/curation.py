@@ -34,7 +34,6 @@ def curate_corpus(
     text_col: str = "text",
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
-    quality_lang: str = "en",
     near_dup_threshold: float = 0.7,
     transitive: bool = True,
     minhash_k: int = 8,
@@ -57,6 +56,7 @@ def curate_corpus(
     vec_col: str = "embedding",
     classifier: tuple[list[float], float] | None = None,
     classifier_threshold: float = 0.5,
+    quality_lang: str = "en",
 ) -> DataFrame:
     """Curated corpus: documents that pass the language and quality gates,
     with exact duplicates collapsed (lowest id wins) and MinHash near-dups

@@ -1827,6 +1827,12 @@ EXTENSIONS: dict[str, Q] = {
     # BM25 keyword search (r8 verdict task 4).
     "x34_bloom_incremental_dedup": Q(x34_bloom_incremental_dedup, X34_SQL),
     "x35_bm25_search": Q(x35_bm25_search, X35_SQL),
+    # Round-10 rotation (t14/t16 → pytest-oracle, plans/tpch.py): the
+    # dataset-assembly (leakage-guarded train/eval split) and
+    # model-quality (hashed-linear classifier apply) axes — the last two
+    # capabilities without driver-verified rows (r9 verdict task 2).
+    "x38_split_guarded": Q(x38_split_guarded, X38_SQL),
+    "x40_classifier_scores": Q(x40_classifier_scores, X40_SQL),
 }
 
 # Round-5 rotation: the minhash/simhash intermediate stages rotated out to
@@ -1859,13 +1865,11 @@ EXT_DEREGISTERED: dict[str, Q] = {
     # Mid-round-8 rotation out (to admit x36/x37): the n-gram Jaccard
     # exact join — x05 keeps the shingle/candidate join shape registered.
     "x06_ngram_jaccard": Q(x06_ngram_jaccard, X06_SQL),
-    # Never registered (window full): the round-8 dataset-assembly pair —
-    # leakage-guarded train/eval split and domain-balanced top-k/fraction
-    # selection (operators/sampling.py).
-    "x38_split_guarded": Q(x38_split_guarded, X38_SQL),
+    # Round-8 dataset-assembly forms: domain-balanced top-k/fraction
+    # selection (operators/sampling.py).  Their sibling x38 (and x40)
+    # moved into the driver window in round 10; x39/x39b's rank +
+    # semi-join-back plan family stays driver-covered through x38's
+    # split machinery and the q13 window-rank row.
     "x39_top_per_domain": Q(x39_top_per_domain, X39_SQL),
     "x39b_top_frac_per_domain": Q(x39b_top_frac_per_domain, X39B_SQL),
-    # Never registered (window full): the classifier-filtering apply —
-    # fixed hashed-linear weights scored corpus-wide (operators/classify.py).
-    "x40_classifier_scores": Q(x40_classifier_scores, X40_SQL),
 }

@@ -136,8 +136,12 @@ def fetch_esaj_rows(
         page_ids = {r["processo"] for r in rows}
         if page_ids <= seen_processos:
             break
+        # A page may PARTIALLY overlap earlier pages (server re-shuffles
+        # rows across page boundaries between requests); append only the
+        # rows whose processo is unseen so overlapped rows aren't
+        # duplicated in the output (r9 ADVICE).
+        out.extend(r for r in rows if r["processo"] not in seen_processos)
         seen_processos |= page_ids
-        out.extend(rows)
         page += 1
         if pause:
             _time.sleep(pause)

@@ -157,7 +157,12 @@ def stream_to_parquet(
     the write and the checkpoint commit rewrites its own partition
     instead of double-appending (a plain parquet append inside
     foreachBatch is only at-least-once), so restarts are exactly-once
-    in BOTH modes.  Readers of the append layout see a ``batch_id``
+    PER EMITTED ROW in every mode.  Caveat for ``update`` mode: a key
+    re-emitted in a later batch leaves its stale version in the earlier
+    ``batch_id`` partition (update mode re-emits, it never retracts), so
+    readers of ``out_dir`` must take the latest ``batch_id`` per key —
+    or prefer ``append`` (finalized-only) / ``complete`` (snapshot) for
+    file sinks.  Readers of the append layout see a ``batch_id``
     partition column — provenance for free; drop it if unwanted."""
     if output_mode not in ("complete", "append", "update"):
         raise ValueError(

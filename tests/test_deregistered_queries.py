@@ -172,6 +172,11 @@ PAIRS = [
     # conditional-pct aggregate by q10 — identical DuckDB comparison:
     (T.t03_local_supplier_volume, T.T03_SQL),
     (T.t09_promotion_suppliers, T.T09_SQL),
+    # rotated OUT in round 10 (to admit x38/x40 into the driver window):
+    # t14's COUNT-over-outer-join family stays driver-covered by t13,
+    # t16's distinct-count + NOT-IN by t18 (t16's pair has been above
+    # since r6, pre-registration); identical DuckDB comparison:
+    (T.t14_customer_distribution, T.T14_SQL),
 ]
 
 

@@ -68,6 +68,32 @@ def test_replayed_append_is_idempotent(spark, tmp_path):
     assert st["n_docs"] == len(BATCH0)
 
 
+def test_strict_stats_excludes_orphaned_doc_lens(spark, tmp_path):
+    """r9 ADVICE: a crash between append_text_index's two writes leaves
+    doc_lens rows with no postings, inflating n_docs/avgdl until the
+    replay lands.  strict_stats=True derives stats from postings-backed
+    docs only; the default load reflects the orphans (documented)."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    # simulate the crash window: doc_lens landed for BATCH1, postings did
+    # not (the append writes doc_lens first)
+    build_text_index(_docs(spark, BATCH1)).doc_lens.write.mode(
+        "append"
+    ).parquet(store_data_dir(f"{idx_dir}/doc_lens"))
+    loose = load_text_index(spark, idx_dir).stats.first()
+    strict = load_text_index(spark, idx_dir, strict_stats=True).stats.first()
+    assert loose["n_docs"] == len(BATCH0) + len(BATCH1)  # inflated
+    assert strict["n_docs"] == len(BATCH0)
+    clean = build_text_index(_docs(spark, BATCH0)).stats.first()
+    assert abs(strict["avgdl"] - clean["avgdl"]) < 1e-9
+    # on a healthy store the semi-join is the identity
+    append_text_index(_docs(spark, BATCH1), idx_dir)  # the replay lands
+    healed = load_text_index(spark, idx_dir, strict_stats=True).stats.first()
+    assert healed["n_docs"] == len(BATCH0) + len(BATCH1)
+
+
 def test_compaction_is_search_invisible(spark, tmp_path):
     idx_dir = str(tmp_path / "tindex")
     append_text_index(_docs(spark, BATCH0), idx_dir)

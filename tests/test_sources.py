@@ -146,6 +146,26 @@ def test_esaj_identical_cells_distinct_processos_do_not_stop():
     assert [r["processo"] for r in rows] == ["P1A", "P1B", "P2A", "P2B"]
 
 
+def test_esaj_partial_overlap_rows_not_duplicated():
+    """r9 ADVICE: a page that PARTIALLY overlaps earlier pages (the
+    server re-shuffled rows across page boundaries between requests)
+    must contribute only its unseen rows — previously the whole page was
+    appended, duplicating the already-seen processos."""
+    def transport(url, params):
+        p = params["paginaConsulta"]
+        if p == 1:
+            return 200, ESAJ_HTML  # 0001, 0002
+        if p == 2:
+            # 0002 slid onto page 2; 0003 is genuinely new
+            return 200, ESAJ_HTML.replace("0001", "0002").replace(
+                "0002", "0003", 1
+            )
+        return 200, "<html>no table</html>"
+
+    rows = fetch_esaj_rows(transport)
+    assert [r["processo"] for r in rows] == ["0001", "0002", "0003"]
+
+
 def test_esaj_clamp_to_first_page_stops():
     """A server clamping EVERY out-of-range page back to page 1 (not the
     last page) must also terminate: the guard compares against all seen
