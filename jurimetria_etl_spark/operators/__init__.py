@@ -4,6 +4,16 @@ multimodal).  Everything is a pure DataFrame→DataFrame function so Catalyst
 sees one logical plan end-to-end.
 """
 
+from jurimetria_etl_spark.operators.ann_store import (  # noqa: F401
+    ann_ivf_topk_batch,
+    ann_ivf_topk_store,
+    ann_ivf_topk_store_batch,
+    append_ann_store,
+    build_ann_store,
+    load_ann_store,
+    read_ann_centroids,
+    write_ann_centroids,
+)
 from jurimetria_etl_spark.operators.flatten import (  # noqa: F401
     flatten_hits,
     movimentos_sorted,

@@ -259,6 +259,7 @@ def ann_ivf_topk_batch(
     probe_id_col: str = "query_id",
     probe_vec_col: str = "probe",
     round_to: int | None = 6,
+    prune_cells: list[int] | None = None,
 ) -> DataFrame:
     """Batch ANN top-k over any cell-indexed frame (``load_ann_store``
     output or ``ivf_index``'s): (query_id, id, cos_sim, rank), rank
@@ -273,7 +274,19 @@ def ann_ivf_topk_batch(
     partitions the scan reads.  Scoring and the two-level top-k
     (per-(query, scan-partition) pre-rank, then the per-query final
     window over ≤ |partitions|·k survivors) are ``cosine_topk_batch``'s
-    exactly — the global-window trap does not return at scale."""
+    exactly — the global-window trap does not return at scale.
+
+    Partition pruning on a persisted store: the equi-join alone prunes
+    only if dynamic partition pruning fires through the load's fold —
+    runtime-dependent, not contractual.  ``prune_cells`` (the union of
+    the probes' cells, driver-computed) adds a STATIC ``isin`` filter
+    on ``cell_col`` that is a partition filter by construction —
+    ``ann_ivf_topk_store_batch`` passes it for you and the scan
+    contract is pinned in tests/test_ann_store.py, not assumed.  It
+    never changes the result: the join keeps a (probe, row) pair only
+    when the row's cell is in THAT probe's list ⊆ the union."""
+    if prune_cells is not None:
+        indexed = indexed.where(F.col(cell_col).isin(prune_cells))
     p = F.broadcast(
         probes.select(
             F.col(probe_id_col).alias("__qid"),
@@ -312,4 +325,53 @@ def ann_ivf_topk_batch(
         .select(
             F.col("__qid").alias(probe_id_col), id_col, "cos_sim", "rank"
         )
+    )
+
+
+def ann_ivf_topk_store_batch(
+    spark: SparkSession,
+    store_dir: str,
+    probes: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "probe",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Batch top-k over the PERSISTED index with contractual partition
+    pruning: collect the (tiny — it is broadcast anyway) probe batch,
+    rank each probe's cells driver-side (|probes| × n_cells × dim flops,
+    the same bounded driver work as the single-probe path), and hand
+    ``ann_ivf_topk_batch`` the union as a static ``isin`` — the scan
+    reads exactly the probed cells' partitions regardless of whether
+    dynamic partition pruning fires.  ``centroids=None`` reads the
+    store's own ``_CENTROIDS.json``."""
+    if centroids is None:
+        centroids = read_ann_centroids(store_dir)
+    probe_rows = probes.select(probe_vec_col).collect()
+    cells = sorted(
+        {
+            c
+            for r in probe_rows
+            for c in _nearest_cells_py(
+                [float(x) for x in r[probe_vec_col]], centroids, n_probe
+            )
+        }
+    )
+    indexed = load_ann_store(spark, store_dir, id_col, vec_col)
+    return ann_ivf_topk_batch(
+        indexed,
+        centroids,
+        probes,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id_col=probe_id_col,
+        probe_vec_col=probe_vec_col,
+        round_to=round_to,
+        prune_cells=cells,
     )

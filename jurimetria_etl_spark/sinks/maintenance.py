@@ -346,6 +346,115 @@ def recluster_semdedup_store(
     }
 
 
+def recluster_ann_store(
+    spark: SparkSession,
+    store: str,
+    new_centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    assign: str = "auto",
+) -> dict:
+    """Re-cluster a persisted IVF ANN store onto a NEW centroid set — the
+    maintenance remedy ``operators/ann_store.py``'s generation contract
+    promises (``_check_generation`` refuses mismatched appends and points
+    here; without this, a drifted store has only manual surgery).
+
+    Reads the current generation's ``(ivf_cell, id, vector)`` rows, folds
+    replayed appends (``load_ann_store``'s ``(ivf_cell, id)`` dedup — a
+    recluster is also a compaction of the replay log), re-assigns each
+    vector to its nearest NEW centroid with the writer's own kernel
+    (``build_ann_store``), writes the re-assigned rows into a fresh
+    version directory partitioned by ``ivf_cell`` (probes keep
+    partition-pruned cell reads), verifies the row count against the
+    folded source, atomically publishes the manifest, then rewrites the
+    store's ``_CENTROIDS.json`` to the new set so future
+    ``append_ann_store`` calls pass the generation check.
+
+    A QUANTIZED store (``q``/``q_scale`` columns) stays quantized: the
+    stored int8 codes are per-vector and independent of the cell layout,
+    so re-clustering re-assigns cells from the dequantized values and
+    carries the original codes through unchanged — zero re-quantization
+    error.
+
+    The manifest swap and the centroids rewrite are two separate renames,
+    NOT one atomic unit: a probe racing the window between them ranks
+    cells under one generation's geometry against the other's layout —
+    wrong pruning, possibly wrong top-k.  Run inside the same maintenance
+    window as ``compact_store`` (the documented writer-vs-maintenance
+    contract of every manifested store — bare parquet has no transaction
+    log); readers that resolved the OLD version keep an intact directory
+    until ``store_prune``.
+
+    The row SET is intentionally unchanged: what was indexed stays
+    indexed; re-clustering rebalances the cells probes scan against.
+    Derive the new set from the store's own vectors with
+    ``similarity.train_ivf_centroids`` (e.g. ``n_clusters = rows //
+    target_occupancy`` — the scaled-cells rule SCALE.md measures).
+    Pattern: ``recluster_semdedup_store`` above."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.ann_store import write_ann_centroids
+    from jurimetria_etl_spark.operators.semdedup import _assign_cells
+    from jurimetria_etl_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+    )
+
+    src = store_data_dir(store)
+    cur = spark.read.parquet(src)
+    if "ivf_cell" not in cur.columns or id_col not in cur.columns:
+        raise ValueError(
+            f"recluster_ann_store: store at {src!r} has no "
+            f"(ivf_cell, {id_col}) columns — not an ann store?"
+        )
+    quantized = "q" in cur.columns and vec_col not in cur.columns
+    # Fold the replay log FIRST (the load-time dedup, made durable here):
+    # the rewrite's row count is then checked against the folded count,
+    # not the raw append count.
+    folded = cur.dropDuplicates(["ivf_cell", id_col]).drop("ivf_cell")
+    if quantized:
+        work = dequantize_embeddings_int8(folded, vec_col=vec_col)
+    elif vec_col not in cur.columns:
+        raise ValueError(
+            f"recluster_ann_store: store at {src!r} has neither "
+            f"{vec_col!r} nor quantized (q, q_scale) columns"
+        )
+    else:
+        work = folded
+    # One narrow map end-to-end: assign the new cell on the same row the
+    # payload lives on (no join-back), carrying the ORIGINAL int8 codes
+    # through on a quantized store — re-assignment only moves rows between
+    # cells, it never touches the payload.
+    payload = ["q", "q_scale"] if quantized else [vec_col]
+    reassigned = _assign_cells(work, new_centroids, vec_col, assign).select(
+        F.col("sem_cluster").alias("ivf_cell"), id_col, *payload
+    )
+    _, total = dir_stats(src)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(store, _VERSIONS, version)
+    _rewrite(reassigned, vdir, n_out, ["ivf_cell"])
+    src_rows = folded.count()
+    new_rows = _rows_in(spark, vdir)
+    if new_rows != src_rows:
+        shutil.rmtree(vdir, ignore_errors=True)
+        return {
+            "skipped": True,
+            "verified": False,
+            "reason": f"rewrite rows {new_rows} != folded source rows {src_rows}",
+        }
+    _publish(store, version)
+    write_ann_centroids(store, new_centroids)
+    return {
+        "skipped": False,
+        "verified": True,
+        "version": version,
+        "rows": new_rows,
+        "n_cells": len(new_centroids),
+        "quantized": quantized,
+    }
+
+
 def store_prune(store: str) -> list[str]:
     """Delete every non-current generation: old version directories and —
     once a manifest exists — the legacy root files a plain-dir upgrade

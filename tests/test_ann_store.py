@@ -1,0 +1,318 @@
+"""Persisted incremental IVF ANN store (operators/ann_store.py):
+batched appends must equal a session-built index (incremental ≡ batch),
+replays must fold away (at-least-once idempotence), the centroid-set
+generation guard must reject foreign geometry, probes over the loaded
+index must hit the exact baseline at full probe and a recall floor at
+partial probe, the quantized form must round-trip, the persisted layout
+must partition-prune (single AND batch probes), and
+``recluster_ann_store`` (sinks/maintenance.py) must swap generations
+without changing what a full probe returns."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from jurimetria_etl_spark.operators.ann_store import (
+    ann_ivf_topk_batch,
+    ann_ivf_topk_store,
+    ann_ivf_topk_store_batch,
+    append_ann_store,
+    load_ann_store,
+    read_ann_centroids,
+)
+from jurimetria_etl_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_batch,
+    ivf_index,
+)
+from jurimetria_etl_spark.sinks.maintenance import (
+    recluster_ann_store,
+    store_data_dir,
+)
+
+DIM = 16
+N_CELLS = 8
+K = 5
+RNG = np.random.default_rng(11)
+_CENT_VECS = RNG.normal(0, 1.0, (N_CELLS, DIM))
+CENTROIDS = [
+    (i, [float(x) for x in v]) for i, v in enumerate(_CENT_VECS)
+]
+# clustered corpus (the regime IVF exists for): 300 vectors around the
+# 8 centroids, split into two append batches by id parity
+_LABELS = RNG.integers(0, N_CELLS, 300)
+_VECS = _CENT_VECS[_LABELS] + RNG.normal(0, 0.25, (300, DIM))
+ROWS = [
+    (int(i), [float(x) for x in v]) for i, v in enumerate(_VECS)
+]
+BATCH0 = [r for r in ROWS if r[0] % 2 == 0]
+BATCH1 = [r for r in ROWS if r[0] % 2 == 1]
+PROBE_IDS = [3, 77, 150, 299]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+def _probes(spark, ids):
+    by_id = dict(ROWS)
+    return spark.createDataFrame(
+        [(i, by_id[i]) for i in ids],
+        "query_id bigint, probe array<double>",
+    )
+
+
+def _store(spark, tmp_path, name="ann", quantize=False):
+    d = str(tmp_path / name)
+    append_ann_store(
+        _emb(spark, BATCH0), d, CENTROIDS, quantize=quantize
+    )
+    append_ann_store(
+        _emb(spark, BATCH1), d, CENTROIDS, quantize=quantize
+    )
+    return d
+
+
+def _loaded_rows(spark, d):
+    return sorted(
+        (r["ivf_cell"], r["vec_id"], tuple(r["embedding"]))
+        for r in load_ann_store(spark, d).collect()
+    )
+
+
+def test_replayed_append_is_idempotent(spark, tmp_path):
+    d = _store(spark, tmp_path)
+    before = _loaded_rows(spark, d)
+    append_ann_store(_emb(spark, BATCH1), d, CENTROIDS)  # the retry
+    assert _loaded_rows(spark, d) == before
+    assert len(before) == len(ROWS)  # one row per vector, all folded
+
+
+def test_generation_mismatch_raises(spark, tmp_path):
+    d = _store(spark, tmp_path)
+    other = [(i, [float(x) + 0.5 for x in v]) for i, v in CENTROIDS]
+    with pytest.raises(ValueError, match="generation"):
+        append_ann_store(_emb(spark, BATCH1), d, other)
+
+
+def test_incremental_equals_session_built(spark, tmp_path):
+    """Two appends + load ≡ ivf_index over the union under the same
+    centroids: identical (cell, id) assignment, and probe-for-probe
+    identical batch top-k at every n_probe."""
+    d = _store(spark, tmp_path)
+    loaded = load_ann_store(spark, d)
+    session, _ = ivf_index(
+        _emb(spark, ROWS), n_cells=N_CELLS, centroids=CENTROIDS
+    )
+    assert sorted(
+        (r["ivf_cell"], r["vec_id"]) for r in loaded.collect()
+    ) == sorted((r["ivf_cell"], r["vec_id"]) for r in session.collect())
+    probes = _probes(spark, PROBE_IDS)
+    for n_probe in (1, 4, N_CELLS):
+        got = sorted(
+            map(
+                tuple,
+                ann_ivf_topk_batch(
+                    loaded, CENTROIDS, probes, k=K, n_probe=n_probe
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ann_ivf_topk_batch(
+                    session, CENTROIDS, probes, k=K, n_probe=n_probe
+                ).collect(),
+            )
+        )
+        assert got == want and got
+
+
+def test_full_probe_store_equals_brute_force(spark, tmp_path):
+    """n_probe = n_cells scores every cell — the store probe must equal
+    the exact baselines EXACTLY (the property that makes n_probe a pure
+    cost/recall dial), single-probe and batch."""
+    d = _store(spark, tmp_path)
+    emb = _emb(spark, ROWS)
+    by_id = dict(ROWS)
+    for p in PROBE_IDS:
+        got = ann_ivf_topk_store(
+            spark, d, by_id[p], k=K, n_probe=N_CELLS, exclude_id=p
+        ).collect()
+        want = cosine_topk(emb, probe_id=p, k=K).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    probes = _probes(spark, PROBE_IDS)
+    got_b = sorted(
+        map(
+            tuple,
+            ann_ivf_topk_store_batch(
+                spark, d, probes, k=K, n_probe=N_CELLS
+            ).collect(),
+        )
+    )
+    want_b = sorted(
+        map(tuple, cosine_topk_batch(emb, probes, k=K).collect())
+    )
+    assert got_b == want_b and got_b
+
+
+def test_partial_probe_recall_floor(spark, tmp_path):
+    """Half-cell probe on clustered data must be near-lossless (the
+    test_ann_recall.py posture, over the LOADED index)."""
+    d = _store(spark, tmp_path)
+    probes = _probes(spark, PROBE_IDS)
+    emb = _emb(spark, ROWS)
+    truth = {}
+    for r in cosine_topk_batch(emb, probes, k=K).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    got = ann_ivf_topk_store_batch(spark, d, probes, k=K, n_probe=4)
+    for r in got.collect():
+        hits += r["vec_id"] in truth[r["query_id"]]
+        tot += 1
+    assert tot == len(PROBE_IDS) * K
+    assert hits / tot >= 0.9, f"recall@{K} at n_probe=4 fell to {hits/tot}"
+
+
+def test_quantized_store_roundtrips_with_bounded_recall(spark, tmp_path):
+    """quantize=True stores (q, q_scale) int8 rows; the load dequantizes
+    lazily and a full probe's recall vs the float store is bounded below
+    (int8 error perturbs scores O(1/127) — ranks can move, sets mostly
+    can't on clustered data)."""
+    d = _store(spark, tmp_path, name="annq", quantize=True)
+    disk = spark.read.parquet(store_data_dir(d))
+    assert {"q", "q_scale"} <= set(disk.columns)
+    assert "embedding" not in disk.columns
+    assert dict(disk.dtypes)["q"] == "array<tinyint>"
+    loaded = load_ann_store(spark, d)
+    assert "embedding" in loaded.columns
+    assert loaded.count() == len(ROWS)
+    probes = _probes(spark, PROBE_IDS)
+    exact = {}
+    for r in cosine_topk_batch(_emb(spark, ROWS), probes, k=K).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    for r in ann_ivf_topk_store_batch(
+        spark, d, probes, k=K, n_probe=N_CELLS
+    ).collect():
+        hits += r["vec_id"] in exact[r["query_id"]]
+        tot += 1
+    assert tot == len(PROBE_IDS) * K
+    assert hits / tot >= 0.8, f"quantized recall@{K} fell to {hits/tot}"
+
+
+def test_single_probe_plan_partition_prunes(spark, tmp_path):
+    """The store probe's cell IN-filter must reach the scan as a
+    PARTITION filter (the hive layout's point) — pinned on the executed
+    plan, through the load's dropDuplicates fold."""
+    d = _store(spark, tmp_path)
+    by_id = dict(ROWS)
+    q = ann_ivf_topk_store(spark, d, by_id[3], k=K, n_probe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "ivf_cell" in pf
+
+
+def test_batch_probe_plan_partition_prunes(spark, tmp_path):
+    """The batch path's static prune_cells isin must likewise surface as
+    a partition filter — contractual pruning, not DPP luck (VERDICT r10:
+    the one unverified ann_store claim)."""
+    d = _store(spark, tmp_path)
+    q = ann_ivf_topk_store_batch(
+        spark, d, _probes(spark, PROBE_IDS[:2]), k=K, n_probe=2
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "ivf_cell" in pf
+
+
+def test_recluster_swaps_generation_without_changing_full_probe(
+    spark, tmp_path
+):
+    """recluster_ann_store: folds the replay log, re-assigns under the
+    new centroids, publishes atomically, rewrites _CENTROIDS.json.
+    Full-probe results are layout-invisible; appends under the NEW set
+    pass the generation guard, under the OLD set they raise."""
+    d = _store(spark, tmp_path)
+    append_ann_store(_emb(spark, BATCH0), d, CENTROIDS)  # replay noise
+    by_id = dict(ROWS)
+    before = [
+        tuple(r)
+        for r in ann_ivf_topk_store(
+            spark, d, by_id[77], k=K, n_probe=N_CELLS, exclude_id=77
+        ).collect()
+    ]
+    new_rng = np.random.default_rng(99)
+    new_cents = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(new_rng.normal(0, 1.0, (4, DIM)))
+    ]
+    rep = recluster_ann_store(spark, d, new_cents)
+    assert rep["verified"] and not rep["skipped"]
+    assert rep["rows"] == len(ROWS)  # the replay folded during recluster
+    assert rep["n_cells"] == 4
+    assert read_ann_centroids(d) == new_cents
+    # the new generation's cells are the new geometry's
+    cells = {
+        r["ivf_cell"]
+        for r in load_ann_store(spark, d).select("ivf_cell").collect()
+    }
+    assert cells <= {0, 1, 2, 3}
+    after = [
+        tuple(r)
+        for r in ann_ivf_topk_store(
+            spark, d, by_id[77], k=K, n_probe=4, exclude_id=77
+        ).collect()
+    ]
+    assert after == before  # full probe is cell-layout-invisible
+    append_ann_store(_emb(spark, BATCH0), d, new_cents)  # new gen: ok
+    with pytest.raises(ValueError, match="generation"):
+        append_ann_store(_emb(spark, BATCH0), d, CENTROIDS)
+
+
+def test_recluster_quantized_store_stays_quantized(spark, tmp_path):
+    """A quantized store stays int8 through recluster — the codes are
+    per-vector and cell-independent, so they carry through bit-identical
+    (zero re-quantization error)."""
+    d = _store(spark, tmp_path, name="annq2", quantize=True)
+    before_q = {
+        r["vec_id"]: (tuple(r["q"]), r["q_scale"])
+        for r in spark.read.parquet(store_data_dir(d))
+        .dropDuplicates(["vec_id"])
+        .collect()
+    }
+    new_cents = [(i, v) for i, v in CENTROIDS[:4]]
+    rep = recluster_ann_store(spark, d, new_cents)
+    assert rep["verified"] and rep["quantized"]
+    disk = spark.read.parquet(store_data_dir(d))
+    assert {"q", "q_scale"} <= set(disk.columns)
+    after_q = {
+        r["vec_id"]: (tuple(r["q"]), r["q_scale"])
+        for r in disk.collect()
+    }
+    assert after_q == before_q
+    # and the reclustered quantized store still probes
+    got = ann_ivf_topk_store(
+        spark, d, dict(ROWS)[3], k=K, n_probe=4
+    ).collect()
+    assert len(got) == K
+
+
+def test_recluster_rejects_foreign_directory(spark, tmp_path):
+    d = str(tmp_path / "not_ann")
+    _emb(spark, BATCH0).write.parquet(d)
+    with pytest.raises(ValueError, match="not an ann store"):
+        recluster_ann_store(spark, d, CENTROIDS)
+
+
+def test_read_centroids_missing_raises(tmp_path):
+    os.makedirs(str(tmp_path / "empty"), exist_ok=True)
+    with pytest.raises(ValueError, match="_CENTROIDS"):
+        read_ann_centroids(str(tmp_path / "empty"))
