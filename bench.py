@@ -73,6 +73,7 @@ HEADLINE = [
     "x13_cosine_join",
     "x13b_cosine_join_scaled",
     "x14_ann_ivf",
+    "x41_ann_store_topk",
     "x15_media_metadata",
     "x17_rolling_fingerprint",
     "x18_near_dup_clusters",

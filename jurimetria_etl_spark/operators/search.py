@@ -387,29 +387,59 @@ def hybrid_search(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ann_index: DataFrame | None = None,
+    ann_centroids: list[tuple[int, list[float]]] | None = None,
+    ann_n_probe: int = 4,
 ) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 top-``k_each`` (terms)
-    and exact cosine top-``k_each`` (vectors) per query, fused with RRF.
+    and cosine top-``k_each`` (vectors) per query, fused with RRF.
     ``text_queries``: (query_id, query_text); ``probe_queries``:
     (query_id, probe array) — the same query in both modalities, over a
     shared doc/vec id space.
 
-    The dense side here is the exact broadcast baseline
-    (``cosine_topk_batch``); at corpus scale swap in
-    ``ann_ivf_topk_indexed`` — the fusion contract only consumes
-    (query, id, rank)."""
+    Dense side: the exact broadcast baseline (``cosine_topk_batch``) by
+    default.  At corpus scale pass ``ann_index`` + ``ann_centroids`` —
+    a cell-indexed frame (``load_ann_store``'s output for the persisted
+    store, or ``ivf_index``'s) — and the dense ranks come from
+    ``ann_ivf_topk_batch`` at ``ann_n_probe`` cells per query instead:
+    the scan is sublinear (each probe scores only its cells, partition-
+    pruned on the hive store layout) and the fusion contract is
+    unchanged — it only consumes (query, id, rank).  Pass ``embeddings=
+    None`` in that mode; the recall/n_probe trade is the one
+    tests/test_ann_store.py pins."""
     from jurimetria_etl_spark.operators.similarity import cosine_topk_batch
 
     lex = bm25_search_docs(
         docs, text_queries, k=k_each, id_col=id_col, text_col=text_col
     )
-    dense = cosine_topk_batch(
-        embeddings,
-        probe_queries,
-        k=k_each,
-        id_col=vec_id_col,
-        vec_col=vec_col,
-    )
+    if ann_index is not None:
+        if ann_centroids is None:
+            raise ValueError(
+                "hybrid_search: ann_index requires ann_centroids — the "
+                "index's generation contract (read_ann_centroids for a "
+                "persisted store)"
+            )
+        from jurimetria_etl_spark.operators.ann_store import (
+            ann_ivf_topk_batch,
+        )
+
+        dense = ann_ivf_topk_batch(
+            ann_index,
+            ann_centroids,
+            probe_queries,
+            k=k_each,
+            n_probe=ann_n_probe,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+    else:
+        dense = cosine_topk_batch(
+            embeddings,
+            probe_queries,
+            k=k_each,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
     return rrf_fuse(
         [lex, dense.withColumnRenamed(vec_id_col, "doc_id")],
         k=rrf_k,

@@ -1781,6 +1781,107 @@ FROM toks
 """
 
 
+# Persisted ANN stores are cached per (session, sf_dir): a store is
+# built once at ingest and probed many times — rebuilding (two appends +
+# a replayed append into a fresh temp dir) per probe would charge every
+# query the ingest cost.  The cache value is just the directory path;
+# the store itself lives on disk, exactly as it would in production.
+_ANN_STORE_CACHE: dict[tuple, tuple] = {}
+
+
+def _ann_store_dir(spark: SparkSession, sf_dir: str, n_cells: int = 16):
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells)
+    if key not in _ANN_STORE_CACHE:
+        for stale in [k for k in _ANN_STORE_CACHE if k[0] != key[0]]:
+            del _ANN_STORE_CACHE[stale]
+        from jurimetria_etl_spark.operators.ann_store import (
+            append_ann_store,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        # deterministic centroids: the lowest-id seed vectors (ivf_index's
+        # in-lieu-of-kmeans rule), so the store generation is a pure
+        # function of the fixture
+        seeds = (
+            emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .collect()
+        )
+        cents = [
+            (i, [float(x) for x in r["embedding"]])
+            for i, r in enumerate(seeds)
+        ]
+        d = tempfile.mkdtemp(prefix="ann_store_x41_")
+        b0 = emb.where(F.col("vec_id") % 2 == 0)
+        b1 = emb.where(F.col("vec_id") % 2 == 1)
+        append_ann_store(b0, d, cents)
+        append_ann_store(b1, d, cents)
+        append_ann_store(b1, d, cents)  # the at-least-once replay
+        _ANN_STORE_CACHE[key] = (d, cents)
+    return _ANN_STORE_CACHE[key]
+
+
+_X41_PROBE_IDS = (1, 7)
+
+
+def x41_ann_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k over the PERSISTED incremental IVF ANN store
+    (operators/ann_store.py): the embeddings fixture is appended in two
+    batches plus one full replayed batch (the at-least-once fold must be
+    output-invisible), then probed at FULL probe (n_probe == n_cells),
+    where IVF is provably identical to brute force — that identity is
+    the oracle.  The probe path is ``ann_ivf_topk_store_batch``: load →
+    (ivf_cell, id) fold → driver-side cell ranking → STATIC cell
+    ``isin`` (partition pruning by construction, pinned in
+    tests/test_ann_store.py) → exact cosine → two-level top-k.  Partial-
+    probe recall, the generation guard, and recluster maintenance are
+    pinned in tests/test_ann_store.py; the streaming wiring in
+    tests/test_streaming_ann.py."""
+    from jurimetria_etl_spark.operators.ann_store import (
+        ann_ivf_topk_store_batch,
+    )
+
+    d, cents = _ann_store_dir(spark, sf_dir, n_cells=16)
+    probes = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").isin(list(_X41_PROBE_IDS)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("probe"),
+        )
+    )
+    return ann_ivf_topk_store_batch(
+        spark, d, probes, k=5, n_probe=16, centroids=cents
+    )
+
+
+_X41_COS = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.probe AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+    " CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(p.probe AS DOUBLE[]),"
+    " CAST(p.probe AS DOUBLE[]))))"
+)
+
+X41_SQL = f"""
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS probe FROM embeddings
+  WHERE vec_id IN {_X41_PROBE_IDS}),
+scored AS (
+  SELECT p.query_id, e.vec_id, round({_X41_COS}, 6) AS cos_sim
+  FROM embeddings e, probes p)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 # 16 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
@@ -1807,7 +1908,14 @@ EXTENSIONS: dict[str, Q] = {
     "x13b_cosine_join_scaled": Q(
         x13b_cosine_join_scaled, _x13_join_sql(n_planes=2)
     ),
-    "x14_ann_ivf": Q(x14_ann_ivf, Q23_SQL),
+    # Round-11 rotation (x14 → pytest-oracle): the dense-retrieval
+    # driver row moves from the session-built IVF probe to the PERSISTED
+    # incremental store (r10 verdict task 2) — same full-probe ≡
+    # brute-force identity as its oracle, now additionally exercising
+    # append/replay-fold/load/static-prune.  x14's single-probe path is
+    # the same scoring kernel; its Q23 comparison continues in
+    # tests/test_deregistered_queries.py.
+    "x41_ann_store_topk": Q(x41_ann_store_topk, X41_SQL),
     # Round-6: cross-document duplicate-span detection (the biggest
     # missing LLM-curation capability per the round-5 verdict).
     "x28_duplicate_spans": Q(x28_duplicate_spans, X28_SQL),
@@ -1840,6 +1948,12 @@ EXTENSIONS: dict[str, Q] = {
 # (x05/x08) stay registered, and the standalone forms keep the same DuckDB
 # comparison in tests/test_deregistered_queries.py.
 EXT_DEREGISTERED: dict[str, Q] = {
+    # Round-11 rotation out (to admit x41_ann_store_topk): the
+    # session-built IVF full-probe row — x41 registers the identical
+    # probe math over the persisted store; the standalone form keeps
+    # the same Q23 brute-force comparison in
+    # tests/test_deregistered_queries.py.
+    "x14_ann_ivf": Q(x14_ann_ivf, Q23_SQL),
     "x03_minhash": Q(x03_minhash, _x03_sql(8)),
     "x04_minhash_candidates": Q(x04_minhash_candidates, _x04_sql(8, 4)),
     "x07_simhash": Q(x07_simhash, _x07_sql(48)),

@@ -112,6 +112,9 @@ def curate_document_stream(
     classifier_threshold: float = 0.5,
     text_index_dir: str | None = None,
     text_index_fold_accents: bool = False,
+    ann_store_dir: str | None = None,
+    ann_centroids: list[tuple[int, list[float]]] | None = None,
+    ann_quantize: bool = False,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -211,9 +214,35 @@ def curate_document_stream(
     generation contract; search the loaded index with the same
     ``fold_accents`` flag.
 
+    ``ann_store_dir`` (optional, requires ``ann_centroids`` and a
+    ``vec_col`` embedding column on the stream) maintains the persisted
+    incremental IVF ANN index (operators/ann_store.py) over the curated
+    corpus: each batch appends its survivors' (cell, id, vector) rows —
+    a narrow literal-matrix assignment, partitioned by cell on disk —
+    so ``ann_ivf_topk_store(_batch)`` serves dense retrieval over
+    everything curated so far without a per-session re-index.  Appends
+    ride between the span-fp and text-index appends (the gatekeeper
+    rule: BEFORE the fp store — once a doc's fingerprint lands, a
+    replay drops it before reaching any later sink, and a crash between
+    fp and ANN appends would permanently omit the doc from dense
+    retrieval).  A replayed append is byte-identical and
+    ``load_ann_store`` folds it away.  The centroid set is the store's
+    generation contract — ``append_ann_store`` verifies it per batch
+    against the store's ``_CENTROIDS.json`` and re-clustering goes
+    through ``sinks.maintenance.recluster_ann_store`` in a maintenance
+    window (hand the SAME new set here from the next batch on).
+    ``ann_quantize=True`` stores int8 codes + per-vector scale
+    (~8× smaller rows); the flag is part of the generation contract
+    like the tokenizer settings.
+
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
     """
+    if ann_store_dir is not None and ann_centroids is None:
+        raise ValueError(
+            "ann_store_dir requires ann_centroids — the centroid set is "
+            "the store's generation contract"
+        )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -404,6 +433,28 @@ def curate_document_stream(
             winnowed_fingerprints(
                 survivors, span_len, span_k, id_col, text_col
             ).write.mode("append").parquet(store_data_dir(span_fp_store_dir))
+        if ann_store_dir is not None:
+            # BEFORE the fp append (gatekeeper rule — see docstring); a
+            # replayed append is byte-identical and folds away at load.
+            # append_ann_store resolves the store manifest and verifies
+            # the centroid generation per batch.
+            from jurimetria_etl_spark.operators.ann_store import (
+                append_ann_store,
+            )
+
+            if vec_col not in batch_df.columns:
+                raise ValueError(
+                    f"ann_store_dir requires a {vec_col!r} column on "
+                    "the document stream"
+                )
+            append_ann_store(
+                survivors.select(id_col, vec_col),
+                ann_store_dir,
+                ann_centroids,
+                id_col=id_col,
+                vec_col=vec_col,
+                quantize=ann_quantize,
+            )
         if text_index_dir is not None:
             # BEFORE the fp append (gatekeeper rule): once a doc's
             # fingerprint lands, a replay drops it before reaching any

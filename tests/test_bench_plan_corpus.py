@@ -96,6 +96,13 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # on both sides of the self-join, deduped by ReuseExchange).
     "x13b_cosine_join_scaled": (0, 0, 6, 3),
     "x14_ann_ivf": (1, 0, 3, 0),  # 1-row probe attach (intended)
+    # x41 (r11): batch probe over the PERSISTED ANN store — cell-pruned
+    # scan (static isin over the hive layout) → (ivf_cell, id) replay
+    # fold (1 agg exchange) → broadcast probe-cell equi-join (the BHJ)
+    # → two-level top-k (2 window exchanges) + the fold's pair.  Zero
+    # python nodes; the store build itself is cached per session
+    # (ingest cost, not probe cost).
+    "x41_ann_store_topk": (0, 0, 4, 1),
     "x15_media_metadata": (0, 1, 0, 0),  # Arrow mapInPandas boundary
     "x17_rolling_fingerprint": (0, 0, 0, 0),
     "x18_near_dup_clusters": (0, 0, 2, 0),

@@ -177,6 +177,11 @@ PAIRS = [
     # t16's distinct-count + NOT-IN by t18 (t16's pair has been above
     # since r6, pre-registration); identical DuckDB comparison:
     (T.t14_customer_distribution, T.T14_SQL),
+    # rotated OUT in round 11 (to admit x41_ann_store_topk — the
+    # persisted-ANN-store form of the same full-probe ≡ brute-force
+    # identity): x14's session-built IVF probe keeps the identical Q23
+    # comparison:
+    (E.x14_ann_ivf, C.Q23_SQL),
 ]
 
 
