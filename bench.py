@@ -158,6 +158,48 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
     }
 
 
+def _advance_warm_baseline(
+    prev: dict, cur_round: int, detail_sf, warm: dict[str, float]
+) -> tuple[dict, dict, object, object, dict, dict]:
+    """Round-over-round warm-delta baseline bookkeeping (unit-tested in
+    tests/test_bench_baseline.py).  Warm series are kept PER SF (r10
+    ADVICE): a round whose last bench invocation was an off-SF smoke run
+    must not lose its on-SF series as a baseline candidate — each SF's
+    slot survives runs at other SFs, and the baseline for THIS run
+    advances from this SF's slot only when that slot belongs to an
+    earlier round.  Returns (warm_queries_by_sf with this run's slot
+    written, baseline_warm_queries, baseline_round, baseline_sf,
+    warm_delta map, flagged map)."""
+    by_sf: dict = dict(prev.get("warm_queries_by_sf") or {})
+    if not by_sf and prev.get("warm_queries"):
+        # legacy single-slot artifact: fold it into its own SF's slot
+        by_sf[str(prev.get("sf"))] = {
+            "round": prev.get("round"),
+            "warm_queries": prev.get("warm_queries"),
+        }
+    slot = by_sf.get(str(detail_sf)) or {}
+    base_warm: dict[str, float] = prev.get("baseline_warm_queries") or {}
+    base_round = prev.get("baseline_round")
+    base_sf = prev.get("baseline_sf")
+    if slot.get("round") != cur_round and slot.get("warm_queries"):
+        base_warm = slot["warm_queries"]
+        base_round = slot.get("round")
+        base_sf = detail_sf
+    warm_delta: dict[str, float] = {}
+    flagged: dict[str, float] = {}
+    if base_sf == detail_sf:
+        for name, w in warm.items():
+            p = base_warm.get(name)
+            if isinstance(p, (int, float)) and p > 0 and w > 0:
+                r = round(w / p, 2)
+                warm_delta[name] = r
+                if r > 1.5 or r < (1 / 1.5):
+                    flagged[name] = r
+    by_sf = dict(by_sf)
+    by_sf[str(detail_sf)] = {"round": cur_round, "warm_queries": warm}
+    return by_sf, base_warm, base_round, base_sf, warm_delta, flagged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -294,37 +336,40 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     detail_sf = float(sf) if sf.replace(".", "").isdigit() else sf
-    round_nums = [
-        int(m.group(1))
-        for m in (
-            re.match(r"BENCH_r(\d+)\.json$", f) for f in os.listdir(repo_dir)
-        )
-        if m
-    ]
-    cur_round = (max(round_nums) + 1) if round_nums else 1
+    # Round id: an explicit SPARK_GRAFT_ROUND pins it outright; otherwise
+    # it is inferred from the driver's own artifacts.  The inference
+    # trusts the artifact directory (r10 ADVICE): a run in the window
+    # AFTER the driver writes BENCH_r<N>.json but before the next round
+    # starts self-identifies as round N+1 — set the env var when running
+    # bench by hand in that window, and never delete/rename BENCH_r
+    # files (a gap silently shifts the baseline window).
+    round_env = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_env:
+        cur_round = int(round_env)
+    else:
+        round_nums = [
+            int(m.group(1))
+            for m in (
+                re.match(r"BENCH_r(\d+)\.json$", f)
+                for f in os.listdir(repo_dir)
+            )
+            if m
+        ]
+        cur_round = (max(round_nums) + 1) if round_nums else 1
     prev: dict = {}
     try:
         with open(detail_path) as f:
             prev = json.load(f)
     except Exception:
         pass
-    base_warm: dict[str, float] = prev.get("baseline_warm_queries") or {}
-    base_round = prev.get("baseline_round")
-    base_sf = prev.get("baseline_sf")
-    if prev.get("round") != cur_round and prev.get("sf") == detail_sf:
-        base_warm = prev.get("warm_queries") or {}
-        base_round = prev.get("round")
-        base_sf = prev.get("sf")
-    warm_delta: dict[str, float] = {}
-    flagged: dict[str, float] = {}
-    if base_sf == detail_sf:
-        for name, w in warm.items():
-            p = base_warm.get(name)
-            if isinstance(p, (int, float)) and p > 0 and w > 0:
-                r = round(w / p, 2)
-                warm_delta[name] = r
-                if r > 1.5 or r < (1 / 1.5):
-                    flagged[name] = r
+    (
+        by_sf,
+        base_warm,
+        base_round,
+        base_sf,
+        warm_delta,
+        flagged,
+    ) = _advance_warm_baseline(prev, cur_round, detail_sf, warm)
 
     # Per-query warm/DuckDB detail rides in a file; only totals go to
     # stdout so the driver's bounded tail always captures the final line.
@@ -341,6 +386,7 @@ def main() -> None:
         ),
         "sf": detail_sf,
         "round": cur_round,
+        "warm_queries_by_sf": by_sf,
         "baseline_warm_queries": base_warm,
         "baseline_round": base_round,
         "baseline_sf": base_sf,

@@ -35,6 +35,12 @@ def curate_corpus(
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     near_dup_threshold: float = 0.7,
+    # Everything below is the EXTENSION tail — keyword-only, so adding a
+    # stage can never silently re-bind a positional caller (the r9/r10
+    # ADVICE class of finding: quality_lang shifted when scrub_pii was
+    # inserted).  The core reference-parity parameters above stay
+    # positional-friendly.
+    *,
     transitive: bool = True,
     minhash_k: int = 8,
     minhash_bands: int = 4,

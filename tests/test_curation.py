@@ -373,3 +373,16 @@ def test_classifier_stage_gates_the_composite(spark):
     base_ids = {r.doc_id for r in base.select("doc_id").collect()}
     clf_ids = {r.doc_id for r in clf.select("doc_id").collect()}
     assert clf_ids == {i for i in base_ids if i < 100}  # spam gated out
+
+
+def test_extension_tail_is_keyword_only(spark):
+    """r10 ADVICE note 3: the extension tail after the core
+    reference-parity parameters is keyword-only — inserting a stage can
+    never silently re-bind a positional caller again."""
+    import pytest
+
+    with pytest.raises(TypeError):
+        # 7th positional = first extension parameter (transitive)
+        curate_corpus(
+            _docs(spark), "doc_id", "text", ("en",), 0.3, 0.7, True
+        )
