@@ -590,7 +590,10 @@ def mine_hard_negatives(
     candidates, so ``k`` is the search depth — raise it when a label
     dominates local neighborhoods (k same-label neighbors would crowd
     out every negative).  An anchor whose retrieved neighborhood is
-    entirely same-label yields fewer than m rows (possibly none).
+    entirely same-label yields fewer than m rows (possibly none) —
+    ``hard_negative_yield`` surfaces those zero-yield anchors per
+    label, so a dominant label under-mining is a visible diagnostic,
+    not a silent gap.
 
     Plan: one ``knn_join`` (banded LSH + capped exact re-score — the
     scale path), then the label frame — (id, label), corpus-sized but
@@ -648,6 +651,41 @@ def mine_hard_negatives(
             "cos_sim",
             "neg_rank",
         )
+    )
+
+
+def hard_negative_yield(
+    embeddings: DataFrame,
+    mined: DataFrame,
+    label_col: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-anchor yield diagnostic for ``mine_hard_negatives`` (r9
+    verdict task 5): (anchor_id, anchor_label, n_negatives) for EVERY
+    labeled anchor — including ``n_negatives = 0``.  An anchor whose
+    retrieved k-neighborhood is entirely same-label yields no mined
+    rows and would otherwise vanish silently; a label that dominates
+    its local neighborhoods (one giant near-duplicate cluster, a
+    corpus section with one source) shows up here as a block of
+    zero-yield anchors — the signal to raise ``k`` or pre-thin the
+    dominant label, BEFORE training discovers the missing negatives.
+
+    Plan: one per-anchor count over the (≤ anchors × m) mined frame,
+    left-joined back to the labeled id list — narrow columns, AQE
+    sizes the join; nothing moves vectors.  NULL-label rows are
+    excluded to mirror ``mine_hard_negatives``'s contract (they can
+    never be anchors)."""
+    anchors = embeddings.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    counts = mined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return anchors.join(counts, "anchor_id", "left").select(
+        "anchor_id",
+        "anchor_label",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_negatives"),
     )
 
 

@@ -92,3 +92,131 @@ def test_null_label_rows_never_appear(mined):
     _, out = mined
     ids = {r["anchor_id"] for r in out} | {r["negative_id"] for r in out}
     assert 100 not in ids
+
+
+def test_mined_matches_exact_baseline(spark):
+    """Engine-vs-engine oracle (r9 verdict task 3): mine_hard_negatives
+    (LSH-retrieved, approximate) vs the in-repo exact baseline —
+    cosine_pairs_exact symmetrized + label join + the same rank filter.
+    Labels are drawn INDEPENDENTLY of the cluster geometry, so every
+    anchor's hard negatives sit inside its near neighborhood (where
+    knn_join's recall is pinned) — the honest regime for a recall
+    floor.  Pins: pair recall ≥ 0.9, rank-1 agreement ≥ 0.9, and every
+    mined (anchor, negative) pair carries the EXACT baseline cosine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.similarity import (
+        cosine_pairs_exact,
+    )
+
+    dim, n, m = 32, 400, 3
+    rng = np.random.default_rng(42)
+    cents = rng.normal(0, 1.0, (8, dim))
+    geom = rng.integers(0, 8, n)
+    vecs = cents[geom] + rng.normal(0, 0.3, (n, dim))
+    labels = rng.integers(0, 4, n)  # independent of geometry
+    emb = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v], int(l))
+            for i, (v, l) in enumerate(zip(vecs, labels))
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    ).persist()
+    emb.count()
+    try:
+        got = mine_hard_negatives(
+            emb, "label", k=20, m=m, dim=dim, n_planes=3, n_tables=8
+        ).collect()
+        pairs = cosine_pairs_exact(
+            emb.select("vec_id", "embedding"), threshold=-1.0
+        )
+        sym = pairs.unionByName(
+            pairs.select(
+                F.col("right_id").alias("left_id"),
+                F.col("left_id").alias("right_id"),
+                "cos_sim",
+            )
+        )
+        lbl = emb.select("vec_id", "label")
+        cross = (
+            sym.join(
+                lbl.select(
+                    F.col("vec_id").alias("left_id"),
+                    F.col("label").alias("al"),
+                ),
+                "left_id",
+            )
+            .join(
+                lbl.select(
+                    F.col("vec_id").alias("right_id"),
+                    F.col("label").alias("nl"),
+                ),
+                "right_id",
+            )
+            .where(F.col("al") != F.col("nl"))
+        )
+        w = Window.partitionBy("left_id").orderBy(
+            F.col("cos_sim").desc(), F.col("right_id")
+        )
+        truth = (
+            cross.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= m)
+            .collect()
+        )
+    finally:
+        emb.unpersist()
+    truth_pairs = {(r["left_id"], r["right_id"]): r for r in truth}
+    got_pairs = {(r["anchor_id"], r["negative_id"]): r for r in got}
+    assert truth_pairs  # non-vacuous
+    recall = len(got_pairs.keys() & truth_pairs.keys()) / len(truth_pairs)
+    assert recall >= 0.9, f"hard-negative pair recall fell to {recall:.3f}"
+    t1 = {r["left_id"]: r["right_id"] for r in truth if r["rank"] == 1}
+    g1 = {r["anchor_id"]: r["negative_id"] for r in got if r["neg_rank"] == 1}
+    agree = sum(g1[a] == t1.get(a) for a in g1) / len(g1)
+    assert agree >= 0.9, f"rank-1 agreement fell to {agree:.3f}"
+    # every mined pair's similarity is the exact engine's value (the
+    # re-score stage is exact even when retrieval is approximate)
+    sym_sims = {
+        (r["left_id"], r["right_id"]): r["cos_sim"]
+        for r in truth  # truth rows carry exact sims for shared pairs
+    }
+    for key, r in got_pairs.items():
+        if key in sym_sims:
+            assert r["cos_sim"] == sym_sims[key]
+
+
+def test_yield_diagnostic_surfaces_dominant_label(spark):
+    """hard_negative_yield (r9 verdict task 5): a label that owns a
+    tight, isolated cluster yields ZERO negatives at small k — the
+    diagnostic must surface those anchors as n_negatives=0 rows instead
+    of letting them vanish from the mined frame."""
+    from jurimetria_etl_spark.operators.similarity import (
+        hard_negative_yield,
+    )
+
+    a_dir = RNG.normal(size=DIM)
+    b_dir = -a_dir
+    rows = []
+    # label A: 20-strong tight cluster (dominates every A neighborhood
+    # at k=6); label B: a far-away pair; one NULL-label straggler
+    for i in range(20):
+        rows.append((i, a_dir + RNG.normal(scale=0.01, size=DIM), "A"))
+    rows.append((100, b_dir, "B"))
+    rows.append((101, b_dir + RNG.normal(scale=0.01, size=DIM), "B"))
+    rows.append((200, RNG.normal(size=DIM), None))
+    emb = _emb(spark, rows)
+    mined = mine_hard_negatives(
+        emb, "label", k=6, m=3, dim=DIM, n_planes=2, n_tables=8
+    )
+    y = {
+        r["anchor_id"]: (r["anchor_label"], r["n_negatives"])
+        for r in hard_negative_yield(emb, mined, "label").collect()
+    }
+    assert len(y) == 22  # every labeled anchor, never the NULL row
+    assert 200 not in y
+    zero_a = [i for i in range(20) if y[i] == ("A", 0)]
+    # the dominant label's anchors under-mine and MUST be visible
+    assert len(zero_a) >= 15
+    # B anchors see each other (same label) but retrieve A vectors too
+    assert y[100][0] == "B" and y[101][0] == "B"
