@@ -112,6 +112,23 @@ AUDITED = [
         "behind the broadcast survivor semi-filter",
     ),
     (
+        "x34_bloom_incremental_dedup",
+        "dense single-row-bitset broadcast attach under the size gate "
+        "(the 2 nested-loops: one per leg of the fresh/suspect union — "
+        "constant 1-row side, intended; the word-join probe takes over "
+        "above the bitset ceiling); Bloom-positive suspects re-check via "
+        "broadcast ANTI against the real store — the filter is "
+        "output-invisible (test_bench_plan_corpus pin: 2 BNLJ / 0 py / "
+        "13 exchanges)",
+    ),
+    (
+        "x41_ann_store_topk",
+        "persisted-store batch probe: static cell isin reaches the hive "
+        "scan as PartitionFilters (pruning by construction, not DPP); "
+        "(cell,id) replay fold above it; broadcast probe-cell equi-join; "
+        "two-level top-k (scan-partition pre-rank, then per-query rank)",
+    ),
+    (
         "x35_bm25_search",
         "df agg computed AFTER a query-term semi-join prune (never the "
         "full vocabulary); q-term/df broadcasts match-sized; 1-row stats "
