@@ -37,6 +37,7 @@ are textbook (Robertson–Spärck Jones / Okapi), public knowledge.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
@@ -269,6 +270,90 @@ def append_text_index(
     )
 
 
+_STOPLIST_META = "_STOPLIST.json"
+
+
+def materialize_stop_list(
+    spark,
+    index_dir: str,
+    max_df_ratio: float,
+) -> dict:
+    """Materialize the ``max_df_ratio`` stop-list ONCE at maintenance
+    time (r9 verdict task 6): compute the full-vocabulary df aggregate —
+    the corpus-sized part — over the folded postings, keep the terms
+    ABOVE the ratio (df > n_docs × ratio: by construction ≤
+    avg-terms-per-doc / ratio of them — a bounded, broadcastable list),
+    and publish them to ``<index_dir>/stop_list`` under the manifested
+    store's atomic swap, with the ratio recorded in ``_STOPLIST.json``.
+    ``load_text_index(max_df_ratio=...)`` then anti-joins the loaded
+    list instead of planting the full-vocabulary aggregate in every
+    loaded plan.
+
+    Staleness contract: the list is exact AS OF this call; appends
+    after it can push new terms over the ratio (and raise n_docs under
+    old ones) until the next materialization — run it in the same
+    maintenance window as ``compact_store`` on the index subdirs.  A
+    different requested ratio at load time falls back to the load-time
+    aggregate, so ad-hoc ratios keep working unchanged.
+
+    Returns {n_stop_terms, max_df_ratio, version}."""
+    import json
+    import uuid
+
+    from jurimetria_etl_spark.sinks.maintenance import (
+        _VERSIONS,
+        _publish,
+    )
+
+    idx = load_text_index(spark, index_dir)
+    dfs = idx.postings.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    stop = (
+        dfs.join(F.broadcast(idx.stats))
+        .where(F.col("__df") > F.col("n_docs") * F.lit(max_df_ratio))
+        .select("term")
+    )
+    store = f"{index_dir}/stop_list"
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(store, _VERSIONS, version)
+    stop.coalesce(1).write.mode("overwrite").parquet(vdir)
+    _publish(store, version)
+    meta_path = os.path.join(store, _STOPLIST_META)
+    tmp = meta_path + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"max_df_ratio": float(max_df_ratio)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, meta_path)
+    n = spark.read.parquet(vdir).count()
+    return {
+        "n_stop_terms": n,
+        "max_df_ratio": float(max_df_ratio),
+        "version": version,
+    }
+
+
+def _read_stop_list(spark, index_dir: str, max_df_ratio: float):
+    """The materialized stop-list frame, or ``None`` when absent or
+    materialized at a DIFFERENT ratio (exact float compare — a
+    close-but-unequal ratio is a different stop set, so silently
+    reusing it would be wrong; the caller falls back to the load-time
+    aggregate)."""
+    import json
+
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    store = f"{index_dir}/stop_list"
+    meta_path = os.path.join(store, _STOPLIST_META)
+    try:
+        with open(meta_path, encoding="utf-8") as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        return None
+    if meta.get("max_df_ratio") != float(max_df_ratio):
+        return None
+    return spark.read.parquet(store_data_dir(store))
+
+
 def load_text_index(
     spark,
     index_dir: str,
@@ -281,13 +366,15 @@ def load_text_index(
     and optionally stop-list by ``max_df_ratio`` exactly like
     ``build_text_index``.  The folds are one aggregation each at search
     time; ``sinks.maintenance.compact_store`` on the two subdirs keeps
-    the file counts bounded between batches.  Note ``max_df_ratio``
-    plants a FULL-vocabulary df aggregation in the returned postings
-    plan (the stop-list needs every term's df by definition) — for
-    repeated querying, materialize the loaded index once (persist or
-    write-and-reread) rather than paying it per search; the per-search
-    df computation inside ``bm25_search`` itself stays pruned to the
-    query's terms either way.
+    the file counts bounded between batches.  When
+    ``materialize_stop_list`` has published a list at the SAME ratio,
+    the loaded postings anti-join that (small, broadcast) term list —
+    otherwise ``max_df_ratio`` plants a FULL-vocabulary df aggregation
+    in the returned postings plan (the stop-list needs every term's df
+    by definition); for repeated ad-hoc-ratio querying, materialize the
+    loaded index once (persist or write-and-reread) rather than paying
+    it per search.  The per-search df computation inside ``bm25_search``
+    itself stays pruned to the query's terms either way.
 
     ``strict_stats=True`` semi-joins ``doc_lens`` against the postings'
     doc_ids before deriving (n_docs, avgdl, dl), excluding orphaned
@@ -317,13 +404,21 @@ def load_text_index(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     if max_df_ratio is not None:
-        dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-        keep = (
-            dfs.join(F.broadcast(stats))
-            .where(F.col("__df") <= F.col("n_docs") * F.lit(max_df_ratio))
-            .select("term")
-        )
-        postings = postings.join(keep, "term", "left_semi")
+        stop = _read_stop_list(spark, index_dir, max_df_ratio)
+        if stop is not None:
+            postings = postings.join(F.broadcast(stop), "term", "left_anti")
+        else:
+            dfs = postings.groupBy("term").agg(
+                F.count(F.lit(1)).alias("__df")
+            )
+            keep = (
+                dfs.join(F.broadcast(stats))
+                .where(
+                    F.col("__df") <= F.col("n_docs") * F.lit(max_df_ratio)
+                )
+                .select("term")
+            )
+            postings = postings.join(keep, "term", "left_semi")
     return TextIndex(postings=postings, doc_lens=doc_lens, stats=stats)
 
 

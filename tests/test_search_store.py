@@ -115,6 +115,91 @@ def test_max_df_ratio_applies_at_load(spark, tmp_path):
     assert "the" not in terms and "spark" in terms
 
 
+def test_materialized_stop_list_replaces_full_vocab_aggregate(
+    spark, tmp_path
+):
+    """r9 verdict task 6: after materialize_stop_list, loading at the
+    SAME ratio anti-joins the published term list — the loaded postings
+    plan no longer touches doc_lens (the full-vocabulary df + stats
+    aggregate is gone) and the term set is identical to the load-time
+    form.  A DIFFERENT requested ratio falls back to the load-time
+    aggregate unchanged."""
+    from jurimetria_etl_spark.operators.search import (
+        materialize_stop_list,
+    )
+
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    append_text_index(_docs(spark, BATCH1), idx_dir)
+    inline_terms = {
+        r["term"]
+        for r in load_text_index(spark, idx_dir, max_df_ratio=0.4)
+        .postings.select("term")
+        .collect()
+    }
+    rep = materialize_stop_list(spark, idx_dir, max_df_ratio=0.4)
+    assert rep["n_stop_terms"] >= 1  # at least "the"
+    mat = load_text_index(spark, idx_dir, max_df_ratio=0.4)
+    mat_terms = {
+        r["term"] for r in mat.postings.select("term").collect()
+    }
+    assert mat_terms == inline_terms and "the" not in mat_terms
+    # the plan contract: the materialized postings plan is just the
+    # replay fold (1 partial+final aggregate pair) plus the stop-list
+    # anti-join — the full-vocabulary df aggregate AND the doc_lens
+    # stats scan are gone (the load-time form plants 10 HashAggregates
+    # over 3 scans; path strings are truncated in the printed plan, so
+    # count nodes, not directory names)
+    mat_plan = (
+        mat.postings._jdf.queryExecution().executedPlan().toString()
+    )
+    assert mat_plan.count("HashAggregate") == 2
+    assert mat_plan.count("FileScan") == 2  # postings + stop_list
+    fallback = load_text_index(spark, idx_dir, max_df_ratio=0.3)
+    fb_plan = (
+        fallback.postings._jdf.queryExecution().executedPlan().toString()
+    )
+    # ratio mismatch -> load-time form: df + stats aggregates return
+    assert fb_plan.count("HashAggregate") > 2
+    assert fb_plan.count("FileScan") == 3  # postings x2 + doc_lens
+    # search over the materialized-stop-list index still matches the
+    # from-scratch build at the same ratio
+    want = _search_rows(
+        spark,
+        build_text_index(_docs(spark, BATCH0 + BATCH1), max_df_ratio=0.4),
+    )
+    assert _search_rows(spark, mat) == want
+
+
+def test_stop_list_refresh_after_appends(spark, tmp_path):
+    """The staleness contract: the list is exact as of materialization;
+    re-materializing in the next maintenance window restores the
+    identity after appends shift the dfs."""
+    from jurimetria_etl_spark.operators.search import (
+        materialize_stop_list,
+    )
+
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    materialize_stop_list(spark, idx_dir, max_df_ratio=0.4)
+    append_text_index(_docs(spark, BATCH1), idx_dir)
+    materialize_stop_list(spark, idx_dir, max_df_ratio=0.4)  # refresh
+    got = {
+        r["term"]
+        for r in load_text_index(spark, idx_dir, max_df_ratio=0.4)
+        .postings.select("term")
+        .collect()
+    }
+    want = {
+        r["term"]
+        for r in build_text_index(
+            _docs(spark, BATCH0 + BATCH1), max_df_ratio=0.4
+        ).postings.select("term")
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_maintains_text_index(spark, tmp_path):
     """curate_document_stream(text_index_dir=): keyword search over the
     streamed corpus equals a from-scratch index of the landed corpus —
