@@ -110,10 +110,22 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
     same files, ratio over the queries both engines completed."""
     import duckdb
 
+    # x13 pins FIXED LSH planes as the didactic contrast to x13b's
+    # auto-scaling — deliberately quadratic in corpus size (measured
+    # exponent 1.42, SCALE_RESULTS.json / SCALE.md §LSH-planes).  At sf1
+    # it alone contributed ~48.5 s of the tier's Spark total (r9
+    # artifact), drowning the amortization signal this tier exists to
+    # measure.  Budgeted OUT of the sf1 tier on BOTH engines (r9 verdict
+    # task 8): its scale story lives in SCALE_RESULTS.json, its
+    # correctness at the driver SFs, and its timing in the sf0.1
+    # headline where the demo is affordable.
+    sf1_skip = {"x13_cosine_join"}
     warm: dict[str, float] = {}
     duck: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
+        if name in sf1_skip:
+            continue
         fn = registry[name].spark
         try:
             fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
@@ -132,6 +144,8 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
             f"read_parquet('{sf1_dir}/{t}.parquet')"
         )
     for name in HEADLINE:
+        if name in sf1_skip:
+            continue
         sql = registry[name].oracle
         if sql is None:
             continue
@@ -148,6 +162,12 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
     sd = sum(duck[n] for n in shared)
     return {
         "sf_dir": sf1_dir,
+        "skipped": sorted(sf1_skip),
+        "skipped_why": (
+            "deliberately-quadratic fixed-plane LSH contrast (exponent "
+            "1.42) — see SCALE_RESULTS.json; budgeted out of the sf1 "
+            "tier on both engines"
+        ),
         "warm_queries": warm,
         "duckdb_queries": duck,
         "errors": errors,

@@ -211,6 +211,16 @@ def probe_knn(spark, sf_dir: str) -> dict:
         F.max("c").alias("max"),
         F.sum("c").alias("total"),
     ).first()
+    # The r8 collision-count cap bounds the exact re-score at
+    # min(cap, candidates) per left row — the volume the vector joins
+    # and the top-k window actually pay AFTER the cap (r9 verdict task
+    # 7: decompose the honest 0.67 exponent — if this grows ~linearly
+    # while wall-clock grows sub-linearly, the exponent is floor
+    # amortization over linear work, not a hidden blowup).
+    cap = max(20 * 5, 100)  # knn_join's "auto" at the bench's k=5
+    post_cap = per_left.agg(
+        F.sum(F.least(F.col("c"), F.lit(cap))).alias("t")
+    ).first()["t"]
     return {
         "n_rows": n,
         "n_planes": planes,
@@ -219,6 +229,8 @@ def probe_knn(spark, sf_dir: str) -> dict:
         "cand_per_left_p95": float(st["p95"]),
         "cand_per_left_max": int(st["max"]),
         "cand_per_left_mean": round(st["total"] / max(st["n_left"], 1), 1),
+        "auto_cap": cap,
+        "post_cap_rescore_pairs": int(post_cap),
     }
 
 
@@ -316,6 +328,7 @@ def main() -> None:
     ):
         _growth(out, "x28_spans", key, label)
     _growth(out, "knn", "distinct_cand_pairs", "cand_growth_10x")
+    _growth(out, "knn", "post_cap_rescore_pairs", "post_cap_growth_10x")
     _growth(out, "knn", "cand_per_left_mean", "cand_per_left_growth_10x")
     sa, sb = out["semdedup"]["sf0.1"], out["semdedup"]["sf1"]
     out["semdedup"]["fixed_scan_work_growth_10x"] = round(
