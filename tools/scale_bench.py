@@ -63,6 +63,10 @@ HEAVY = [
     "x38_split_guarded",
     # r8: domain-balanced top-k — narrow rank window + semi-join back.
     "x39_top_per_domain",
+    # r11: the registered persisted-ANN-store probe (FULL probe — exact,
+    # so it scans the whole store: linear expectation; the sublinear
+    # production posture is ann_store_scaled_cells below).
+    "x41_ann_store_topk",
 ]
 
 
@@ -134,9 +138,38 @@ def main() -> None:
         n_clusters = max(16, emb.count() // 125)
         return semdedup_flags(emb, eps=0.35, n_clusters=n_clusters)
 
+    def ann_store_scaled_cells(spark, sf_dir):
+        # the persisted-ANN-store 100-TB posture: cells grow with the
+        # corpus (target occupancy ~125 — semdedup_scaled's rule) and a
+        # probe batch reads only its n_probe=4 cells' partitions, so
+        # scanned rows per probe stay ~constant as the corpus grows —
+        # the partition-pruning claim, MEASURED.  The store build rides
+        # the discarded cold run (ingest cost, amortized — the
+        # per-session cache in plans/extensions.py); warm runs probe the
+        # persisted layout.
+        from pyspark.sql import functions as F
+
+        from jurimetria_etl_spark.operators.ann_store import (
+            ann_ivf_topk_store_batch,
+        )
+        from jurimetria_etl_spark.plans.extensions import _ann_store_dir
+        from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        n_cells = max(16, emb.count() // 125)
+        d, cents = _ann_store_dir(spark, sf_dir, n_cells=n_cells)
+        probes = emb.where(F.col("vec_id").isin([1, 7])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("probe"),
+        )
+        return ann_ivf_topk_store_batch(
+            spark, d, probes, k=5, n_probe=4, centroids=cents
+        )
+
     extra: dict = {
         "knn_join_top5": knn_join_top5,
         "semdedup_scaled": semdedup_scaled,
+        "ann_store_scaled_cells": ann_store_scaled_cells,
     }
 
     results: dict[str, dict[str, float]] = {}
