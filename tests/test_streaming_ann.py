@@ -131,6 +131,42 @@ def test_probe_serves_curated_corpus(spark, ran):
     assert top[0]["doc_id"] == 0 and top[0]["cos_sim"] == 1.0
 
 
+def test_quantized_stream_stores_int8(spark, tmp_path):
+    """ann_quantize=True: the streamed store holds (q, q_scale) int8
+    rows on disk, loads dequantize lazily, and a full probe still ranks
+    the self-match first (quantization error is O(1/127))."""
+    flat = str(tmp_path / "flat_q")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, BATCH0), flat, "000", base_t)
+    _drop(_docs(spark, BATCH1), flat, "001", base_t + 600)
+    dirs = {
+        n: str(tmp_path / f"{n}_q")
+        for n in ("corpus", "fps", "sigs", "ckpt", "ann")
+    }
+    q = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        ann_store_dir=dirs["ann"],
+        ann_centroids=CENTS,
+        ann_quantize=True,
+    )
+    assert q.awaitTermination(180)
+    disk = spark.read.parquet(store_data_dir(dirs["ann"]))
+    assert {"q", "q_scale"} <= set(disk.columns)
+    assert "embedding" not in disk.columns
+    loaded = load_ann_store(spark, dirs["ann"], id_col="doc_id")
+    assert {r.doc_id for r in loaded.collect()} == {0, 1, 2, 11}
+    top = ann_ivf_topk_store(
+        spark,
+        dirs["ann"],
+        [float(x) for x in V[3]],
+        k=1,
+        n_probe=len(CENTS),
+        id_col="doc_id",
+    ).first()
+    assert top["doc_id"] == 11 and top["cos_sim"] > 0.999
+
+
 def test_missing_centroids_fails_fast(spark, tmp_path):
     """The centroids check is call-time (before the stream starts) —
     nothing to await, no partially-started query to clean up."""
