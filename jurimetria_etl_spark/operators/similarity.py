@@ -892,6 +892,45 @@ def dedup_embeddings_keep_one(
     return dedup_keep_one_per_cluster(embeddings, pairs, id_col)
 
 
+# Centroid literal columns are memoized per (SparkContext, centroid set):
+# building the n_cells × dim literal matrix costs one py4j round-trip PER
+# CENTROID, which at production cell counts (n_cells ∝ corpus, e.g. 160
+# at the 20k-row scale fixture) dominates DRIVER-SIDE query-build time —
+# measured 2.3-2.9 s per probe at 160 cells vs a 0.7 s executed scan
+# (r11; the same economics as _PLANE_CUBE_CACHE above).  The key is the
+# FULL value tuple, not a hash of it — a hash collision would silently
+# score against the wrong geometry.  Column objects are reusable
+# expression trees within a session; stale-context entries are evicted
+# on first use of a new context.
+_CENTROID_LIT_CACHE: dict[tuple, tuple[Column, Column]] = {}
+
+
+def _centroid_literals(
+    centroids: list[tuple[int, list[float]]],
+) -> tuple[Column, Column]:
+    import numpy as np
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (
+        id(sc),
+        tuple((int(cid), tuple(map(float, v))) for cid, v in centroids),
+    )
+    if key not in _CENTROID_LIT_CACHE:
+        for stale in [k for k in _CENTROID_LIT_CACHE if k[0] != key[0]]:
+            del _CENTROID_LIT_CACHE[stale]
+        if len(_CENTROID_LIT_CACHE) >= 8:  # bound driver memory
+            _CENTROID_LIT_CACHE.pop(next(iter(_CENTROID_LIT_CACHE)))
+        # 1-D numpy literals: one py4j conversion per centroid instead
+        # of one per element (Spark rejects ≥2-D ndarray literals).
+        mat = F.array(
+            *[F.lit(np.asarray(vec, dtype="float64")) for _, vec in centroids]
+        )
+        cids = F.lit([int(cid) for cid, _ in centroids])
+        _CENTROID_LIT_CACHE[key] = (mat, cids)
+    return _CENTROID_LIT_CACHE[key]
+
+
 def _nearest_cells(
     vec_col: Column,
     centroids: list[tuple[int, list[float]]],
@@ -900,14 +939,10 @@ def _nearest_cells(
     """Array of the ``n`` centroid ids nearest (by cosine) to ``vec_col`` —
     a pure Catalyst expression: score every centroid against the vector,
     sort the (sim, id) structs, slice.  The centroid matrix is ONE
-    array<array<double>> literal scored by a single transform lambda
-    (constant driver-side build cost in n_cells)."""
-    import numpy as np
-
-    # 1-D numpy literals: one py4j conversion per centroid instead of one
-    # per element (Spark rejects ≥2-D ndarray literals).
-    mat = F.array(*[F.lit(np.asarray(vec, dtype="float64")) for _, vec in centroids])
-    cids = F.lit([int(cid) for cid, _ in centroids])
+    array<array<double>> literal scored by a single transform lambda,
+    memoized per session (``_CENTROID_LIT_CACHE``) so repeated probes
+    against the same geometry pay the py4j literal build once."""
+    mat, cids = _centroid_literals(centroids)
     scored = F.transform(
         mat,
         lambda c, i: F.struct(
