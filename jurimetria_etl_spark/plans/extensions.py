@@ -1882,7 +1882,7 @@ WHERE rank <= 5
 """
 
 
-# 16 entries, every one oracle-carrying.  Kept as functions + pytest
+# 20 entries, every one oracle-carrying.  Kept as functions + pytest
 # coverage but not registered: x09_lang_id / x10_quality / x11_token_stats
 # (merged into x09_text_profile), x13_ann_lsh (approximate by design;
 # recall pinned in tests — the deterministic LSH *join* is registered as
