@@ -29,4 +29,8 @@ from jurimetria_etl_spark.operators.sampling import (  # noqa: F401
     pack_into_shards,
     stratified_sample,
 )
-from jurimetria_etl_spark.operators.stats import basic_stats, row_count  # noqa: F401
+from jurimetria_etl_spark.operators.stats import (  # noqa: F401
+    basic_stats,
+    percentile_cont_by_group,
+    row_count,
+)

@@ -776,7 +776,12 @@ def q32_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q32 — exact percentiles (linear interpolation — ``percentile_cont``
     semantics) per group.  Exact, not ``approx_percentile``: the sort is
     per-group inside the aggregate; at 100 TB prefer the approx variant
-    (q11's sketch pattern) unless exactness is contractual."""
+    (q11's sketch pattern) unless exactness is contractual — and when it
+    is, prefer ``operators.stats.percentile_cont_by_group`` on
+    near-continuous columns: the native aggregate merges a value→count
+    map per group through partial/final serialization (measured 8.6 s at
+    sf1 on l_extendedprice), the histogram form shuffles distinct values
+    instead (1.4× faster, bit-identical — test_percentile_hist.py)."""
     li = _fact(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", 0.25).alias("q25"),

@@ -1,0 +1,78 @@
+"""Distributed-histogram exact percentile
+(operators/stats.py:percentile_cont_by_group): BIT-IDENTICAL to the
+native ``F.percentile`` aggregate — same values, same double
+interpolation — on continuous, discrete, tied, and NULL-bearing data,
+so either form satisfies a percentile_cont oracle; the plan difference
+(distinct-value shuffle vs per-group value→count buffers) is the
+operator's whole point (docstring; measured 1.4× at sf1)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from jurimetria_etl_spark.operators.stats import percentile_cont_by_group
+
+PS = [0.0, 0.25, 0.5, 0.9, 1.0]
+
+
+def _check(spark, rows, schema="g string, v double"):
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r["g"], r["p"]): r["val"]
+        for r in percentile_cont_by_group(df, "g", "v", PS).collect()
+    }
+    want_rows = df.where(F.col("v").isNotNull()).groupBy("g").agg(
+        F.percentile("v", F.lit(PS)).alias("qs")
+    ).collect()
+    want = {
+        (r["g"], p): r["qs"][i]
+        for r in want_rows
+        for i, p in enumerate(PS)
+    }
+    assert set(got) == set(want) and got
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])  # bit-identical
+
+
+def test_continuous_values_match_native(spark):
+    rng = np.random.default_rng(5)
+    rows = [
+        (g, float(v))
+        for g in ("a", "b", "c")
+        for v in rng.normal(100, 37, 501)
+    ]
+    _check(spark, rows)
+
+
+def test_heavy_ties_and_single_row_groups(spark):
+    rng = np.random.default_rng(6)
+    rows = [("t", float(rng.integers(0, 5))) for _ in range(400)]
+    rows += [("one", 42.0)]  # single-row group: every p -> 42.0
+    _check(spark, rows)
+
+
+def test_nulls_excluded_all_null_group_absent(spark):
+    rows = [("a", 1.0), ("a", None), ("a", 3.0), ("z", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = percentile_cont_by_group(df, "g", "v", [0.5]).collect()
+    assert len(out) == 1 and out[0]["g"] == "a" and out[0]["val"] == 2.0
+
+
+def test_matches_q32_on_fixture(spark):
+    """The lineitem fixture, q32's exact shape: both value columns,
+    every percentile, bit-identical to the registered native form."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for col in ("l_quantity", "l_extendedprice"):
+        got = {
+            (r["l_returnflag"], r["p"]): r["val"]
+            for r in percentile_cont_by_group(
+                li, "l_returnflag", col, [0.25, 0.5, 0.9]
+            ).collect()
+        }
+        want_rows = li.groupBy("l_returnflag").agg(
+            F.percentile(col, F.lit([0.25, 0.5, 0.9])).alias("qs")
+        ).collect()
+        for r in want_rows:
+            for i, p in enumerate([0.25, 0.5, 0.9]):
+                assert got[(r["l_returnflag"], p)] == r["qs"][i]
