@@ -181,6 +181,56 @@ def test_missing_centroids_fails_fast(spark, tmp_path):
         )
 
 
+def test_recluster_between_streams_then_resume(spark, tmp_path):
+    """The maintenance-window lifecycle: curate a batch → stop →
+    recluster_ann_store to a new geometry → resume the stream handing
+    the NEW centroids.  The resumed appends pass the generation guard,
+    the store indexes old + new survivors under the new cells, and a
+    full probe serves both."""
+    from jurimetria_etl_spark.sinks.maintenance import recluster_ann_store
+
+    flat = str(tmp_path / "flat_r")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, BATCH0), flat, "000", base_t)
+    dirs = {
+        n: str(tmp_path / f"{n}_r")
+        for n in ("corpus", "fps", "sigs", "ckpt", "ann")
+    }
+    q = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        ann_store_dir=dirs["ann"],
+        ann_centroids=CENTS,
+    )
+    assert q.awaitTermination(180)
+    new_cents = [
+        (k, [float(x) for x in RNG.normal(size=DIM)]) for k in range(4)
+    ]
+    rep = recluster_ann_store(
+        spark, dirs["ann"], new_cents, id_col="doc_id"
+    )
+    assert rep["verified"] and rep["rows"] == 3
+    # resume: a second drop arrives, the stream restarts on the SAME
+    # checkpoint with the new generation's centroids
+    _drop(_docs(spark, BATCH1), flat, "001", base_t + 600)
+    q2 = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        ann_store_dir=dirs["ann"],
+        ann_centroids=new_cents,
+    )
+    assert q2.awaitTermination(180)
+    indexed = load_ann_store(spark, dirs["ann"], id_col="doc_id")
+    assert {r.doc_id for r in indexed.collect()} == {0, 1, 2, 11}
+    cells = {r["ivf_cell"] for r in indexed.collect()}
+    assert cells <= {0, 1, 2, 3}  # everything lives in the NEW geometry
+    top = ann_ivf_topk_store(
+        spark, dirs["ann"], [float(x) for x in V[1]],
+        k=1, n_probe=4, id_col="doc_id",
+    ).first()
+    assert top["doc_id"] == 1 and top["cos_sim"] == 1.0
+
+
 def test_hybrid_search_ann_swap_equals_exact_at_full_probe(spark, ran):
     """hybrid_search(ann_index=…): with n_probe == n_cells the ANN dense
     side is exactly cosine_topk_batch, so the fused output must be
