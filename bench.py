@@ -87,6 +87,7 @@ HEADLINE = [
     "x37_hybrid_search",
     "x22_training_shards",
     "x27_hll_daily_uniques",
+    "q32b_percentile_hist",
 ]
 
 

@@ -163,6 +163,13 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # (query, scan-partition) pre-rank spreads the sort and the final
     # window ranks only |partitions|·k survivors.
     "x37_hybrid_search": (2, 0, 19, 4),
+    # q32b (r11): the registered q32's scale-path twin — distributed
+    # histogram + rank interpolation.  Per value column: distinct-value
+    # hist agg + one cumulative window + the target-rank broadcast
+    # cross (the 2 BNLJs: a constant 3x|ps|-row side each — intended)
+    # + the interpolation agg; final name-keyed join of the two column
+    # frames.  Zero python nodes.
+    "q32b_percentile_hist": (2, 0, 14, 2),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

@@ -182,6 +182,10 @@ PAIRS = [
     # identity): x14's session-built IVF probe keeps the identical Q23
     # comparison:
     (E.x14_ann_ivf, C.Q23_SQL),
+    # never registered (bench-only, r11): the distributed-histogram
+    # exact percentile — q32's scale-path twin, same DuckDB oracle
+    # (bit-identical values to the registered native aggregate):
+    (E.q32b_percentile_hist, C.Q32_SQL),
 ]
 
 

@@ -112,6 +112,14 @@ AUDITED = [
         "behind the broadcast survivor semi-filter",
     ),
     (
+        "q32b_percentile_hist",
+        "exact percentile via DISTRIBUTED histogram: distinct-value agg "
+        "(map-side combinable) + per-group cumulative window over "
+        "(value, count) rows + broadcast target-rank join; the 2 "
+        "nested-loops are the constant 3×|ps|-row percentile-frame "
+        "crosses (intended); no per-group value→count agg buffer",
+    ),
+    (
         "x34_bloom_incremental_dedup",
         "dense single-row-bitset broadcast attach under the size gate "
         "(the 2 nested-loops: one per leg of the fresh/suspect union — "
