@@ -1107,8 +1107,9 @@ def q32b_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract and the same DuckDB oracle as the registered q32 (values
     bit-identical to the native ``F.percentile`` by construction); kept
     bench-only so both forms carry a timing series (the native form was
-    the sf1 tier's slowest real query at 9.3 s vs the histogram's
-    ~6 s)."""
+    the sf1 tier's slowest real query; the histogram form measures
+    1.1–1.4× faster there, and structurally has no per-group
+    value→count buffer to spill at 100-TB group sizes)."""
     from jurimetria_etl_spark.operators.stats import (
         percentile_cont_by_group,
     )
