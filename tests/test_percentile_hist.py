@@ -76,3 +76,53 @@ def test_matches_q32_on_fixture(spark):
         for r in want_rows:
             for i, p in enumerate([0.25, 0.5, 0.9]):
                 assert got[(r["l_returnflag"], p)] == r["qs"][i]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VALS = st.lists(
+    st.one_of(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        st.integers(min_value=0, max_value=5).map(float),  # force ties
+        st.none(),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_VALS, _VALS, st.lists(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    min_size=1, max_size=4, unique=True,
+))
+def test_property_bit_identical_to_native(spark, va, vb, ps):
+    """Hypothesis: for ANY mix of continuous values, planted ties, and
+    NULLs across two groups, and ANY percentile list, the histogram form
+    is bit-identical to F.percentile (the operator's core claim)."""
+    rows = [("a", v) for v in va] + [("b", v) for v in vb]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["p"]): r["val"]
+        for r in percentile_cont_by_group(df, "g", "v", ps).collect()
+    }
+    want_rows = (
+        df.where(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.percentile("v", F.lit(ps)).alias("qs"))
+        .collect()
+    )
+    want = {
+        (r["g"], p): r["qs"][i] for r in want_rows for i, p in enumerate(ps)
+    }
+    assert got == want
