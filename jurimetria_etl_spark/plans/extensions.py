@@ -1127,7 +1127,8 @@ def q32b_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("p") == 0.5, F.col("val"))).alias("q50"),
         F.max(F.when(F.col("p") == 0.9, F.col("val"))).alias("q90"),
     )
-    return wide.join(mp, "l_returnflag")
+    # mp is |groups| rows — contractually broadcast, not AQE luck
+    return wide.join(F.broadcast(mp), "l_returnflag")
 
 
 # x22 is the full-pipeline composite (curation → chunk → pack) — timed

@@ -169,7 +169,7 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # cross (the 2 BNLJs: a constant 3x|ps|-row side each — intended)
     # + the interpolation agg; final name-keyed join of the two column
     # frames.  Zero python nodes.
-    "q32b_percentile_hist": (2, 0, 16, 2),
+    "q32b_percentile_hist": (2, 0, 17, 3),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"
