@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -249,9 +250,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_series: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     total = 0.0
     warm_total = 0.0
+    load_start = os.getloadavg()
     for name in HEADLINE:
         fn = registry[name].spark
         # One broken query must not zero out the whole round's measurement
@@ -267,18 +270,26 @@ def main() -> None:
             continue
         timings[name] = round(dt, 3)
         total += dt
-        # Second (warm) run: steady-state latency with plan/codegen caches
-        # hot — the number that matters for repeated queries on a cluster.
+        # Warm runs: steady-state latency with plan/codegen caches hot —
+        # the number that matters for repeated queries on a cluster.
         # The cold number above stays the headline metric for round-over-
-        # round comparability.  Same per-query guard as the cold run.
+        # round comparability.  MEDIAN of 3 passes (r11 verdict task 1):
+        # the r11 driver run showed ~1.5-2× machine-noise swings on
+        # code-untouched queries; a single warm sample let one noisy
+        # pass halve the margin to the 2× gate.  Same per-query guard
+        # as the cold run.
+        series: list[float] = []
         try:
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
+            for _ in range(3):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                series.append(time.time() - t0)
         except Exception as e:
             errors[f"warm:{name}"] = f"{type(e).__name__}: {e}"[:400]
             continue
+        dt = statistics.median(series)
+        warm_series[name] = [round(s, 3) for s in series]
         warm[name] = round(dt, 3)
         warm_total += dt
 
@@ -399,6 +410,12 @@ def main() -> None:
         "warm_delta_flagged": flagged,
         "queries": timings,
         "warm_queries": warm,
+        # Raw per-pass series + machine load at run start/end: a noisy
+        # driver run is diagnosable post-hoc (was the box busy?) instead
+        # of arguing from code diffs (the r11 triage).
+        "warm_series": warm_series,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "errors": errors,
         "duckdb_queries": duck,
         "warm_total_sec": round(warm_total, 3),
@@ -452,6 +469,12 @@ def main() -> None:
         summary["sf1_warm_total_sec"] = sf1["warm_total_sec"]
         summary["sf1_duckdb_total_sec"] = sf1["duckdb_total_sec"]
         summary["sf1_warm_vs_duckdb_ratio"] = sf1["warm_vs_duckdb_ratio"]
+    # 1-min loadavg at start/end: lets the judge see a busy box in the
+    # headline line itself without opening the detail file.
+    summary["loadavg1m"] = [
+        round(load_start[0], 2),
+        round(os.getloadavg()[0], 2),
+    ]
     # small stdout footprint: count + worst mover; full map in the detail
     if flagged:
         worst = max(flagged, key=lambda n: max(flagged[n], 1 / flagged[n]))

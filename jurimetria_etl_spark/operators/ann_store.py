@@ -351,7 +351,16 @@ def ann_ivf_topk_store_batch(
     store's own ``_CENTROIDS.json``."""
     if centroids is None:
         centroids = read_ann_centroids(store_dir)
-    probe_rows = probes.select(probe_vec_col).collect()
+    # Collect ONCE and rebuild the probe frame from the collected rows
+    # (r11 ADVICE): evaluating ``probes`` twice — once here for the
+    # prune union, once inside the broadcast join — would let a
+    # non-deterministic probe frame (sample, unordered limit,
+    # rand-derived) produce join-side cells outside the union and
+    # silently drop results.  The batch is tiny (it is broadcast
+    # anyway), so materializing it driver-side is free.
+    probe_sel = probes.select(probe_id_col, probe_vec_col)
+    probe_rows = probe_sel.collect()
+    probes = spark.createDataFrame(probe_rows, probe_sel.schema)
     cells = sorted(
         {
             c

@@ -277,6 +277,7 @@ def materialize_stop_list(
     spark,
     index_dir: str,
     max_df_ratio: float,
+    strict_stats: bool = False,
 ) -> dict:
     """Materialize the ``max_df_ratio`` stop-list ONCE at maintenance
     time (r9 verdict task 6): compute the full-vocabulary df aggregate —
@@ -292,11 +293,21 @@ def materialize_stop_list(
     Staleness contract: the list is exact AS OF this call; appends
     after it can push new terms over the ratio (and raise n_docs under
     old ones) until the next materialization — run it in the same
-    maintenance window as ``compact_store`` on the index subdirs.  A
+    maintenance window as ``compact_store`` on the index subdirs —
+    ``sinks.maintenance.maintain_stores`` does exactly that when it
+    compacts a postings store whose index has a published list.  A
     different requested ratio at load time falls back to the load-time
     aggregate, so ad-hoc ratios keep working unchanged.
 
-    Returns {n_stop_terms, max_df_ratio, version}."""
+    ``strict_stats`` is part of the list's identity (r11 ADVICE): the
+    ratio gate compares df against ``n_docs``, and a strict load can
+    derive a DIFFERENT n_docs (orphaned doc_lens rows excluded) than a
+    non-strict one — so the flag is computed with, recorded in, and
+    matched from ``_STOPLIST.json``; a load requesting the other
+    flavor falls back to its own load-time aggregate instead of
+    silently reusing a list derived from the wrong n_docs.
+
+    Returns {n_stop_terms, max_df_ratio, strict_stats, version}."""
     import json
     import uuid
 
@@ -305,7 +316,7 @@ def materialize_stop_list(
         _publish,
     )
 
-    idx = load_text_index(spark, index_dir)
+    idx = load_text_index(spark, index_dir, strict_stats=strict_stats)
     dfs = idx.postings.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     stop = (
         dfs.join(F.broadcast(idx.stats))
@@ -320,7 +331,13 @@ def materialize_stop_list(
     meta_path = os.path.join(store, _STOPLIST_META)
     tmp = meta_path + f".tmp_{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"max_df_ratio": float(max_df_ratio)}, f)
+        json.dump(
+            {
+                "max_df_ratio": float(max_df_ratio),
+                "strict_stats": bool(strict_stats),
+            },
+            f,
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, meta_path)
@@ -328,16 +345,21 @@ def materialize_stop_list(
     return {
         "n_stop_terms": n,
         "max_df_ratio": float(max_df_ratio),
+        "strict_stats": bool(strict_stats),
         "version": version,
     }
 
 
-def _read_stop_list(spark, index_dir: str, max_df_ratio: float):
+def _read_stop_list(
+    spark, index_dir: str, max_df_ratio: float, strict_stats: bool = False
+):
     """The materialized stop-list frame, or ``None`` when absent or
-    materialized at a DIFFERENT ratio (exact float compare — a
-    close-but-unequal ratio is a different stop set, so silently
-    reusing it would be wrong; the caller falls back to the load-time
-    aggregate)."""
+    materialized under a DIFFERENT identity — ratio (exact float
+    compare — a close-but-unequal ratio is a different stop set) or
+    ``strict_stats`` flavor (a different n_docs denominator, r11
+    ADVICE); the caller falls back to the load-time aggregate.  A
+    legacy meta without the flag reads as non-strict, which is what
+    every pre-flag list was computed with."""
     import json
 
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
@@ -350,6 +372,8 @@ def _read_stop_list(spark, index_dir: str, max_df_ratio: float):
     except FileNotFoundError:
         return None
     if meta.get("max_df_ratio") != float(max_df_ratio):
+        return None
+    if bool(meta.get("strict_stats", False)) != bool(strict_stats):
         return None
     return spark.read.parquet(store_data_dir(store))
 
@@ -404,7 +428,7 @@ def load_text_index(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     if max_df_ratio is not None:
-        stop = _read_stop_list(spark, index_dir, max_df_ratio)
+        stop = _read_stop_list(spark, index_dir, max_df_ratio, strict_stats)
         if stop is not None:
             postings = postings.join(F.broadcast(stop), "term", "left_anti")
         else:

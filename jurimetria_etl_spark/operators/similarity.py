@@ -912,8 +912,16 @@ def _centroid_literals(
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
+    # Identity-stable context token (r11 ADVICE): ``id(sc)`` can be
+    # REUSED by CPython for a new context after the old one is
+    # garbage-collected, defeating stale-entry eviction and handing out
+    # a Column bound to a dead JVM gateway.  (applicationId, startTime)
+    # is unique per JVM context lifetime; the _PLANE_CUBE_CACHE posture.
+    token = (
+        (sc.applicationId, sc.startTime) if sc is not None else ("", 0)
+    )
     key = (
-        id(sc),
+        token,
         tuple((int(cid), tuple(map(float, v))) for cid, v in centroids),
     )
     if key not in _CENTROID_LIT_CACHE:
@@ -1059,11 +1067,28 @@ def train_ivf_centroids(
     return centroids
 
 
+def _round_half_up(x: float, digits: int = 9) -> float:
+    """Spark's ``F.round`` semantics on the driver: Java rounds
+    ``BigDecimal.valueOf(x)`` (= the shortest round-trip decimal string,
+    which is also Python's ``repr``) with HALF_UP, while Python's builtin
+    ``round`` is half-EVEN — on dyadic ties (e.g. m/2^k landing exactly
+    on a 5 at the target digit) the two differ, so a driver-side ranking
+    that must agree with a Catalyst ``F.round`` ranking (the ANN static
+    prune union vs the join's per-probe cells) must round THIS way.
+    Parity is property-pinned in tests/test_ann_store.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _nearest_cells_py(
     vec: list[float], centroids: list[tuple[int, list[float]]], n: int
 ) -> list[int]:
     """Driver-side nearest-cell ranking for a single probe vector (mirrors
-    ``_nearest_cells``; n_cells × dim flops — trivial)."""
+    ``_nearest_cells`` — including its HALF_UP rounding, so the static
+    prune union and the join's ranking can never disagree on a tie;
+    n_cells × dim flops — trivial)."""
 
     def cos(a: list[float], b: list[float]) -> float:
         # clamped like _norm / the numpy kernels: zero-norm scores 0.0
@@ -1073,7 +1098,11 @@ def _nearest_cells_py(
         return dot / (na * nb)
 
     ranked = sorted(
-        ((round(cos(vec, c), 9), cid) for cid, c in centroids), reverse=True
+        (
+            (_round_half_up(cos(vec, c), 9), cid)
+            for cid, c in centroids
+        ),
+        reverse=True,
     )
     return [cid for _, cid in ranked[:n]]
 

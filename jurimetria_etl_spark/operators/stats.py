@@ -96,7 +96,7 @@ def profile_columns(
 
 def percentile_cont_by_group(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     value_col: str,
     percentiles: list[float],
     out_col: str = "val",
@@ -128,38 +128,58 @@ def percentile_cont_by_group(
     contractual — and when it is, prefer this form over the native
     aggregate whenever values are near-continuous.
 
-    Output: one row per (group, percentile): (group_col, p, out_col).
-    NULL values are excluded (``percentile_cont`` semantics); an
-    all-NULL group produces no rows.
+    Output: one row per (group, percentile): (*group_cols, p, out_col).
+    ``group_col`` may be a list — the histogram/window/rank machinery is
+    keyed on the composite, which lets callers melt several value
+    columns into (metric, value) long format and pay ONE corpus scan
+    for all of them.  NULL values are excluded (``percentile_cont``
+    semantics); an all-NULL group produces no rows.
+
+    Single-scan / no group-sized broadcast (r11 verdict items 1+2):
+    the group totals ``__n`` come from a whole-partition window over the
+    SAME distinct-value frame that carries the cumulative counts — no
+    second ``totals`` aggregate branch re-executing the corpus lineage —
+    and the only broadcast is the |percentiles|-row literal frame
+    (always tiny, user-supplied list), not the former |groups|×|ps|
+    ``targets`` frame whose ungated hint could OOM the driver on a
+    high-cardinality group column.
     """
     from pyspark.sql import Window
 
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     spark = df.sparkSession
-    rows = df.select(group_col, value_col).where(F.col(value_col).isNotNull())
-    hist = rows.groupBy(group_col, value_col).agg(
+    rows = df.select(*groups, value_col).where(
+        F.col(value_col).isNotNull()
+    )
+    hist = rows.groupBy(*groups, value_col).agg(
         F.count(F.lit(1)).alias("__c")
     )
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    cum = hist.withColumn("__hi", F.sum("__c").over(w)).withColumn(
-        "__lo", F.col("__hi") - F.col("__c") + 1
+    # Both window frames share one partitioning+ordering spec, so
+    # Catalyst plans a single Window node over a single sort: the
+    # ordered running sum (__hi) and the unbounded-frame group total
+    # (__n).  hist rows are DISTINCT (group, value), so the default
+    # range frame has no tie ambiguity.
+    w = Window.partitionBy(*groups).orderBy(value_col)
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # n per group from the HISTOGRAM, not a second corpus scan — the
-    # distinct-value frame already carries every count.
-    totals = hist.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    cum = (
+        hist.withColumn("__hi", F.sum("__c").over(w))
+        .withColumn("__lo", F.col("__hi") - F.col("__c") + 1)
+        .withColumn("__n", F.sum("__c").over(w_all))
+    )
     pdf = spark.createDataFrame(
         [(float(p),) for p in percentiles], "p double"
     )
-    targets = totals.crossJoin(F.broadcast(pdf)).select(
-        group_col,
-        "p",
-        (F.col("p") * (F.col("__n") - 1)).alias("__t"),
-    )
-    targets = targets.withColumn("__rlo", F.floor("__t") + 1).withColumn(
-        "__rhi", F.ceil("__t") + 1
-    )
-    j = cum.join(F.broadcast(targets), group_col).where(
-        F.col("__rlo").between(F.col("__lo"), F.col("__hi"))
-        | F.col("__rhi").between(F.col("__lo"), F.col("__hi"))
+    j = (
+        cum.crossJoin(F.broadcast(pdf))
+        .withColumn("__t", F.col("p") * (F.col("__n") - 1))
+        .withColumn("__rlo", F.floor("__t") + 1)
+        .withColumn("__rhi", F.ceil("__t") + 1)
+        .where(
+            F.col("__rlo").between(F.col("__lo"), F.col("__hi"))
+            | F.col("__rhi").between(F.col("__lo"), F.col("__hi"))
+        )
     )
     vlo = F.max(
         F.when(
@@ -173,7 +193,7 @@ def percentile_cont_by_group(
             F.col(value_col),
         )
     )
-    out = j.groupBy(group_col, "p", "__t").agg(
+    out = j.groupBy(*groups, "p", "__t").agg(
         vlo.alias("__vlo"), vhi.alias("__vhi")
     )
     # Spark's Percentile.getPercentile interpolation form EXACTLY —
@@ -188,7 +208,7 @@ def percentile_cont_by_group(
         F.col("__t") - lo_i
     ) * F.col("__vhi")
     return out.select(
-        group_col,
+        *groups,
         "p",
         F.when(hi_i == lo_i, F.col("__vlo")).otherwise(interp).alias(
             out_col

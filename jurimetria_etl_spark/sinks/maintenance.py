@@ -253,7 +253,19 @@ def maintain_stores(
     gives every generation one full maintenance interval of reader
     grace: a reader that resolved generation N keeps it intact until the
     N+2 pass.  Returns per-store reports (compaction report plus a
-    ``pruned`` count)."""
+    ``pruned`` count).
+
+    Text-index stores piggyback their stop-list refresh on this window
+    (r11 verdict task 4): when a ``.../postings`` store's index has a
+    published ``stop_list/_STOPLIST.json``, the list is re-materialized
+    at its RECORDED ratio + strict_stats flavor — the staleness
+    contract (operators/search.py ``materialize_stop_list``: appends
+    can push terms over the ratio until the next materialization) is
+    enforced by the maintenance entry point instead of operator memory.
+    The refresh report rides the postings store's entry under
+    ``stop_list``."""
+    import json
+
     reports: dict[str, dict] = {}
     for store in stores:
         pruned = store_prune(store) if prune_previous else []
@@ -264,6 +276,24 @@ def maintain_stores(
             min_files_to_compact=min_files_to_compact,
         )
         report["pruned"] = len(pruned)
+        if os.path.basename(os.path.normpath(store)) == "postings":
+            index_dir = os.path.dirname(os.path.normpath(store))
+            meta_path = os.path.join(
+                index_dir, "stop_list", "_STOPLIST.json"
+            )
+            if os.path.exists(meta_path):
+                from jurimetria_etl_spark.operators.search import (
+                    materialize_stop_list,
+                )
+
+                with open(meta_path, encoding="utf-8") as f:
+                    meta = json.load(f)
+                report["stop_list"] = materialize_stop_list(
+                    spark,
+                    index_dir,
+                    max_df_ratio=float(meta["max_df_ratio"]),
+                    strict_stats=bool(meta.get("strict_stats", False)),
+                )
         reports[store] = report
     return reports
 

@@ -334,3 +334,55 @@ def test_centroid_literals_are_memoized(spark):
     other = [(c, [x + 1.0 for x in v]) for c, v in CENTROIDS]
     b = _centroid_literals(other)
     assert b[0] is not a1[0]
+
+
+def test_driver_rounding_matches_catalyst_half_up(spark):
+    """r11 ADVICE: ``_nearest_cells_py`` must round the way ``F.round``
+    does (Java HALF_UP on the shortest round-trip decimal), not
+    Python's half-even builtin — on dyadic similarity values the two
+    differ at the 9th decimal, and a divergent tie lets the join rank a
+    cell the static prune union pruned away.  Pin ``_round_half_up``
+    == F.round on dyadic ties plus random doubles, then pin the
+    end-to-end ranking parity on a geometry engineered to tie."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.similarity import (
+        _nearest_cells,
+        _nearest_cells_py,
+        _round_half_up,
+    )
+
+    rng = np.random.default_rng(23)
+    # dyadic m/2^k values land EXACTLY on ...5 at digit 9 for suitable
+    # m, k — the case where round-half-even and HALF_UP disagree
+    vals = [m / 2.0**k for k in range(1, 40) for m in (1, 3, 5, 7, 11)]
+    vals += [float(x) for x in rng.uniform(-1, 1, 200)]
+    vals += [0.0, -0.0, 1.0, -1.0, 0.0000000005, -0.0000000005]
+    got = [_round_half_up(v, 9) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = [
+        r["r"]
+        for r in df.select(F.round("v", 9).alias("r")).collect()
+    ]
+    assert got == want
+    # at least one input must actually distinguish the conventions
+    assert any(_round_half_up(v, 9) != round(v, 9) for v in vals)
+
+    # end-to-end: orthogonal centroids and a probe bisecting two of
+    # them — both tie exactly, and the driver union must contain the
+    # SAME cell the Catalyst ranking picks
+    cents = [
+        (i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)
+    ]
+    probe = [1.0, 1.0, 0.0, 0.0]  # ties cells 0 and 1 exactly
+    drv = _nearest_cells_py(probe, cents, 1)
+    cat = (
+        spark.range(1)
+        .select(
+            _nearest_cells(
+                F.lit(np.asarray(probe, dtype="float64")), cents, 1
+            )[0]["cid"].alias("cid")
+        )
+        .first()["cid"]
+    )
+    assert drv == [cat]

@@ -163,13 +163,17 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # (query, scan-partition) pre-rank spreads the sort and the final
     # window ranks only |partitions|·k survivors.
     "x37_hybrid_search": (2, 0, 19, 4),
-    # q32b (r11): the registered q32's scale-path twin — distributed
-    # histogram + rank interpolation.  Per value column: distinct-value
-    # hist agg + one cumulative window + the target-rank broadcast
-    # cross (the 2 BNLJs: a constant 3x|ps|-row side each — intended)
-    # + the interpolation agg; final name-keyed join of the two column
-    # frames.  Zero python nodes.
-    "q32b_percentile_hist": (2, 0, 17, 3),
+    # q32b (r11; r12 single-scan rewrite): the registered q32's
+    # scale-path twin — both value columns melted to (metric, v) long
+    # format so ONE lineitem scan feeds the whole query.  Widen
+    # repartition → distinct-value hist agg (partial+final pair) → one
+    # Window node carrying BOTH the cumulative count and the group
+    # total (shared sort) → the percentile-literal broadcast cross
+    # (the 1 BNLJ: a constant |ps|-row side — intended) → the
+    # interpolation agg + final pivot agg.  Zero python nodes; the
+    # former 17-exchange / 2-BNLJ shape paid four corpus scans (two
+    # operator calls × a totals branch re-executing lineage each).
+    "q32b_percentile_hist": (1, 0, 5, 0),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

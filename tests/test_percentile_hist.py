@@ -78,6 +78,52 @@ def test_matches_q32_on_fixture(spark):
                 assert got[(r["l_returnflag"], p)] == r["qs"][i]
 
 
+def test_high_cardinality_groups_no_group_sized_broadcast(spark):
+    """groups ≈ rows (r11 verdict item 2): the former |groups|×|ps|
+    ``targets`` broadcast would ship a frame as big as the input to
+    every executor on an ungated hint; the rewrite's only broadcast is
+    the |ps|-row percentile literal frame.  Correctness at one row per
+    group (every percentile = the row's value) plus a plan pin: exactly
+    one BroadcastExchange (the literal), zero group-keyed broadcast
+    hash joins."""
+    rng = np.random.default_rng(7)
+    rows = [(f"g{i:05d}", float(v)) for i, v in enumerate(rng.normal(0, 9, 3000))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    res = percentile_cont_by_group(df, "g", "v", [0.25, 0.75])
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("BroadcastHashJoin") == 0
+    got = {(r["g"], r["p"]): r["val"] for r in res.collect()}
+    want = dict(rows)
+    assert len(got) == 2 * len(rows)
+    for (g, _p), v in got.items():
+        assert v == want[g]
+
+
+def test_multi_column_group_matches_per_group_native(spark):
+    """List-valued group_col (the melt path q32b rides): composite
+    (g1, g2) grouping is bit-identical to native F.percentile over the
+    same composite."""
+    rng = np.random.default_rng(8)
+    rows = [
+        (g1, g2, float(v))
+        for g1 in ("a", "b")
+        for g2 in ("x", "y", "z")
+        for v in rng.normal(50, 11, 101)
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v double")
+    got = {
+        (r["g1"], r["g2"], r["p"]): r["val"]
+        for r in percentile_cont_by_group(df, ["g1", "g2"], "v", PS).collect()
+    }
+    want_rows = df.groupBy("g1", "g2").agg(
+        F.percentile("v", F.lit(PS)).alias("qs")
+    ).collect()
+    for r in want_rows:
+        for i, p in enumerate(PS):
+            assert got[(r["g1"], r["g2"], p)] == r["qs"][i]
+
+
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 

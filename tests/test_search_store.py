@@ -200,6 +200,93 @@ def test_stop_list_refresh_after_appends(spark, tmp_path):
     assert got == want
 
 
+def test_maintain_stores_refreshes_stop_list(spark, tmp_path):
+    """r11 verdict task 4: the maintenance entry point enforces the
+    stop-list staleness contract.  A term under the ratio at
+    materialization time ("the": 1 of 2 docs at 0.6) is pushed over it
+    by an append (3 of 4 docs); the stale list still serves it until
+    ``maintain_stores`` — compacting the index subdirs — re-materializes
+    at the recorded ratio, after which the load's anti-join (same
+    2-scan plan shape) stops the term."""
+    from jurimetria_etl_spark.operators.search import (
+        materialize_stop_list,
+    )
+    from jurimetria_etl_spark.sinks.maintenance import maintain_stores
+
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    materialize_stop_list(spark, idx_dir, max_df_ratio=0.6)
+    append_text_index(_docs(spark, BATCH1), idx_dir)
+
+    def terms_at(ratio=0.6):
+        idx = load_text_index(spark, idx_dir, max_df_ratio=ratio)
+        plan = idx.postings._jdf.queryExecution().executedPlan().toString()
+        return (
+            {r["term"] for r in idx.postings.select("term").collect()},
+            plan,
+        )
+
+    stale, _ = terms_at()
+    assert "the" in stale  # the STALE list still serves the pushed term
+    reports = maintain_stores(
+        spark,
+        [f"{idx_dir}/doc_lens", f"{idx_dir}/postings"],
+        min_files_to_compact=1,
+    )
+    refresh = reports[f"{idx_dir}/postings"]["stop_list"]
+    assert refresh["max_df_ratio"] == 0.6
+    fresh, plan = terms_at()
+    assert "the" not in fresh and "spark" in fresh
+    # still the materialized anti-join form, not the load-time fallback
+    assert plan.count("FileScan") == 2  # postings + stop_list
+    assert plan.count("HashAggregate") == 2
+    # matches a from-scratch build at the same ratio
+    want = {
+        r["term"]
+        for r in build_text_index(
+            _docs(spark, BATCH0 + BATCH1), max_df_ratio=0.6
+        ).postings.select("term")
+        .collect()
+    }
+    assert fresh == want
+    # doc_lens stores (no stop list) carry no refresh entry
+    assert "stop_list" not in reports[f"{idx_dir}/doc_lens"]
+
+
+def test_stop_list_strict_stats_is_part_of_identity(spark, tmp_path):
+    """r11 ADVICE: a list materialized non-strict must not serve a
+    strict load (different n_docs denominator) and vice versa — the
+    mismatched flavor falls back to its own load-time aggregate."""
+    from jurimetria_etl_spark.operators.search import (
+        materialize_stop_list,
+    )
+
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    append_text_index(_docs(spark, BATCH1), idx_dir)
+    materialize_stop_list(spark, idx_dir, max_df_ratio=0.4)  # non-strict
+    strict = load_text_index(
+        spark, idx_dir, max_df_ratio=0.4, strict_stats=True
+    )
+    plan = strict.postings._jdf.queryExecution().executedPlan().toString()
+    # fallback form: the full-vocab df aggregate + stats scans return
+    # (strict adds a 4th scan: the orphan-excluding semi-join)
+    assert plan.count("FileScan") > 2
+    rep = materialize_stop_list(
+        spark, idx_dir, max_df_ratio=0.4, strict_stats=True
+    )
+    assert rep["strict_stats"] is True
+    strict2 = load_text_index(
+        spark, idx_dir, max_df_ratio=0.4, strict_stats=True
+    )
+    plan2 = strict2.postings._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("FileScan") == 2  # now served by the strict list
+    # and the non-strict flavor now falls back instead of reusing it
+    loose = load_text_index(spark, idx_dir, max_df_ratio=0.4)
+    plan3 = loose.postings._jdf.queryExecution().executedPlan().toString()
+    assert plan3.count("FileScan") == 3
+
+
 def test_stream_maintains_text_index(spark, tmp_path):
     """curate_document_stream(text_index_dir=): keyword search over the
     streamed corpus equals a from-scratch index of the landed corpus —
