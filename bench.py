@@ -86,6 +86,7 @@ HEADLINE = [
     "x35_bm25_search",
     "x36_semdedup",
     "x37_hybrid_search",
+    "x37b_hybrid_search_ann",
     "x22_training_shards",
     "x27_hll_daily_uniques",
     "q32b_percentile_hist",

@@ -12,6 +12,7 @@ from jurimetria_etl_spark.operators.ann_store import (  # noqa: F401
     build_ann_store,
     load_ann_store,
     read_ann_centroids,
+    resolve_ann_store,
     write_ann_centroids,
 )
 from jurimetria_etl_spark.operators.flatten import (  # noqa: F401

@@ -21,10 +21,14 @@ full-corpus re-index per run.  Here the index persists as
 
 Generation contract: the CENTROID SET.  Rows assigned under one
 centroid set must never mix with another's, so the store persists its
-centroids in ``_CENTROIDS.json`` at the store root (``_``-prefixed —
-invisible to Spark's file listing) and every append VERIFIES the
-caller's centroids against it, turning a silent mixed-generation
-corruption into an immediate error.  Re-clustering is a new generation
+centroids in ``_CENTROIDS.json`` (``_``-prefixed — invisible to
+Spark's file listing) and every append VERIFIES the caller's centroids
+against it, turning a silent mixed-generation corruption into an
+immediate error.  On a VERSIONED store the sidecar lives INSIDE each
+version directory and is resolved through the same manifest read that
+names the data dir (``resolve_ann_store``) — a recluster's swap flips
+data and geometry atomically, and the store-root copy is only the
+plain-directory / legacy fallback.  Re-clustering is a new generation
 (``recluster_ann_store``), exactly the span stores' fixed-strip-list
 rule.
 
@@ -86,20 +90,53 @@ def write_ann_centroids(
     os.replace(tmp, path)
 
 
-def read_ann_centroids(store_dir: str) -> list[tuple[int, list[float]]]:
-    """The persisted centroid set — raises if the store has none (a
-    pre-append or foreign directory)."""
-    path = os.path.join(store_dir, _CENTROIDS_FILE)
+def _load_centroids_file(path: str) -> list[tuple[int, list[float]]] | None:
     try:
         with open(path, encoding="utf-8") as f:
             raw = json.load(f)
     except FileNotFoundError:
-        raise ValueError(
-            f"ann store at {store_dir!r} has no {_CENTROIDS_FILE} — "
-            "append_ann_store writes it on first append; pass centroids "
-            "explicitly for a store built by other means"
-        ) from None
+        return None
     return [(int(cid), [float(x) for x in vec]) for cid, vec in raw]
+
+
+def resolve_ann_store(
+    store_dir: str,
+) -> tuple[str, list[tuple[int, list[float]]]]:
+    """ONE manifest resolution → (data_dir, that generation's centroids).
+
+    Centroids are read from INSIDE the resolved version directory when
+    present (``recluster_ann_store`` embeds the new set in the new
+    version before the manifest swap, and ``compact_store`` propagates
+    the sidecar), falling back to the store-root ``_CENTROIDS.json``
+    for plain directories and pre-versioned stores.  Probe paths use
+    this instead of separate ``read_ann_centroids`` +
+    ``store_data_dir`` calls: two resolutions could straddle a
+    recluster's swap and rank cells under one generation's geometry
+    against the other's layout (the r11 race, closed structurally) —
+    with the embedded sidecar, data dir and geometry come from the SAME
+    manifest read."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    data_dir = store_data_dir(store_dir)
+    for path in (
+        os.path.join(data_dir, _CENTROIDS_FILE),
+        os.path.join(store_dir, _CENTROIDS_FILE),
+    ):
+        cents = _load_centroids_file(path)
+        if cents is not None:
+            return data_dir, cents
+    raise ValueError(
+        f"ann store at {store_dir!r} has no {_CENTROIDS_FILE} — "
+        "append_ann_store writes it on first append; pass centroids "
+        "explicitly for a store built by other means"
+    )
+
+
+def read_ann_centroids(store_dir: str) -> list[tuple[int, list[float]]]:
+    """The persisted centroid set (current generation's embedded copy
+    when the store is versioned, root file otherwise) — raises if the
+    store has none (a pre-append or foreign directory)."""
+    return resolve_ann_store(store_dir)[1]
 
 
 def _check_generation(
@@ -107,12 +144,15 @@ def _check_generation(
 ) -> None:
     """First append records the centroid set; later appends must match
     it EXACTLY (bitwise on the JSON round-trip) — rows assigned under a
-    different geometry silently corrupt every probe's cell pruning."""
-    path = os.path.join(store_dir, _CENTROIDS_FILE)
-    if not os.path.exists(path):
+    different geometry silently corrupt every probe's cell pruning.
+    The comparison reads through the generation resolution (embedded
+    sidecar first), so an append racing a recluster is checked against
+    whatever generation the manifest currently names."""
+    try:
+        stored = read_ann_centroids(store_dir)
+    except ValueError:
         write_ann_centroids(store_dir, centroids)
         return
-    stored = read_ann_centroids(store_dir)
     given = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
     if stored != given:
         raise ValueError(
@@ -181,6 +221,7 @@ def load_ann_store(
     store_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    data_dir: str | None = None,
 ) -> DataFrame:
     """Rehydrate the index: ``(ivf_cell, id, vector)`` with replayed
     appends folded by one ``(ivf_cell, id)`` dedup (rows are
@@ -192,10 +233,14 @@ def load_ann_store(
     The dedup keys include ``ivf_cell``, so a probe's cell IN-filter on
     the returned frame pushes BELOW the fold to the scan (Catalyst
     moves deterministic predicates on grouping keys through the
-    aggregate) — partition pruning survives the load."""
+    aggregate) — partition pruning survives the load.
+
+    ``data_dir`` pins an already-resolved generation directory
+    (``resolve_ann_store``) so a probe's data and geometry come from
+    ONE manifest read; default resolves the manifest here."""
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
-    df = spark.read.parquet(store_data_dir(store_dir))
+    df = spark.read.parquet(data_dir or store_data_dir(store_dir))
     if "q" in df.columns and vec_col not in df.columns:
         df = dequantize_embeddings_int8(df, vec_col=vec_col).drop(
             "q", "q_scale"
@@ -223,17 +268,19 @@ def ann_ivf_topk_store(
     driver-side (n_cells × dim flops — trivial), the cell IN-filter
     prunes the scan to ``n_probe`` partitions, survivors get the exact
     cosine, TakeOrderedAndProject keeps k.  ``centroids=None`` reads
-    the store's own ``_CENTROIDS.json``."""
+    the store's own ``_CENTROIDS.json`` atomically with the data dir
+    (``resolve_ann_store`` — one manifest read covers both)."""
     import math
 
     import numpy as np
 
+    data_dir = None
     if centroids is None:
-        centroids = read_ann_centroids(store_dir)
+        data_dir, centroids = resolve_ann_store(store_dir)
     cells = _nearest_cells_py(probe_vec, centroids, n_probe)
-    corpus = load_ann_store(spark, store_dir, id_col, vec_col).where(
-        F.col("ivf_cell").isin(cells)
-    )
+    corpus = load_ann_store(
+        spark, store_dir, id_col, vec_col, data_dir=data_dir
+    ).where(F.col("ivf_cell").isin(cells))
     if exclude_id is not None:
         corpus = corpus.where(F.col(id_col) != exclude_id)
     pn = max(math.sqrt(sum(x * x for x in probe_vec)), 1e-150)
@@ -348,9 +395,11 @@ def ann_ivf_topk_store_batch(
     ``ann_ivf_topk_batch`` the union as a static ``isin`` — the scan
     reads exactly the probed cells' partitions regardless of whether
     dynamic partition pruning fires.  ``centroids=None`` reads the
-    store's own ``_CENTROIDS.json``."""
+    store's own ``_CENTROIDS.json`` atomically with the data dir
+    (``resolve_ann_store`` — one manifest read covers both)."""
+    data_dir = None
     if centroids is None:
-        centroids = read_ann_centroids(store_dir)
+        data_dir, centroids = resolve_ann_store(store_dir)
     # Collect ONCE and rebuild the probe frame from the collected rows
     # (r11 ADVICE): evaluating ``probes`` twice — once here for the
     # prune union, once inside the broadcast join — would let a
@@ -370,7 +419,9 @@ def ann_ivf_topk_store_batch(
             )
         }
     )
-    indexed = load_ann_store(spark, store_dir, id_col, vec_col)
+    indexed = load_ann_store(
+        spark, store_dir, id_col, vec_col, data_dir=data_dir
+    )
     return ann_ivf_topk_batch(
         indexed,
         centroids,

@@ -509,6 +509,7 @@ def hybrid_search(
     ann_index: DataFrame | None = None,
     ann_centroids: list[tuple[int, list[float]]] | None = None,
     ann_n_probe: int = 4,
+    ann_store_dir: str | None = None,
 ) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 top-``k_each`` (terms)
     and cosine top-``k_each`` (vectors) per query, fused with RRF.
@@ -525,13 +526,37 @@ def hybrid_search(
     pruned on the hive store layout) and the fusion contract is
     unchanged — it only consumes (query, id, rank).  Pass ``embeddings=
     None`` in that mode; the recall/n_probe trade is the one
-    tests/test_ann_store.py pins."""
+    tests/test_ann_store.py pins.
+
+    ``ann_store_dir`` is the PERSISTED-store form of the same swap (the
+    composed at-scale retrieval path: store → partial probe → RRF): the
+    dense list comes from ``ann_ivf_topk_store_batch``, which resolves
+    the store's data dir and centroid generation in ONE manifest read
+    and prunes the scan with the probes' static cell union — partition
+    pruning by construction, not DPP luck.  Takes precedence over
+    ``ann_index``; ``ann_centroids=None`` then reads the store's own
+    generation sidecar."""
     from jurimetria_etl_spark.operators.similarity import cosine_topk_batch
 
     lex = bm25_search_docs(
         docs, text_queries, k=k_each, id_col=id_col, text_col=text_col
     )
-    if ann_index is not None:
+    if ann_store_dir is not None:
+        from jurimetria_etl_spark.operators.ann_store import (
+            ann_ivf_topk_store_batch,
+        )
+
+        dense = ann_ivf_topk_store_batch(
+            probe_queries.sparkSession,
+            ann_store_dir,
+            probe_queries,
+            k=k_each,
+            n_probe=ann_n_probe,
+            centroids=ann_centroids,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+    elif ann_index is not None:
         if ann_centroids is None:
             raise ValueError(
                 "hybrid_search: ann_index requires ann_centroids — the "

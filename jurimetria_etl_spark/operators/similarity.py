@@ -689,6 +689,50 @@ def hard_negative_yield(
     )
 
 
+def mine_hard_negatives_with_yield(
+    embeddings: DataFrame,
+    label_col: str,
+    k: int = 50,
+    m: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    **knn_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The mining composite with its audit attached (r11 verdict task
+    7): returns ``(mined, yield_by_label)`` so a contrastive-pairs
+    pipeline cannot silently drop zero-yield anchors — the caller gets
+    the per-label funnel in the same call instead of having to know
+    ``hard_negative_yield`` exists.
+
+    ``yield_by_label``: one row per label — (anchor_label, n_anchors,
+    n_zero_yield, avg_negatives) — a block of zero-yield anchors under
+    one label is the dominant-label signal (raise ``k`` or pre-thin).
+
+    The mined frame is persisted here: it is consumed by both returned
+    frames (and is ≤ anchors × m NARROW rows — ids, label strings, one
+    double — never corpus-sized), so the knn_join lineage runs once,
+    not once per output.  Callers are responsible for
+    ``mined.unpersist()`` when done; at 100 TB, write ``mined`` to a
+    scratch dir instead and derive the audit from the re-read
+    (curate_corpus's ``intermediate_dir`` pattern)."""
+    mined = mine_hard_negatives(
+        embeddings, label_col, k=k, m=m,
+        id_col=id_col, vec_col=vec_col, dim=dim, **knn_kwargs,
+    ).persist()
+    per_anchor = hard_negative_yield(
+        embeddings, mined, label_col, id_col=id_col
+    )
+    summary = per_anchor.groupBy("anchor_label").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum((F.col("n_negatives") == 0).cast("bigint")).alias(
+            "n_zero_yield"
+        ),
+        F.round(F.avg("n_negatives"), 6).alias("avg_negatives"),
+    )
+    return mined, summary
+
+
 def cosine_pairs_exact(
     embeddings: DataFrame,
     threshold: float,

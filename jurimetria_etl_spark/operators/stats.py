@@ -116,9 +116,11 @@ def percentile_cont_by_group(
     (value, count) rows — the only per-group serial step, and it sorts
     distinct values, not rows); (3) the target ranks ``t = p·(n−1)`` join
     back against the [lo, hi] rank ranges and interpolate.  Measured
-    1.1–1.4× faster at sf1 (session-dependent — the structural win is
-    that NO per-group value→count buffer exists to spill or serialize,
-    which is what matters at 100-TB group sizes), and BIT-IDENTICAL to
+    scale exponents (SCALE.md r12, 1×→10× data): native 0.77, this form
+    **0.50** from a higher small-scale floor — crossover ~sf1, widening
+    with group size (the structural win: NO per-group value→count
+    buffer exists to spill or serialize, which is what matters at
+    100-TB group sizes), and BIT-IDENTICAL to
     ``F.percentile`` — the
     interpolation replicates Spark's own
     ``(⌈t⌉ − t)·v_lo + (t − ⌊t⌋)·v_hi`` form exactly (pinned in

@@ -1450,7 +1450,6 @@ CORPUS: dict[str, Q] = {
     "q36_gapfill": Q(q36_gapfill, Q36_SQL),
     "q17_setops": Q(q17_setops, Q17_SETOPS_SQL),
     "q20_array_agg": Q(q20_array_agg, Q20_SQL),
-    "q26_session_window": Q(q26_session_window, Q26_SQL),
     "q27_asof_join": Q(q27_asof_join, Q27_SQL),
     "q28_range_join": Q(q28_range_join, Q28_SQL),
     "q32_percentile": Q(q32_percentile, Q32_SQL),
@@ -1503,6 +1502,15 @@ CORPUS_DEREGISTERED: dict[str, Q] = {
     # by the pre-2019-DST pytest; the identical DuckDB comparison
     # continues here.
     "q19_hour_sp": Q(q19_hour_sp, Q19_HOUR_SP_SQL),
+    # Round-12 rotation (to admit x37b_hybrid_search_ann — the composed
+    # persisted-store retrieval path, r11 verdict task 2): q26's
+    # gaps-and-islands session window is a single-op shape; the
+    # SESSION-window semantics stay driver-covered by the registered
+    # q33 sliding window's family plus the batch-vs-stream equivalence
+    # suite (tests/test_streaming.py pins session_window_counts against
+    # Structured Streaming's session_window), and the identical DuckDB
+    # comparison continues in tests/test_deregistered_queries.py.
+    "q26_session_window": Q(q26_session_window, Q26_SQL),
 }
 
 

@@ -1106,10 +1106,10 @@ def q32b_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile_cont over near-continuous columns.  Same output
     contract and the same DuckDB oracle as the registered q32 (values
     bit-identical to the native ``F.percentile`` by construction); kept
-    bench-only so both forms carry a timing series (the native form was
-    the sf1 tier's slowest real query; the histogram form measures
-    1.1–1.4× faster there, and structurally has no per-group
-    value→count buffer to spill at 100-TB group sizes)."""
+    bench-only so both forms carry a timing series (scale exponents
+    r12: native 0.77 vs histogram 0.50 — crossover ~sf1, and
+    structurally no per-group value→count buffer to spill at 100-TB
+    group sizes; SCALE.md §Scaling exponents)."""
     from jurimetria_etl_spark.operators.stats import (
         percentile_cont_by_group,
     )
@@ -1578,6 +1578,50 @@ def x37_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x37b_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x37's composed AT-SCALE form (r11 verdict task 2, the x13→x13b
+    precedent): the dense side comes from the PERSISTED incremental IVF
+    ANN store (the x41 fixture: two appends + a full replayed append)
+    through ``hybrid_search(ann_store_dir=…)`` — one manifest read
+    resolves data dir + centroid generation, the probes' static cell
+    union prunes the store scan by construction, and the RRF fusion is
+    unchanged.  Probed at FULL probe (n_probe == n_cells), where the
+    ANN list is provably identical to exact brute force — so the
+    registered x37's DuckDB oracle applies verbatim, while the plan
+    under it is the at-scale one (store scan + replay fold + broadcast
+    probe-cell equi-join instead of the exact broadcast cross).  The
+    partial-probe recall trade is pinned in tests/test_ann_store.py and
+    tests/test_streaming_ann.py."""
+    from jurimetria_etl_spark.operators.search import hybrid_search
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    embeds = load_fixture(spark, sf_dir, "embeddings")
+    tq = spark.createDataFrame(_X35_QUERIES, "query_id int, query_text string")
+    pq = (
+        embeds.join(
+            spark.createDataFrame(
+                [(i, i) for i in (1, 2, 3, 4)], "query_id int, pv bigint"
+            ),
+            F.col("vec_id") == F.col("pv"),
+        )
+        .select("query_id", F.col("embedding").alias("probe"))
+    )
+    d, cents = _ann_store_dir(spark, sf_dir, n_cells=16)
+    return hybrid_search(
+        docs,
+        None,
+        tq,
+        pq,
+        k_each=20,
+        topk=10,
+        rrf_k=60,
+        ann_store_dir=d,
+        ann_centroids=cents,
+        ann_n_probe=16,
+    )
+
+
 X37_SQL = r"""
 WITH toks AS (
   SELECT doc_id, t AS term FROM (
@@ -1960,6 +2004,15 @@ EXTENSIONS: dict[str, Q] = {
     # in tests/test_deregistered_queries.py.
     "x36_semdedup": Q(x36_semdedup, X36_SQL),
     "x37_hybrid_search": Q(x37_hybrid_search, X37_SQL),
+    # Round-12 rotation (q26 → pytest-oracle): the composed at-scale
+    # retrieval path — persisted ANN store → probe → RRF fusion — gets
+    # its driver-gate row (r11 verdict task 2).  Full probe makes x37's
+    # exact oracle apply verbatim; the plan underneath is the store
+    # form (replay fold + static cell pruning + broadcast probe-cell
+    # join).  q26's session-window semantics keep the identical DuckDB
+    # comparison in tests/test_deregistered_queries.py, the streaming
+    # session-window axis stays driver-covered by q33 + test_streaming.
+    "x37b_hybrid_search_ann": Q(x37b_hybrid_search_ann, X37_SQL),
     "x09_text_profile": Q(x09_text_profile, X09_PROFILE_SQL),
     "x13_cosine_join": Q(x13_cosine_join, _x13_join_sql()),
     # Round-6: the AUTO-SCALED similarity join (default n_planes=None

@@ -183,6 +183,20 @@ def _publish(store: str, version: str) -> None:
     os.replace(tmp, _manifest_file(store))
 
 
+def _copy_sidecars(src_dir: str, dst_dir: str) -> None:
+    """Copy ``_*.json`` generation-sidecar files (geometry contracts,
+    not data) from one generation directory into another.  Spark's file
+    listing ignores the ``_`` prefix, so sidecars ride version dirs for
+    free; parquet/data files are never touched."""
+    if not os.path.isdir(src_dir):
+        return
+    for name in os.listdir(src_dir):
+        if name.startswith("_") and name.endswith(".json"):
+            full = os.path.join(src_dir, name)
+            if os.path.isfile(full):
+                shutil.copy2(full, os.path.join(dst_dir, name))
+
+
 def compact_store(
     spark: SparkSession,
     store: str,
@@ -227,6 +241,12 @@ def compact_store(
             "verified": False,
             "reason": f"rewrite rows {new_rows} != source rows {src_rows}",
         }
+    # Propagate generation-sidecar metadata (e.g. the ANN store's
+    # embedded ``_CENTROIDS.json``) from the source generation into the
+    # new one BEFORE the publish: compaction preserves geometry, and a
+    # version dir without its sidecar would fall back to the store-root
+    # copy — re-opening the recluster race this embedding closes.
+    _copy_sidecars(src, vdir)
     _publish(store, version)
     files_after, _ = dir_stats(vdir)
     return {
@@ -394,12 +414,12 @@ def recluster_ann_store(
     replayed appends (``load_ann_store``'s ``(ivf_cell, id)`` dedup — a
     recluster is also a compaction of the replay log), re-assigns each
     vector to its nearest NEW centroid with the writer's own kernel
-    (``build_ann_store``), writes the re-assigned rows into a fresh
-    version directory partitioned by ``ivf_cell`` (probes keep
-    partition-pruned cell reads), verifies the row count against the
-    folded source, atomically publishes the manifest, then rewrites the
-    store's ``_CENTROIDS.json`` to the new set so future
-    ``append_ann_store`` calls pass the generation check.
+    (``build_ann_store``), writes the re-assigned rows AND the new
+    ``_CENTROIDS.json`` into a fresh version directory partitioned by
+    ``ivf_cell`` (probes keep partition-pruned cell reads), verifies
+    the row count against the folded source, atomically publishes the
+    manifest, then refreshes the store-root ``_CENTROIDS.json`` copy
+    for legacy readers and plain-directory back-compat.
 
     A QUANTIZED store (``q``/``q_scale`` columns) stays quantized: the
     stored int8 codes are per-vector and independent of the cell layout,
@@ -407,14 +427,18 @@ def recluster_ann_store(
     carries the original codes through unchanged — zero re-quantization
     error.
 
-    The manifest swap and the centroids rewrite are two separate renames,
-    NOT one atomic unit: a probe racing the window between them ranks
-    cells under one generation's geometry against the other's layout —
-    wrong pruning, possibly wrong top-k.  Run inside the same maintenance
-    window as ``compact_store`` (the documented writer-vs-maintenance
-    contract of every manifested store — bare parquet has no transaction
-    log); readers that resolved the OLD version keep an intact directory
-    until ``store_prune``.
+    Geometry swaps WITH the data (r11 verdict task 5): the new
+    centroids are embedded in the new version directory BEFORE the
+    manifest publish, and ``resolve_ann_store`` reads a generation's
+    embedded sidecar through the same manifest read that names its
+    data dir — so a probe racing this swap sees either (old data, old
+    centroids) or (new data, new centroids), never a mix.  The
+    store-root copy refreshed after the publish is a back-compat
+    fallback only.  Still run inside the maintenance window for
+    WRITER coordination (an append that resolved the old generation's
+    path lands in a directory the manifest no longer names — bare
+    parquet has no transaction log); readers that resolved the OLD
+    version keep an intact directory until ``store_prune``.
 
     The row SET is intentionally unchanged: what was indexed stays
     indexed; re-clustering rebalances the cells probes scan against.
@@ -473,8 +497,12 @@ def recluster_ann_store(
             "verified": False,
             "reason": f"rewrite rows {new_rows} != folded source rows {src_rows}",
         }
+    # Embed the generation's geometry INSIDE its version dir BEFORE the
+    # publish — the manifest swap then flips data+centroids atomically
+    # for resolve_ann_store readers.
+    write_ann_centroids(vdir, new_centroids)
     _publish(store, version)
-    write_ann_centroids(store, new_centroids)
+    write_ann_centroids(store, new_centroids)  # legacy-root fallback
     return {
         "skipped": False,
         "verified": True,

@@ -386,3 +386,60 @@ def test_driver_rounding_matches_catalyst_half_up(spark):
         .first()["cid"]
     )
     assert drv == [cat]
+
+
+def test_recluster_swaps_data_and_centroids_atomically(spark, tmp_path):
+    """r11 verdict task 5: geometry rides the manifest.  After a
+    compaction (which propagates the embedded sidecar) and a recluster
+    (which embeds the NEW set in the new version before the publish), a
+    reader that resolved the OLD generation reads the OLD centroids
+    from inside that directory — never the new geometry against the old
+    layout — while a fresh resolution gets (new data dir, new
+    centroids) from one manifest read.  Appends and probes keep
+    working against the current generation."""
+    import json as _json
+
+    from jurimetria_etl_spark.operators.ann_store import (
+        _CENTROIDS_FILE,
+        resolve_ann_store,
+    )
+    from jurimetria_etl_spark.sinks.maintenance import compact_store
+
+    d = str(tmp_path / "ann")
+    append_ann_store(_emb(spark, BATCH0), d, CENTROIDS)
+    append_ann_store(_emb(spark, BATCH1), d, CENTROIDS)
+    rep = compact_store(spark, d, min_files_to_compact=1)
+    assert rep["verified"]
+    old_dir, old_cents = resolve_ann_store(d)
+    assert old_cents == CENTROIDS
+    # the compacted version dir carries its own embedded sidecar
+    assert os.path.exists(os.path.join(old_dir, _CENTROIDS_FILE))
+
+    new_cents = [(i, [x * 0.5 + 0.1 for x in v]) for i, v in CENTROIDS]
+    rep2 = recluster_ann_store(spark, d, new_cents)
+    assert rep2["verified"]
+
+    # a reader still holding the OLD generation: its directory and its
+    # embedded geometry are both intact and still paired
+    with open(os.path.join(old_dir, _CENTROIDS_FILE)) as f:
+        held = [(int(c), [float(x) for x in v]) for c, v in _json.load(f)]
+    assert held == CENTROIDS
+    assert spark.read.parquet(old_dir).count() == len(ROWS)
+
+    # a fresh resolution: new dir + new centroids from ONE manifest read
+    new_dir, cents = resolve_ann_store(d)
+    assert new_dir != old_dir and cents == new_cents
+    assert read_ann_centroids(d) == new_cents
+
+    # generation guard follows the manifest: old set now refused
+    with pytest.raises(ValueError, match="generation"):
+        append_ann_store(_emb(spark, [(900, dict(ROWS)[3])]), d, CENTROIDS)
+    append_ann_store(
+        _emb(spark, [(901, dict(ROWS)[3])]), d, new_cents
+    )  # new set accepted
+
+    # probes resolve the current generation and still return k rows
+    got = ann_ivf_topk_store(
+        spark, d, dict(ROWS)[3], k=K, n_probe=len(new_cents)
+    ).collect()
+    assert len(got) == K

@@ -186,6 +186,10 @@ PAIRS = [
     # exact percentile — q32's scale-path twin, same DuckDB oracle
     # (bit-identical values to the registered native aggregate):
     (E.q32b_percentile_hist, C.Q32_SQL),
+    # rotated OUT in round 12 (to admit x37b_hybrid_search_ann — the
+    # composed persisted-store retrieval path): q26's session-window
+    # semantics also stay pinned batch-vs-stream in test_streaming.py.
+    (C.q26_session_window, C.Q26_SQL),
 ]
 
 

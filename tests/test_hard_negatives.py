@@ -220,3 +220,43 @@ def test_yield_diagnostic_surfaces_dominant_label(spark):
     assert len(zero_a) >= 15
     # B anchors see each other (same label) but retrieve A vectors too
     assert y[100][0] == "B" and y[101][0] == "B"
+
+
+def test_mining_composite_returns_yield_summary(spark):
+    """mine_hard_negatives_with_yield (r11 verdict task 7): the
+    composite hands back the per-label audit WITH the mined frame, so
+    zero-yield anchors are visible without the caller knowing the
+    standalone diagnostic exists.  Same dominant-label geometry as
+    above: label A's summary row must show the zero-yield block, and
+    the mined frame must equal the standalone operator's output."""
+    from jurimetria_etl_spark.operators.similarity import (
+        mine_hard_negatives_with_yield,
+    )
+
+    a_dir = RNG.normal(size=DIM)
+    rows = [
+        (i, a_dir + RNG.normal(scale=0.01, size=DIM), "A")
+        for i in range(20)
+    ]
+    rows.append((100, -a_dir, "B"))
+    rows.append((101, -a_dir + RNG.normal(scale=0.01, size=DIM), "B"))
+    emb = _emb(spark, rows)
+    kw = dict(k=6, m=3, dim=DIM, n_planes=2, n_tables=8)
+    mined, summary = mine_hard_negatives_with_yield(emb, "label", **kw)
+    try:
+        srows = {r["anchor_label"]: r for r in summary.collect()}
+        assert set(srows) == {"A", "B"}
+        assert srows["A"]["n_anchors"] == 20
+        assert srows["A"]["n_zero_yield"] >= 15  # the dominant label
+        assert srows["B"]["n_anchors"] == 2
+        # avg_negatives is consistent with the mined frame itself
+        mined_rows = mined.collect()
+        n_a = sum(1 for r in mined_rows if r["anchor_label"] == "A")
+        assert srows["A"]["avg_negatives"] == round(n_a / 20, 6)
+        # and the mined frame is the standalone operator's output
+        want = sorted(
+            map(tuple, mine_hard_negatives(emb, "label", **kw).collect())
+        )
+        assert sorted(map(tuple, mined_rows)) == want
+    finally:
+        mined.unpersist()

@@ -113,11 +113,15 @@ AUDITED = [
     ),
     (
         "q32b_percentile_hist",
-        "exact percentile via DISTRIBUTED histogram: distinct-value agg "
-        "(map-side combinable) + per-group cumulative window over "
-        "(value, count) rows + broadcast target-rank join; the 2 "
-        "nested-loops are the constant 3×|ps|-row percentile-frame "
-        "crosses (intended); no per-group value→count agg buffer",
+        "exact percentile via DISTRIBUTED histogram, single-scan form "
+        "(r12): both value columns melted to (metric, v) so ONE lineitem "
+        "scan feeds everything; distinct-value agg (map-side combinable) "
+        "+ ONE Window node carrying both the cumulative count and the "
+        "group total (shared sort — no second corpus-lineage execution "
+        "for totals) + the |ps|-row percentile-literal broadcast cross "
+        "(the 1 nested-loop — constant side, intended; the former "
+        "|groups|×|ps| ungated broadcast is gone) + interpolation and "
+        "pivot aggs; no per-group value→count agg buffer",
     ),
     (
         "x34_bloom_incremental_dedup",
@@ -151,6 +155,16 @@ AUDITED = [
         "x37_hybrid_search",
         "dense side: broadcast probe cross-join + two-level top-k (scan-"
         "partition pre-rank, then per-query rank); fusion match-sized",
+    ),
+    (
+        "x37b_hybrid_search_ann",
+        "the composed persisted-store retrieval path (r12): dense side "
+        "probes the ANN store — probes' static cell union reaches the "
+        "hive scan as PartitionFilters INSET, (cell,id) replay fold "
+        "above it, broadcast probe-cell EQUI-join (replaces x37's "
+        "|probes|×|corpus| broadcast cross) + two-level top-k; BM25 "
+        "side and RRF fusion identical to x37 (its 1-row stats attach "
+        "is the single BNLJ); fusion match-sized",
     ),
     (
         "x38_split_guarded",

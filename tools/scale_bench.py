@@ -67,6 +67,19 @@ HEAVY = [
     # so it scans the whole store: linear expectation; the sublinear
     # production posture is ann_store_scaled_cells below).
     "x41_ann_store_topk",
+    # r12: the exact-percentile pair (r11 verdict task 6) — the native
+    # per-group value→count buffer aggregate (q32) vs the distributed
+    # histogram (q32b, whose shuffle is distinct-value-sized and whose
+    # only per-group serial step sorts distinct values).  Both linear in
+    # rows; the structural claim the pair turns into evidence is that
+    # the histogram's exponent must not EXCEED the native one while the
+    # absolute sf1 time stays below it (no buffer to serialize/spill).
+    "q32_percentile",
+    "q32b_percentile_hist",
+    # r12: the composed persisted-store retrieval path (x37's at-scale
+    # twin): BM25 index build linear, store probe full-probe-linear,
+    # fusion match-sized.
+    "x37b_hybrid_search_ann",
 ]
 
 
