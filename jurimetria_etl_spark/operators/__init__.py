@@ -35,3 +35,10 @@ from jurimetria_etl_spark.operators.stats import (  # noqa: F401
     percentile_cont_by_group,
     row_count,
 )
+from jurimetria_etl_spark.operators.decontaminate import (  # noqa: F401
+    build_benchmark_store,
+    flag_contamination,
+    load_benchmark_store,
+    remove_contaminated,
+    remove_span_contaminated,
+)

@@ -44,13 +44,14 @@ def benchmark_shingle_set(
 
 def flag_contamination(
     docs: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     min_overlap: int = 1,
     min_overlap_ratio: float = 0.0,
     broadcast_max_rows: int | None = None,
+    bench_set: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document contamination metrics against the benchmark:
 
@@ -72,8 +73,25 @@ def flag_contamination(
     applies only at-or-under the threshold, and above it AQE plans a
     shuffle join instead of forcing an executor-OOM broadcast (same
     size-gate posture as ``spans._survivor_semi_filter``).
+
+    ``bench_set``: an already-reduced distinct-shingle-hash frame
+    (``benchmark_shingle_set``'s output, or a persisted benchmark
+    store's ``shingles`` — ``load_benchmark_store``).  When given,
+    ``bench`` may be ``None`` and its shingles are NOT recomputed — the
+    repeated-gate path (per micro-batch streaming, per-shard batch
+    sweeps) reads the tiny persisted set instead of re-exploding the
+    benchmark text every call.  The frame must have been built with the
+    SAME ``n`` (the persisted store verifies this as its generation
+    contract).
     """
-    bench_set = benchmark_shingle_set(bench, text_col, n)
+    if bench_set is None:
+        if bench is None:
+            raise ValueError(
+                "flag_contamination needs bench or bench_set — pass the "
+                "benchmark frame, or a persisted shingle set built with "
+                "the same n (build_benchmark_store)"
+            )
+        bench_set = benchmark_shingle_set(bench, text_col, n)
     if broadcast_max_rows is None:
         bench_set = F.broadcast(bench_set)
     else:
@@ -126,19 +144,23 @@ def flag_contamination(
 
 def remove_contaminated(
     docs: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     min_overlap: int = 1,
     min_overlap_ratio: float = 0.0,
+    bench_set: DataFrame | None = None,
 ) -> DataFrame:
     """Drop contaminated documents (all original columns kept): anti-join
     on the flagged id set — the flag side carries only ids, so AQE sizes
-    the join from runtime stats (same policy as plans/curation.py)."""
+    the join from runtime stats (same policy as plans/curation.py).
+    ``bench_set`` (optional) short-circuits the benchmark shingle
+    reduction exactly as in ``flag_contamination``."""
     flagged = (
         flag_contamination(
-            docs, bench, id_col, text_col, n, min_overlap, min_overlap_ratio
+            docs, bench, id_col, text_col, n, min_overlap,
+            min_overlap_ratio, bench_set=bench_set,
         )
         .where("contaminated")
         .select(id_col)
@@ -245,3 +267,150 @@ def remove_span_contaminated(
         .distinct()
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Persisted benchmark store — build the probe assets ONCE, gate many times
+# ---------------------------------------------------------------------------
+
+_BENCH_META = "_BENCHMARK.json"
+
+
+class BenchmarkStore:
+    """Loaded benchmark probe assets: ``shingles`` (distinct 60-bit
+    shingle hashes, column ``__bench_sh``), ``span_fps`` (winnowed span
+    fingerprints, or ``None`` when the store was built without the span
+    axis), and the ``meta`` dict recording the generation contract."""
+
+    __slots__ = ("shingles", "span_fps", "meta")
+
+    def __init__(self, shingles: DataFrame, span_fps: DataFrame | None,
+                 meta: dict):
+        self.shingles = shingles
+        self.span_fps = span_fps
+        self.meta = meta
+
+
+def build_benchmark_store(
+    bench: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    spans: bool = False,
+    span_len: int = 40,
+    span_k: int = 8,
+) -> dict:
+    """Persist the benchmark's decontamination probe assets ONCE so
+    repeated gates — per micro-batch in ``curate_document_stream``, per
+    shard in batch sweeps — read tiny parquet instead of re-shingling
+    (and re-winnowing) the benchmark text every call:
+
+    - ``shingles/``: the DISTINCT ``n``-gram shingle-hash set
+      (``benchmark_shingle_set`` — the broadcast probe side of
+      ``flag_contamination``), one ``__bench_sh bigint`` column;
+    - ``span_fps/`` (``spans=True``): the benchmark's winnowed span
+      fingerprints (``spans.winnowed_fingerprints`` — the ``bench_fps``
+      input of ``remove_span_contaminated``, so the benchmark is never
+      re-winnowed either).
+
+    Generation contract (the ANN store's ``_CENTROIDS.json`` posture):
+    ``n``/``span_len``/``span_k`` are recorded in ``_BENCHMARK.json``
+    and ``load_benchmark_store`` verifies the caller's parameters
+    against them — a set built at a different shingle width is a
+    DIFFERENT probe set, and silently mixing widths would gate against
+    the wrong keys.  A new benchmark version is a rebuild (overwrite) —
+    run it in a maintenance window like every bare-parquet store swap;
+    the meta rename is atomic, the parquet overwrite is not.
+
+    Returns the meta dict ({n, spans, span_len, span_k, n_shingles})."""
+    import json
+    import os
+    import uuid
+
+    shingles = benchmark_shingle_set(bench, text_col, n)
+    shingles.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "shingles")
+    )
+    if spans:
+        from jurimetria_etl_spark.operators.spans import (
+            winnowed_fingerprints,
+        )
+
+        winnowed_fingerprints(
+            bench, span_len, span_k, id_col, text_col
+        ).write.mode("overwrite").parquet(os.path.join(store_dir, "span_fps"))
+    spark = bench.sparkSession
+    meta = {
+        "n": int(n),
+        "spans": bool(spans),
+        "span_len": int(span_len) if spans else None,
+        "span_k": int(span_k) if spans else None,
+        "n_shingles": spark.read.parquet(
+            os.path.join(store_dir, "shingles")
+        ).count(),
+    }
+    path = os.path.join(store_dir, _BENCH_META)
+    tmp = path + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return meta
+
+
+def load_benchmark_store(
+    spark,
+    store_dir: str,
+    n: int | None = None,
+    span_len: int | None = None,
+    span_k: int | None = None,
+) -> BenchmarkStore:
+    """Rehydrate a persisted benchmark store.  Any parameter passed
+    non-``None`` is VERIFIED against the recorded generation contract
+    (mismatch raises — the wrong-width set must never gate silently);
+    ``None`` accepts whatever the store was built with.  Requesting the
+    span axis (``span_len``/``span_k``) from a shingle-only store
+    raises too."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, _BENCH_META)
+    try:
+        with open(path, encoding="utf-8") as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"benchmark store at {store_dir!r} has no {_BENCH_META} — "
+            "build it with build_benchmark_store"
+        ) from None
+    if n is not None and int(n) != meta["n"]:
+        raise ValueError(
+            f"benchmark store was built with n={meta['n']}, "
+            f"requested n={n} — a different shingle width is a "
+            "different probe set; rebuild the store"
+        )
+    wants_spans = span_len is not None or span_k is not None
+    if wants_spans and not meta.get("spans"):
+        raise ValueError(
+            "benchmark store was built without the span axis — rebuild "
+            "with build_benchmark_store(spans=True)"
+        )
+    if span_len is not None and int(span_len) != meta["span_len"]:
+        raise ValueError(
+            f"benchmark store spans were winnowed at span_len="
+            f"{meta['span_len']}, requested {span_len} — rebuild the store"
+        )
+    if span_k is not None and int(span_k) != meta["span_k"]:
+        raise ValueError(
+            f"benchmark store spans were winnowed at k={meta['span_k']}, "
+            f"requested {span_k} — rebuild the store"
+        )
+    shingles = spark.read.parquet(os.path.join(store_dir, "shingles"))
+    span_fps = (
+        spark.read.parquet(os.path.join(store_dir, "span_fps"))
+        if meta.get("spans")
+        else None
+    )
+    return BenchmarkStore(shingles, span_fps, meta)

@@ -47,6 +47,7 @@ def curate_corpus(
     scrub_pii: bool = False,
     quality_rules: dict | None = None,
     benchmark: DataFrame | None = None,
+    benchmark_store_dir: str | None = None,
     decontam_ngram: int = 5,
     decontam_min_overlap: int = 1,
     decontam_min_ratio: float = 0.0,
@@ -85,6 +86,14 @@ def curate_corpus(
       benchmark (operators/decontaminate.py:remove_span_contaminated) —
       verbatim leakage that token shingles can split differently;
       uncapped by default per that gate's contract.
+    - ``benchmark_store_dir=<dir>`` reads the benchmark's persisted
+      probe assets (``build_benchmark_store``: distinct shingle hashes,
+      plus span fingerprints for the span axis) instead of re-shingling
+      the benchmark text — the repeated-sweep path; the store verifies
+      ``decontam_ngram``/``span_len``/``span_k`` against its recorded
+      generation contract.  The shingle gate then needs no ``benchmark``
+      frame at all; ``decontam_spans`` still requires it (span
+      verification resolves benchmark text).
     - ``strip_boilerplate_min_df=<n>`` strips corpus boilerplate BEFORE
       profiling: spans of ``span_len`` chars occurring in ≥ n documents
       (operators/spans.py:boilerplate_spans) are removed via the
@@ -134,6 +143,12 @@ def curate_corpus(
     # byte-sized split plan under-parallelizes them (a single-file corpus
     # plans as one task).  widen_partitions is a no-op whenever file count
     # already covers cluster width — the 100 TB case.
+    if decontam_spans and benchmark is None:
+        raise ValueError(
+            "decontam_spans requires the benchmark frame — span "
+            "verification resolves the benchmark text (a persisted "
+            "store holds only fingerprints)"
+        )
     docs = D.widen_partitions(docs)
     if scrub_pii:
         from jurimetria_etl_spark.operators.scrub import scrub_documents
@@ -189,11 +204,27 @@ def curate_corpus(
 
         gate = gate & passes_quality(text_col, **quality_rules)
     gated = profiled.where(gate)
-    if benchmark is not None:
+    if benchmark is not None or benchmark_store_dir is not None:
         from jurimetria_etl_spark.operators.decontaminate import (
             remove_contaminated,
         )
 
+        bench_set = None
+        bench_fps = None
+        if benchmark_store_dir is not None:
+            from jurimetria_etl_spark.operators.decontaminate import (
+                load_benchmark_store,
+            )
+
+            bs = load_benchmark_store(
+                docs.sparkSession,
+                benchmark_store_dir,
+                n=decontam_ngram,
+                span_len=span_len if decontam_spans else None,
+                span_k=span_k if decontam_spans else None,
+            )
+            bench_set = bs.shingles
+            bench_fps = bs.span_fps
         gated = remove_contaminated(
             gated,
             benchmark,
@@ -202,6 +233,7 @@ def curate_corpus(
             n=decontam_ngram,
             min_overlap=decontam_min_overlap,
             min_overlap_ratio=decontam_min_ratio,
+            bench_set=bench_set,
         )
         if decontam_spans:
             from jurimetria_etl_spark.operators.decontaminate import (
@@ -215,6 +247,7 @@ def curate_corpus(
                 k=span_k,
                 id_col=id_col,
                 text_col=text_col,
+                bench_fps=bench_fps,
             )
 
     exact = D.dedup_by_fingerprint(gated, text_col, id_col)

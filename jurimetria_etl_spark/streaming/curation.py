@@ -115,6 +115,12 @@ def curate_document_stream(
     ann_store_dir: str | None = None,
     ann_centroids: list[tuple[int, list[float]]] | None = None,
     ann_quantize: bool = False,
+    benchmark: DataFrame | None = None,
+    benchmark_store_dir: str | None = None,
+    decontam_ngram: int = 5,
+    decontam_min_overlap: int = 1,
+    decontam_min_ratio: float = 0.0,
+    decontam_spans: bool = False,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -203,6 +209,26 @@ def curate_document_stream(
     which documents land, so pair a weight change with a new corpus
     generation, not an in-place swap.
 
+    ``benchmark`` / ``benchmark_store_dir`` (optional) gate each
+    micro-batch against an evaluation set BEFORE any fingerprinting —
+    the batch pipeline's decontamination stage
+    (``plans.curation.curate_corpus(benchmark=…)``) applied per batch,
+    so a contaminated document never enters the streamed corpus or
+    seeds any dedup store (where it could become the cluster survivor
+    that evicts its CLEAN near-dups).  ``benchmark`` is the static eval
+    frame; ``benchmark_store_dir`` (preferred for a long-running
+    stream) is a persisted ``build_benchmark_store`` directory whose
+    shingle-hash set — and span fingerprints when ``decontam_spans``
+    — each batch joins directly, so the benchmark text is never
+    re-shingled per batch; the store verifies ``decontam_ngram`` (and
+    ``span_len``/``span_k``) against its recorded generation contract.
+    ``decontam_spans=True`` additionally drops documents sharing an
+    EXACT ``span_len``-char span with the benchmark and requires the
+    ``benchmark`` frame (span verification resolves the benchmark
+    text).  The benchmark version is a generation contract like the
+    strip lists: swapping eval sets mid-stream changes which documents
+    land, so pair it with a new corpus generation.
+
     ``text_index_dir`` (optional) maintains the incremental BM25 index
     (operators/search.py:append_text_index) over the curated corpus:
     each batch appends its survivors' postings + document lengths, so
@@ -242,6 +268,12 @@ def curate_document_stream(
         raise ValueError(
             "ann_store_dir requires ann_centroids — the centroid set is "
             "the store's generation contract"
+        )
+    if decontam_spans and benchmark is None:
+        raise ValueError(
+            "decontam_spans requires the benchmark frame — span "
+            "verification resolves the benchmark text (the persisted "
+            "store holds only fingerprints)"
         )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -284,6 +316,60 @@ def curate_document_stream(
                 linear_quality_score(text_col, *classifier)
                 >= F.lit(classifier_threshold)
             )
+            if not batch_df.head(1):
+                return
+        if benchmark is not None or benchmark_store_dir is not None:
+            # Decontaminate BEFORE any fingerprinting (curate_corpus's
+            # stage order): a contaminated doc must not seed the fp/sig
+            # stores, where its fingerprint would shadow clean near-dups
+            # in every later batch.
+            from jurimetria_etl_spark.operators.decontaminate import (
+                remove_contaminated,
+            )
+
+            bench_set = None
+            bench_fps = None
+            if benchmark_store_dir is not None:
+                from jurimetria_etl_spark.operators.decontaminate import (
+                    load_benchmark_store,
+                )
+
+                # Re-load per batch (one tiny parquet listing), so a
+                # maintenance-window rebuild is picked up at the next
+                # batch; the loader verifies the generation contract.
+                bs = load_benchmark_store(
+                    spark,
+                    benchmark_store_dir,
+                    n=decontam_ngram,
+                    span_len=span_len if decontam_spans else None,
+                    span_k=span_k if decontam_spans else None,
+                )
+                bench_set = bs.shingles
+                bench_fps = bs.span_fps
+            batch_df = remove_contaminated(
+                batch_df,
+                benchmark,
+                id_col,
+                text_col,
+                n=decontam_ngram,
+                min_overlap=decontam_min_overlap,
+                min_overlap_ratio=decontam_min_ratio,
+                bench_set=bench_set,
+            )
+            if decontam_spans:
+                from jurimetria_etl_spark.operators.decontaminate import (
+                    remove_span_contaminated,
+                )
+
+                batch_df = remove_span_contaminated(
+                    batch_df,
+                    benchmark,
+                    span_len=span_len,
+                    k=span_k,
+                    id_col=id_col,
+                    text_col=text_col,
+                    bench_fps=bench_fps,
+                )
             if not batch_df.head(1):
                 return
         fp_store = _read_or_empty(spark, fp_store_dir, "fp bigint")

@@ -386,3 +386,54 @@ def test_extension_tail_is_keyword_only(spark):
         curate_corpus(
             _docs(spark), "doc_id", "text", ("en",), 0.3, 0.7, True
         )
+
+
+def test_curate_corpus_benchmark_store_dir_parity(spark, tmp_path):
+    """curate_corpus(benchmark_store_dir=…) ≡ curate_corpus(benchmark=…):
+    the persisted probe set must be gate-invisible, including the span
+    axis read from the store's fingerprints."""
+    from jurimetria_etl_spark.operators.decontaminate import (
+        build_benchmark_store,
+    )
+    from jurimetria_etl_spark.plans.curation import curate_corpus
+
+    leak = "this exact sentence leaked verbatim from the held out eval set"
+    docs = spark.createDataFrame(
+        [
+            (0, "a perfectly ordinary document about compiler design and "
+                "register allocation strategies for modern hardware", "en"),
+            (1, "quoting now: " + leak + " end of the quoted material "
+                "with some extra trailing context", "en"),
+            (2, "another clean body of text describing parquet row group "
+                "statistics and predicate pushdown behavior", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "eval: " + leak)], "doc_id bigint, text string"
+    )
+    store = str(tmp_path / "bench_store")
+    build_benchmark_store(bench, store, n=5, spans=True, span_len=40, span_k=8)
+
+    kw = dict(
+        decontam_spans=True, span_len=40, span_k=8,
+        near_dup_threshold=0.95, transitive=False,
+    )
+    live = curate_corpus(docs, benchmark=bench, **kw)
+    stored = curate_corpus(
+        docs, benchmark=bench, benchmark_store_dir=store, **kw
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert canon(live) == canon(stored)
+    assert {r.doc_id for r in stored.collect()} == {0, 2}
+    # the shingle-only gate needs no benchmark frame at all
+    shingle_only = curate_corpus(
+        docs, benchmark_store_dir=store, near_dup_threshold=0.95,
+        transitive=False,
+    )
+    assert {r.doc_id for r in shingle_only.collect()} == {0, 2}
+    # decontam_spans without the benchmark frame is a contract error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="benchmark frame"):
+        curate_corpus(docs, benchmark_store_dir=store, decontam_spans=True)
