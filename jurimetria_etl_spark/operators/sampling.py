@@ -236,6 +236,49 @@ def pack_into_shards(
     )
 
 
+def shuffle_order(key: Column | str, seed: str = "0") -> Column:
+    """Deterministic pseudo-random total-order key — the training-order
+    shuffle.  ``md5('shuffle:<seed>:' ‖ key)`` as the 32-char lowercase
+    hex string: 128 bits, so distinct keys collide never in practice
+    (the UNIQUE total order ``pack_into_shards`` requires), identical
+    hex + lexicographic ordering in every engine (the ``hash60``
+    portability argument, without the 60-bit truncation a sort key
+    can't afford), and a narrow scan-fused expression — the shuffle is
+    an ORDER, not a shuffle-the-data operator: nothing moves until a
+    consumer (packing's range exchange) orders by it.
+
+    The seed is the COMPLETE shuffle state: re-runs, engine ports, and
+    resumed jobs reproduce the identical permutation from the seed
+    alone — store the seed, not the order.  A new training epoch is a
+    new seed."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(f"shuffle:{seed}:"), c.cast("string")))
+
+
+def pack_shuffled_shards(
+    df: DataFrame,
+    tokens_col: str,
+    key_col: str,
+    max_tokens_per_shard: int,
+    seed: str = "0",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Token-budget shard packing in SEEDED PSEUDO-RANDOM order — the
+    training-shard assembly step: documents land in shards as a uniform
+    permutation (decorrelating shard contents from ingest/id order, the
+    reason training pipelines shuffle) while staying fully
+    deterministic — same seed, same shards, on any engine.  One
+    ``shuffle_order`` column + ``pack_into_shards``'s two-phase prefix
+    sum; ``key_col`` must be unique per row (document ids)."""
+    return pack_into_shards(
+        df.withColumn("__shuffle", shuffle_order(key_col, seed)),
+        tokens_col,
+        "__shuffle",
+        max_tokens_per_shard,
+        shard_col,
+    ).drop("__shuffle")
+
+
 # ─────────────────────────── train / eval split ────────────────────────────
 def split_corpus(
     df: DataFrame,

@@ -695,6 +695,33 @@ FROM documents
 """
 
 
+def x42_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-shuffle shard packing (operators/sampling.py:
+    pack_shuffled_shards): documents pack into 10k-char shards in the
+    md5('shuffle:7:'‖doc_id) permutation — the training-order shuffle,
+    deterministic from the seed alone and engine-portable (the oracle
+    recomputes the identical permutation from the same md5).  Not
+    registered (50-entry window; x20 covers the packing prefix sum) —
+    oracle-checked in tests/test_deregistered_queries.py."""
+    from jurimetria_etl_spark.operators.sampling import pack_shuffled_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_shuffled_shards(
+        docs, tokens_col="n_chars", key_col="doc_id",
+        max_tokens_per_shard=10_000, seed="7",
+    ).select("doc_id", "shard_id")
+
+
+X42_SQL = """
+SELECT doc_id,
+       CAST(floor((sum(n_chars) OVER (
+              ORDER BY md5('shuffle:7:' || CAST(doc_id AS VARCHAR))
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_chars) / 10000) AS BIGINT) AS shard_id
+FROM documents
+"""
+
+
 def x21_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 240-char windows advancing by 200 (40-char
     overlap) — the prep step between curation and packing.  Not registered —

@@ -283,3 +283,54 @@ def test_top_fraction_per_domain_has_no_forced_broadcast(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pack_shuffled_shards_matches_python_model(spark):
+    """The seeded shuffle's full python model: md5-permute, sequential
+    fill — bit-identical shard assignment, and reproducible from the
+    seed alone."""
+    import hashlib
+
+    from jurimetria_etl_spark.operators.sampling import (
+        pack_shuffled_shards,
+    )
+
+    docs = load_fixture(spark, SF, "documents").select("doc_id", "n_chars")
+    rows = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+
+    def model(seed):
+        order = sorted(
+            rows,
+            key=lambda d: hashlib.md5(
+                f"shuffle:{seed}:{d}".encode()
+            ).hexdigest(),
+        )
+        out, total = {}, 0
+        for d in order:
+            out[d] = total // 10_000
+            total += rows[d]
+        return out
+
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shuffled_shards(
+            docs, "n_chars", "doc_id", 10_000, seed="7"
+        ).collect()
+    }
+    assert got == model("7")
+    # same seed → identical shards on a re-run; a different seed is a
+    # different permutation (and therefore different shard contents)
+    again = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shuffled_shards(
+            docs, "n_chars", "doc_id", 10_000, seed="7"
+        ).collect()
+    }
+    assert again == got
+    other = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shuffled_shards(
+            docs, "n_chars", "doc_id", 10_000, seed="8"
+        ).collect()
+    }
+    assert other == model("8") and other != got
