@@ -351,6 +351,7 @@ def prepare_training_shards(
     overlap_chars: int = 100,
     max_chars_per_shard: int = 100_000,
     intermediate_dir: str | None = None,
+    shuffle_seed: str | None = None,
 ) -> DataFrame:
     """The full corpus→training-shards pipeline: curation gates + dedup
     (``curate_corpus``), overlapping context-window chunking
@@ -358,12 +359,25 @@ def prepare_training_shards(
     bounded shards (``pack_into_shards``) keyed on (doc_id, chunk_idx)
     order via a composite sort key.
 
+    ``shuffle_seed`` packs in SEEDED PSEUDO-RANDOM document order
+    instead (``sampling.shuffle_order`` — the training-order shuffle):
+    documents are permuted by the seed, while a document's chunks stay
+    CONTIGUOUS in chunk_idx order inside its shuffled position (the
+    composite key is the doc's 32-char md5 shuffle key ‖ zero-padded
+    chunk_idx), so shard contents decorrelate from ingest/id order
+    without tearing long documents apart — and the whole assignment
+    stays bit-reproducible from the seed alone (a new epoch is a new
+    seed, not a stored order).
+
     Output: one row per chunk with ``shard_id`` — ready to
     ``write.partitionBy("shard_id")``.  Everything upstream of the packing
     prefix-sum is narrow or already-bounded shuffles (SCALE.md); packing
     adds one range partition + one #partitions-row window.
     """
-    from jurimetria_etl_spark.operators.sampling import pack_into_shards
+    from jurimetria_etl_spark.operators.sampling import (
+        pack_into_shards,
+        shuffle_order,
+    )
     from jurimetria_etl_spark.operators.text import chunk_documents
 
     curated = curate_corpus(
@@ -371,15 +385,22 @@ def prepare_training_shards(
         near_dup_threshold=near_dup_threshold,
         intermediate_dir=intermediate_dir,
     )
+    if shuffle_seed is not None:
+        # doc-level shuffle, chunk-level continuity: md5 hex (32 chars,
+        # constant width) ‖ lpad(chunk_idx) is a unique string total
+        # order — chunk counts per doc are ≪ 10⁸
+        order_key = F.concat(
+            shuffle_order(id_col, shuffle_seed),
+            F.lpad(F.col("chunk_idx").cast("string"), 8, "0"),
+        )
+    else:
+        # unique, non-null total-order key for the packing prefix sum:
+        # (doc_id, chunk_idx) packed into one long (chunk count per doc
+        # is bounded by len/step ≪ 2²⁰)
+        order_key = F.col(id_col) * F.lit(1 << 20) + F.col("chunk_idx")
     chunks = chunk_documents(
         curated, text_col, chunk_chars=chunk_chars, overlap_chars=overlap_chars
-    ).withColumn(
-        # unique, non-null total-order key for the packing prefix sum:
-        # (doc_id, chunk_idx) packed into one long (chunk count per doc is
-        # bounded by len/step ≪ 2²⁰)
-        "__order",
-        F.col(id_col) * F.lit(1 << 20) + F.col("chunk_idx"),
-    )
+    ).withColumn("__order", order_key)
     packed = pack_into_shards(
         chunks.withColumn("__chunk_chars", F.length("chunk").cast("bigint")),
         tokens_col="__chunk_chars",

@@ -437,3 +437,46 @@ def test_curate_corpus_benchmark_store_dir_parity(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="benchmark frame"):
         curate_corpus(docs, benchmark_store_dir=store, decontam_spans=True)
+
+
+def test_prepare_training_shards_shuffle_seed(spark):
+    """shuffle_seed packs shards in the seeded document permutation with
+    chunks contiguous per document: shard assignment matches the python
+    model (md5-permute docs, walk chunks in idx order, sequential fill),
+    and the default (no seed) output is unchanged."""
+    import hashlib
+
+    from jurimetria_etl_spark.plans.curation import prepare_training_shards
+
+    docs = _docs(spark)
+    kw = dict(
+        languages=("en",), min_quality=0.0, near_dup_threshold=0.99,
+        chunk_chars=120, overlap_chars=20, max_chars_per_shard=400,
+    )
+    shuffled = prepare_training_shards(docs, shuffle_seed="13", **kw)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["shard_id"]
+        for r in shuffled.collect()
+    }
+    assert got  # the gate kept something, or the parity below is vacuous
+
+    # python model over the SAME curated chunk set (reuse the engine's
+    # chunks; the model only re-derives ORDER + packing)
+    chunk_rows = [
+        (r["doc_id"], r["chunk_idx"], len(r["chunk"]))
+        for r in prepare_training_shards(docs, **kw)
+        .select("doc_id", "chunk_idx", "chunk")
+        .collect()
+    ]
+    order = sorted(
+        chunk_rows,
+        key=lambda t: (
+            hashlib.md5(f"shuffle:13:{t[0]}".encode()).hexdigest(),
+            t[1],
+        ),
+    )
+    expected, total = {}, 0
+    for d, i, n in order:
+        expected[(d, i)] = total // 400
+        total += n
+    assert got == expected
