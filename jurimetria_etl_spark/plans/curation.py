@@ -28,6 +28,60 @@ from jurimetria_etl_spark.operators import dedup as D
 from jurimetria_etl_spark.operators import text as X
 
 
+def _gate_profile_columns(
+    text_col: str,
+    quality_lang: str,
+    classifier: tuple[list[float], float] | None,
+):
+    """The profiling projection the gates read — shared by
+    ``curate_corpus`` and ``curation_funnel`` so the two derive
+    lang/quality/classifier inputs from the IDENTICAL expressions."""
+    cols = [
+        X.lang_id(text_col).alias("lang_pred"),
+        # score the stopword floor on the corpus's own language —
+        # curating a Portuguese corpus (languages=("pt",)) with the en
+        # list would under-score every accepted document
+        X.quality_score(text_col, lang=quality_lang).alias("quality"),
+    ]
+    if classifier is not None:
+        from jurimetria_etl_spark.operators.classify import (
+            linear_quality_score,
+        )
+
+        cols.append(
+            linear_quality_score(text_col, *classifier).alias("quality_prob")
+        )
+    return cols
+
+
+def curation_gate_flags(
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    classifier: tuple[list[float], float] | None = None,
+    classifier_threshold: float = 0.5,
+    quality_rules: dict | None = None,
+) -> dict:
+    """The named gate predicates of ``curate_corpus``, as boolean flag
+    Columns over the profiled frame (``lang_pred``/``quality``
+    [/``quality_prob``] present) — the single source of truth shared by
+    the gate conjunction and ``curation_funnel``, so the audit can never
+    drift from what the pipeline actually applies."""
+    flags = {
+        "lang_pass": F.col("lang_pred").isin(list(languages)),
+        "quality_pass": F.col("quality") >= min_quality,
+    }
+    if classifier is not None:
+        flags["classifier_pass"] = (
+            F.col("quality_prob") >= classifier_threshold
+        )
+    if quality_rules is not None:
+        from jurimetria_etl_spark.operators.quality import passes_quality
+
+        flags["rules_pass"] = passes_quality(text_col, **quality_rules)
+    return flags
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -176,33 +230,18 @@ def curate_corpus(
         docs = strip_boilerplate_bulk(
             docs, bp, span_len, id_col, text_col, replace=True
         )
-    profile_cols = [
-        X.lang_id(text_col).alias("lang_pred"),
-        # score the stopword floor on the corpus's own language —
-        # curating a Portuguese corpus (languages=("pt",)) with the en
-        # list would under-score every accepted document
-        X.quality_score(text_col, lang=quality_lang).alias("quality"),
+    profile_cols = _gate_profile_columns(text_col, quality_lang, classifier)
+    profile_cols = profile_cols[:2] + [
         X.token_count(text_col).alias("ws_tokens"),
         X.bpe_ish_token_count(text_col).alias("bpe_tokens"),
-    ]
-    if classifier is not None:
-        from jurimetria_etl_spark.operators.classify import (
-            linear_quality_score,
-        )
-
-        profile_cols.append(
-            linear_quality_score(text_col, *classifier).alias("quality_prob")
-        )
+    ] + profile_cols[2:]
     profiled = docs.select("*", *profile_cols)
-    gate = F.col("lang_pred").isin(list(languages)) & (
-        F.col("quality") >= min_quality
-    )
-    if classifier is not None:
-        gate = gate & (F.col("quality_prob") >= classifier_threshold)
-    if quality_rules is not None:
-        from jurimetria_etl_spark.operators.quality import passes_quality
-
-        gate = gate & passes_quality(text_col, **quality_rules)
+    gate = F.lit(True)
+    for flag in curation_gate_flags(
+        text_col, languages, min_quality,
+        classifier, classifier_threshold, quality_rules,
+    ).values():
+        gate = gate & flag
     gated = profiled.where(gate)
     if benchmark is not None or benchmark_store_dir is not None:
         from jurimetria_etl_spark.operators.decontaminate import (
@@ -408,3 +447,120 @@ def prepare_training_shards(
         max_tokens_per_shard=max_chars_per_shard,
     )
     return packed.drop("__order", "__chunk_chars")
+
+
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    *,
+    quality_lang: str = "en",
+    classifier: tuple[list[float], float] | None = None,
+    classifier_threshold: float = 0.5,
+    quality_rules: dict | None = None,
+    benchmark: DataFrame | None = None,
+    benchmark_store_dir: str | None = None,
+    decontam_ngram: int = 5,
+    decontam_min_overlap: int = 1,
+    decontam_min_ratio: float = 0.0,
+) -> DataFrame:
+    """ONE-ROW curation audit: how many documents pass each gate
+    ``curate_corpus`` would apply, counted INDEPENDENTLY per gate (which
+    gate is the bottleneck?) plus the conjunction (what survives all
+    gates, pre-dedup).  The operational question a 100-TB pipeline asks
+    BEFORE committing to a full curation run — and the drift monitor it
+    re-asks on every ingest batch.
+
+    Columns: ``n_docs``, ``n_lang_pass``, ``n_quality_pass``
+    [, ``n_classifier_pass``][, ``n_rules_pass``][, ``n_clean`` with a
+    benchmark], ``n_eligible``.
+
+    The flags come from ``curation_gate_flags`` — the SAME Column
+    expressions ``curate_corpus``'s gate conjoins, so the audit cannot
+    drift from the pipeline.  Scale: gates are scan-fused flag
+    expressions; with a ``benchmark`` the contamination flag carries the
+    flags through the shingle explode→broadcast-join→per-doc aggregate
+    (``flag_contamination``'s one-pass shape, operators/decontaminate.py)
+    so the WHOLE audit — flags, overlap, and the final counts — is ONE
+    corpus scan feeding two map-side-combinable aggregates; without one
+    it is one scan and one global aggregate.  No per-document output
+    ever leaves the executors."""
+    flags = curation_gate_flags(
+        text_col, languages, min_quality,
+        classifier, classifier_threshold, quality_rules,
+    )
+    profiled = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        *_gate_profile_columns(text_col, quality_lang, classifier),
+    )
+    flagged = profiled.select(
+        id_col,
+        text_col,
+        *[flag.alias(name) for name, flag in flags.items()],
+    )
+    flag_names = list(flags)
+    if benchmark is not None or benchmark_store_dir is not None:
+        from jurimetria_etl_spark.operators.decontaminate import (
+            _shingle_hashes,
+            benchmark_shingle_set,
+            load_benchmark_store,
+        )
+
+        if benchmark_store_dir is not None:
+            bench_set = load_benchmark_store(
+                docs.sparkSession, benchmark_store_dir, n=decontam_ngram
+            ).shingles
+        else:
+            bench_set = benchmark_shingle_set(
+                benchmark, text_col, decontam_ngram
+            )
+        # flag_contamination's one-pass shape with the gate flags carried
+        # through the explode as grouping keys (per-doc constants): one
+        # corpus scan computes flags AND overlap together.
+        doc_sh = flagged.select(
+            id_col,
+            *flag_names,
+            _shingle_hashes(text_col, decontam_ngram).alias("__shs"),
+        ).select(
+            id_col,
+            *flag_names,
+            F.size("__shs").cast("bigint").alias("__n_sh"),
+            F.explode_outer("__shs").alias("__sh"),
+        )
+        per_doc = (
+            doc_sh.join(
+                F.broadcast(bench_set),
+                doc_sh["__sh"] == bench_set["__bench_sh"],
+                "left",
+            )
+            .groupBy(id_col, *flag_names, "__n_sh")
+            .agg(F.count("__bench_sh").alias("__ov"))
+        )
+        clean = ~F.coalesce(
+            (F.col("__ov") >= decontam_min_overlap)
+            & (
+                F.round(
+                    F.col("__ov")
+                    / F.nullif(F.col("__n_sh"), F.lit(0)).cast("double"),
+                    6,
+                )
+                >= decontam_min_ratio
+            ),
+            F.lit(False),
+        )
+        flagged = per_doc.withColumn("clean", clean)
+        flag_names = flag_names + ["clean"]
+    eligible = F.lit(True)
+    for name in flag_names:
+        eligible = eligible & F.col(name)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(name).cast("bigint")).alias(f"n_{name}")
+            for name in flag_names
+        ],
+        F.sum(eligible.cast("bigint")).alias("n_eligible"),
+    )

@@ -722,6 +722,64 @@ FROM documents
 """
 
 
+def x43_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row curation audit (plans/curation.py:curation_funnel): per-gate
+    independent pass counts + the all-gates conjunction over the documents
+    fixture, with the x25 benchmark convention (docs where doc_id % 97 = 0)
+    as the decontamination probe at min_overlap=3 / min_ratio=0.2.  The
+    flags are the SAME Column expressions curate_corpus's gate conjoins
+    (curation_gate_flags).  Not registered (50-entry window) —
+    oracle-checked in tests/test_deregistered_queries.py."""
+    from jurimetria_etl_spark.plans.curation import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return curation_funnel(
+        docs,
+        languages=("en",),
+        min_quality=0.3,
+        benchmark=bench,
+        decontam_ngram=5,
+        decontam_min_overlap=3,
+        decontam_min_ratio=0.2,
+    )
+
+
+# X09/X10's lang/quality fragments joined per doc, x25's shingle-overlap
+# contamination flag, aggregated to the one-row funnel.
+X43_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_transform({shingles_sql(5)}, s -> {h60("s")}) AS shs
+  FROM documents),
+bench AS (SELECT DISTINCT unnest(shs) AS bsh FROM sh WHERE doc_id % 97 = 0),
+docsh AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+ov AS (
+  SELECT doc_id, count(*) AS overlap_cnt
+  FROM docsh JOIN bench ON s = bsh
+  GROUP BY doc_id),
+flags AS (
+  SELECT s.doc_id,
+         l.lang_pred IN ('en') AS lang_pass,
+         q.quality >= 0.3 AS quality_pass,
+         NOT coalesce(coalesce(o.overlap_cnt, 0) >= 3
+                      AND round(coalesce(o.overlap_cnt, 0) * 1.0
+                                / nullif(len(s.shs), 0), 6) >= 0.2,
+                      false) AS clean
+  FROM sh s
+  JOIN ({X09_SQL}) l USING (doc_id)
+  JOIN ({X10_SQL}) q USING (doc_id)
+  LEFT JOIN ov o USING (doc_id))
+SELECT count(*) AS n_docs,
+       sum(CAST(lang_pass AS BIGINT)) AS n_lang_pass,
+       sum(CAST(quality_pass AS BIGINT)) AS n_quality_pass,
+       sum(CAST(clean AS BIGINT)) AS n_clean,
+       sum(CAST(lang_pass AND quality_pass AND clean AS BIGINT))
+         AS n_eligible
+FROM flags
+"""
+
+
 def x21_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 240-char windows advancing by 200 (40-char
     overlap) — the prep step between curation and packing.  Not registered —

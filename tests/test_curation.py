@@ -480,3 +480,62 @@ def test_prepare_training_shards_shuffle_seed(spark):
         expected[(d, i)] = total // 400
         total += n
     assert got == expected
+
+
+def test_curation_funnel_consistency_and_optional_columns(spark):
+    """curation_funnel's n_eligible equals curate_corpus's survivor count
+    on a dedup-neutral corpus (all texts distinct, no near-dups), the
+    per-gate counts bound it, and classifier/rules/benchmark each add
+    their column."""
+    from jurimetria_etl_spark.plans.curation import (
+        curate_corpus,
+        curation_funnel,
+    )
+
+    leak = "this exact sentence leaked verbatim from the held out eval set"
+    rows = [
+        (0, "a thorough essay on register allocation and live range "
+            "splitting in optimizing compilers for modern processors"),
+        (1, "quoting now: " + leak + " end of quote with more original "
+            "trailing context to stay above the length floor"),
+        (2, "short junk"),
+        (3, "uma discussão detalhada sobre o processo judicial e os "
+            "recursos que o tribunal pode julgar em cada instância para "
+            "que não haja dúvida sobre o resultado final do caso"),
+        (4, "field notes describing heron behavior along the river "
+            "shallows during early morning fog in the breeding season"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(900, "eval: " + leak)], "doc_id bigint, text string"
+    )
+    D = 16
+    weights = [((i * 29) % 11 - 5) / 5.0 for i in range(D)]
+    kw = dict(
+        languages=("en",), min_quality=0.2, benchmark=bench,
+        decontam_ngram=5, classifier=(weights, 10.0),  # passes everything
+        quality_rules={"min_words": 5},
+    )
+    funnel = curation_funnel(docs, **kw).collect()[0].asDict()
+    assert set(funnel) == {
+        "n_docs", "n_lang_pass", "n_quality_pass", "n_classifier_pass",
+        "n_rules_pass", "n_clean", "n_eligible",
+    }
+    assert funnel["n_docs"] == 5
+    assert funnel["n_lang_pass"] < 5   # the pt doc fails the lang gate
+    assert funnel["n_clean"] == 4      # the leak doc is contaminated
+    assert funnel["n_classifier_pass"] == 5  # bias +10 passes all
+    assert 0 < funnel["n_eligible"] <= min(
+        funnel["n_lang_pass"], funnel["n_quality_pass"], funnel["n_clean"]
+    )
+    survivors = curate_corpus(
+        docs, near_dup_threshold=0.99, transitive=False, **kw
+    ).count()
+    assert survivors == funnel["n_eligible"]
+    # no-benchmark shape: n_clean absent, one scan + one aggregate
+    basic = curation_funnel(
+        docs, languages=("en",), min_quality=0.2
+    ).collect()[0].asDict()
+    assert set(basic) == {
+        "n_docs", "n_lang_pass", "n_quality_pass", "n_eligible",
+    }
