@@ -75,6 +75,50 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
         raise
 
 
+_AUDIT_SCHEMA = (
+    "batch_id long, n_in long, n_gated long, n_fresh long, n_kept long"
+)
+
+
+def _append_audit(
+    spark: SparkSession,
+    audit_dir: str,
+    batch_id: int,
+    n_in: int,
+    n_gated: int,
+    n_fresh: int,
+    n_kept: int,
+) -> None:
+    """One funnel row per micro-batch, appended to the audit log
+    (manifest-resolved like every other store append)."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    spark.createDataFrame(
+        [(int(batch_id), int(n_in), int(n_gated), int(n_fresh), int(n_kept))],
+        _AUDIT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(store_data_dir(audit_dir))
+
+
+def load_curation_audit(spark: SparkSession, audit_dir: str) -> DataFrame:
+    """The per-batch curation funnel, with at-least-once replays folded:
+    one row per batch_id, each count the MAX over that batch's appended
+    rows.  The fold is exact under the writer's ordering contract
+    (``curate_document_stream(audit_dir=…)``): replays of an incomplete
+    batch recompute identical counts, and the only divergent replay —
+    re-running a batch whose fp append already landed — produces
+    strictly SMALLER counts (its documents dedup away), which max
+    discards."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    df = spark.read.schema(_AUDIT_SCHEMA).parquet(store_data_dir(audit_dir))
+    return df.groupBy("batch_id").agg(
+        *[
+            F.max(c).alias(c)
+            for c in ("n_in", "n_gated", "n_fresh", "n_kept")
+        ]
+    )
+
+
 # id field formatted per stream (name AND type from the live batch —
 # hardcoding "doc_id long" would break renamed/string-id streams)
 _SIG_SCHEMA = (
@@ -121,6 +165,7 @@ def curate_document_stream(
     decontam_min_overlap: int = 1,
     decontam_min_ratio: float = 0.0,
     decontam_spans: bool = False,
+    audit_dir: str | None = None,
 ):
     """Run the incremental curation pipeline over a document stream.
 
@@ -261,6 +306,22 @@ def curate_document_stream(
     (~8× smaller rows); the flag is part of the generation contract
     like the tokenizer settings.
 
+    ``audit_dir`` (optional) appends ONE funnel row per non-empty
+    micro-batch — (batch_id, n_in, n_gated, n_fresh, n_kept): raw rows
+    in, survivors of the gate section (strips → classifier →
+    decontamination), survivors of exact dedup, and what landed — the
+    streaming counterpart of ``plans.curation.curation_funnel``, giving
+    a long-running stream its drop-rate monitor (a batch whose n_gated
+    collapses signals upstream drift; n_fresh≈0 signals a duplicate
+    storm).  Costs up to three extra micro-batch-sized counts per batch
+    (the dedup frame is checkpointed so the count never re-executes the
+    store anti-join).  The row is appended BEFORE the corpus append, so
+    under at-least-once retries every replay of an incomplete batch
+    recomputes IDENTICAL counts (the fp store is unchanged until the
+    batch's final append), while a replay of a COMPLETED batch writes a
+    zeros-ish row — ``load_curation_audit`` folds replays with a
+    per-batch max, which is exact under exactly that asymmetry.
+
     ``available_now=True`` drains everything currently in the source then
     stops — the backfill/test mode; ``False`` runs continuously.
     """
@@ -280,6 +341,7 @@ def curate_document_stream(
         spark = batch_df.sparkSession
         if not batch_df.head(1):
             return
+        n_in = batch_df.count() if audit_dir is not None else None
         if strip_lines is not None:
             from jurimetria_etl_spark.operators.spans import (
                 strip_duplicate_lines,
@@ -317,6 +379,8 @@ def curate_document_stream(
                 >= F.lit(classifier_threshold)
             )
             if not batch_df.head(1):
+                if audit_dir is not None:
+                    _append_audit(spark, audit_dir, batch_id, n_in, 0, 0, 0)
                 return
         if benchmark is not None or benchmark_store_dir is not None:
             # Decontaminate BEFORE any fingerprinting (curate_corpus's
@@ -371,7 +435,10 @@ def curate_document_stream(
                     bench_fps=bench_fps,
                 )
             if not batch_df.head(1):
+                if audit_dir is not None:
+                    _append_audit(spark, audit_dir, batch_id, n_in, 0, 0, 0)
                 return
+        n_gated = batch_df.count() if audit_dir is not None else None
         fp_store = _read_or_empty(spark, fp_store_dir, "fp bigint")
         # Store read-back schemas derive the id column's NAME and TYPE
         # from the live batch (same rule as the semdedup store below and
@@ -430,6 +497,11 @@ def curate_document_stream(
             )
         else:
             fresh = dedup_incremental(batch_df, fp_store, text_col)
+        if audit_dir is not None:
+            # checkpoint so the audit count and the near-dup consumer
+            # share one execution of the store anti-join
+            fresh = fresh.localCheckpoint()
+            n_fresh = fresh.count()
         survivors = minhash_dedup_incremental(
             fresh, sig_store, id_col, text_col, threshold, k, bands, n
         )
@@ -471,6 +543,16 @@ def curate_document_stream(
         # pieces of `survivors`; recomputing it per sink would re-run the
         # dedup joins three times (and could diverge under source retry).
         survivors = survivors.localCheckpoint()
+        if audit_dir is not None:
+            # BEFORE the corpus append: a replay of an INCOMPLETE batch
+            # recomputes identical counts (the fp gatekeeper is unchanged
+            # until the batch's final append), so the only divergent
+            # replay row is the post-completion zeros row the loader's
+            # max-fold discards (see docstring).
+            _append_audit(
+                spark, audit_dir, batch_id,
+                n_in, n_gated, n_fresh, survivors.count(),
+            )
         # Append order matters for retry consistency: corpus first (never
         # lose documents), then the SIGNATURE store, then the fingerprint
         # store LAST.  The fp store is the exact-dedup gatekeeper — once a

@@ -251,3 +251,28 @@ def test_t14_outer_join_aggregates_fact_side_first(spark):
     assert "hashpartitioning(__ck" not in plan  # count frame broadcasts
     rows = {r.c_count: r.custdist for r in df.collect()}
     assert sum(rows.values()) == 150  # sf0.001 customer count — zeros kept
+
+
+def test_curation_funnel_is_one_corpus_scan(spark):
+    # the funnel's pitch: flags + contamination overlap + counts in ONE
+    # documents scan — the gate flags ride the shingle explode as
+    # grouping keys instead of a second profile scan joined back — with
+    # the benchmark side broadcast and zero Python
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.plans.curation import curation_funnel
+    from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+    docs = load_fixture(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    plan = _physical(
+        curation_funnel(docs, benchmark=bench, decontam_min_overlap=3)
+    )
+    # two scans total: the corpus once + the (tiny) benchmark side once
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    # without a benchmark: one scan, no join at all
+    plan2 = _physical(curation_funnel(docs))
+    assert plan2.count("Scan parquet") == 1
+    assert "Join" not in plan2 and "Python" not in plan2
