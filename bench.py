@@ -90,6 +90,7 @@ HEADLINE = [
     "x22_training_shards",
     "x27_hll_daily_uniques",
     "q32b_percentile_hist",
+    "x43_curation_funnel",
 ]
 
 

@@ -2148,6 +2148,11 @@ EXTENSIONS: dict[str, Q] = {
 # (x05/x08) stay registered, and the standalone forms keep the same DuckDB
 # comparison in tests/test_deregistered_queries.py.
 EXT_DEREGISTERED: dict[str, Q] = {
+    # Never registered (window full, r12): the seeded training-order
+    # shuffle (x20 keeps the packing prefix sum registered) and the
+    # one-row per-gate curation funnel audit.
+    "x42_shuffled_shards": Q(x42_shuffled_shards, X42_SQL),
+    "x43_curation_funnel": Q(x43_curation_funnel, X43_SQL),
     # Round-11 rotation out (to admit x41_ann_store_topk): the
     # session-built IVF full-probe row — x41 registers the identical
     # probe math over the persisted store; the standalone form keeps

@@ -183,6 +183,11 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # former 17-exchange / 2-BNLJ shape paid four corpus scans (two
     # operator calls × a totals branch re-executing lineage each).
     "q32b_percentile_hist": (1, 0, 5, 0),
+    # x43 (r12): the one-scan curation funnel — benchmark shingle-set
+    # distinct (1 exchange) + its broadcast (1) + per-doc flag/overlap
+    # groupBy (1) + the one-row global agg (1); the only join is the
+    # broadcast shingle probe, zero Python.
+    "x43_curation_funnel": (0, 0, 4, 1),
 }
 
 # Unpartitioned Window nodes (the WindowExec "No Partition Defined"

@@ -80,6 +80,12 @@ HEAVY = [
     # twin): BM25 index build linear, store probe full-probe-linear,
     # fusion match-sized.
     "x37b_hybrid_search_ann",
+    # r12: the one-scan per-gate curation funnel — flags are scan-fused,
+    # the contamination flag rides the shingle explode + broadcast join,
+    # the output is one row: expect ~linear in corpus chars with no
+    # super-linear term (the benchmark side is a fixed doc_id%97 slice,
+    # so its broadcast set grows with the corpus but stays tiny).
+    "x43_curation_funnel",
 ]
 
 
@@ -185,8 +191,24 @@ def main() -> None:
         "ann_store_scaled_cells": ann_store_scaled_cells,
     }
 
+    # Optional name filter: `python tools/scale_bench.py <name> …`
+    # measures only the named rows and MERGES them into the existing
+    # artifact — a new operator family gets its exponent row without
+    # re-timing the whole corpus (full runs still refresh everything).
+    selected = sys.argv[1:]
+    names = HEAVY + list(extra)
+    if selected:
+        unknown = [s for s in selected if s not in names]
+        if unknown:
+            raise SystemExit(f"unknown scale rows: {unknown}")
+        names = selected
+
     results: dict[str, dict[str, float]] = {}
-    for name in HEAVY + list(extra):
+    out = os.path.join(root, "_scale", "scale_results.json")
+    if selected and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    for name in names:
         fn = extra[name] if name in extra else registry[name].spark
         row: dict[str, float] = {}
         for label, d in dirs.items():
@@ -200,7 +222,6 @@ def main() -> None:
         results[name] = row
         print(f"{name}: {row}", flush=True)
 
-    out = os.path.join(root, "_scale", "scale_results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
