@@ -224,6 +224,33 @@ def _advance_warm_baseline(
     return by_sf, base_warm, base_round, base_sf, warm_delta, flagged
 
 
+def shed_to_fit(summary: dict, timings: dict, limit: int = 1900) -> str:
+    """Driver tail-capture guard (the driver records the last ~2000 chars
+    of stdout): shed the LEAST essential summary content first — per-query
+    precision (2-decimal saves ~1 char/query), then the worst-mover flag
+    detail (fully present in BENCH_DETAIL.json) — and only as a last
+    resort drop the per-query map for the detail pointer.  The map is the
+    most valuable part of the driver artifact; at 58 queries the full
+    3-decimal line no longer fits under the limit, and a noisy run's
+    flag fields used to push even the 2-decimal form over it."""
+
+    def _line() -> str:
+        return json.dumps(summary, separators=(",", ":"))
+
+    line = _line()
+    if len(line) > limit:
+        summary["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = _line()
+    if len(line) > limit and "warm_delta_worst" in summary:
+        del summary["warm_delta_worst"]
+        line = _line()
+    if len(line) > limit:
+        summary["queries"] = {}
+        summary["detail_file"] = "BENCH_DETAIL.json"
+        line = _line()
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -484,12 +511,7 @@ def main() -> None:
         summary["warm_delta_worst"] = f"{worst}:{flagged[worst]}"
     if errors:
         summary["n_errors"] = len(errors)
-    line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1900:  # driver tail-capture guard: drop per-query dict
-        summary["queries"] = {}
-        summary["detail_file"] = "BENCH_DETAIL.json"
-        line = json.dumps(summary, separators=(",", ":"))
-    print(line)
+    print(shed_to_fit(summary, timings))
 
 
 if __name__ == "__main__":

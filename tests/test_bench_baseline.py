@@ -87,3 +87,55 @@ def test_first_run_has_no_baseline():
     )
     assert base == {} and base_round is None and delta == {} and not flagged
     assert by_sf["0.1"]["warm_queries"] == W_R1
+
+
+def test_shed_to_fit_prefers_queries_over_flag_detail():
+    """The stdout guard's shedding ladder: a full-corpus summary that
+    overflows the driver tail limit keeps the per-query map (at reduced
+    precision) and sheds the worst-mover flag string first; only when
+    even that overflows does the map collapse to the detail pointer."""
+    import json
+
+    from bench import shed_to_fit
+
+    # 18-char names ≈ the real corpus's average; sized so the 3-decimal
+    # line overflows 1900, 2-decimal alone still overflows, and shedding
+    # the worst-mover string brings it under — the exact r12 ladder
+    timings = {f"x{i:02d}_query_name_abc": 1.234 for i in range(58)}
+
+    def summary():
+        return {
+            "metric": "headline_queries_wall_clock",
+            "value": 93.841,
+            "unit": "sec",
+            "queries": dict(timings),
+            "sf": 0.1,
+            "n_queries": 58,
+            "warm_total_sec": 60.638,
+            "duckdb_total_sec": 41.929,
+            "warm_vs_duckdb_ratio": 1.446,
+            "sf1_source": "artifact:BENCH_SF1.json",
+            "sf1_warm_total_sec": 114.409,
+            "sf1_duckdb_total_sec": 224.897,
+            "sf1_warm_vs_duckdb_ratio": 0.509,
+            "loadavg1m": [0.26, 9.4],
+            "warm_delta_flagged": 19,
+            "warm_delta_worst": "x08_simhash_near_dups:0.43",
+        }
+
+    # the exact r12 shape that used to lose the map: 3-decimal overflow,
+    # 2-decimal + flag-shed fits
+    out = json.loads(shed_to_fit(summary(), timings, limit=1900))
+    assert len(out["queries"]) == 58, "per-query map must survive"
+    assert out["queries"]["x00_query_name_abc"] == 1.23
+    assert "warm_delta_worst" not in out  # the flag string was shed
+    assert "warm_delta_flagged" in out  # the count stays
+    # a small line passes through untouched (full precision, flags kept)
+    small_t = {"q1": 1.234}
+    s = summary()
+    s["queries"] = dict(small_t)
+    out2 = json.loads(shed_to_fit(s, small_t, limit=1900))
+    assert out2["queries"]["q1"] == 1.234 and "warm_delta_worst" in out2
+    # an impossible limit still degrades to the detail pointer
+    out3 = json.loads(shed_to_fit(summary(), timings, limit=300))
+    assert out3["queries"] == {} and out3["detail_file"] == "BENCH_DETAIL.json"
