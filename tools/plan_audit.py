@@ -182,6 +182,14 @@ AUDITED = [
         "single scan-fused fold (transform+aggregate over tokens); zero "
         "exchanges, zero joins, zero python",
     ),
+    (
+        "x43_curation_funnel",
+        "one-scan per-gate audit (r12): lang/quality flags scan-fused "
+        "and carried through the shingle explode as grouping keys (no "
+        "second profile scan joined back); benchmark shingle set "
+        "broadcast; per-doc overlap agg + ONE-row global agg; zero "
+        "python (test_bench_plan_corpus pin: 4 exchanges / 1 BHJ)",
+    ),
 ]
 
 
