@@ -81,3 +81,34 @@ def test_audit_rows_per_batch_and_replay_fold(spark, tmp_path):
         for r in load_curation_audit(spark, audit).collect()
     }
     assert refolded[0] == (3, 2, 2, 2)
+
+
+def test_audit_log_compacts_and_folds_after_maintenance(spark, tmp_path):
+    """The audit log is an ordinary manifested store: per-batch 1-row
+    appends accumulate small files, compact_store folds them into one
+    generation, the replay max-fold still holds on the compacted data,
+    and post-compaction appends land in the new generation (the
+    store_data_dir re-resolution every other store relies on)."""
+    from jurimetria_etl_spark.sinks.maintenance import compact_store
+
+    audit = str(tmp_path / "audit")
+    for b in range(5):
+        _append_audit(spark, audit, b, 10 + b, 8 + b, 6 + b, 5 + b)
+    _append_audit(spark, audit, 2, 12, 0, 0, 0)  # completed-batch replay
+
+    before = {
+        r["batch_id"]: tuple(r)[1:]
+        for r in load_curation_audit(spark, audit).collect()
+    }
+    rep = compact_store(spark, audit)
+    assert rep["verified"] and rep["files_after"] < rep["files_before"]
+    after = {
+        r["batch_id"]: tuple(r)[1:]
+        for r in load_curation_audit(spark, audit).collect()
+    }
+    assert after == before and after[2] == (12, 10, 8, 7)
+    # a post-compaction append resolves the NEW generation and is seen
+    _append_audit(spark, audit, 9, 3, 3, 3, 3)
+    assert load_curation_audit(spark, audit).where(
+        "batch_id = 9"
+    ).count() == 1

@@ -86,6 +86,11 @@ HEAVY = [
     # super-linear term (the benchmark side is a fixed doc_id%97 slice,
     # so its broadcast set grows with the corpus but stays tiny).
     "x43_curation_funnel",
+    # r12: seeded training-order shuffle + packing — x20's two-phase
+    # prefix sum with an md5 sort key instead of the id: the range
+    # exchange and per-partition window dominate; expect x20's profile
+    # (sort on a 32-char string vs a long is the only delta).
+    "x42_shuffled_shards",
 ]
 
 
