@@ -284,6 +284,70 @@ def main() -> None:
     total = 0.0
     warm_total = 0.0
     load_start = os.getloadavg()
+
+    # DuckDB denominator: same oracle SQL, same parquet, all local cores —
+    # INTERLEAVED per query with the Spark passes (r12).  The seven-sample
+    # variance study (SCALE.md) showed host contention arriving in waves
+    # shorter than a whole bench run, so timing every Spark query and then
+    # every DuckDB query let one wave land on a single engine's block and
+    # swing the ratio 1.39 → 1.97 on identical code.  Pairing the engines
+    # per query samples both under the same instantaneous conditions; the
+    # totals, shared-ratio definition, and all error semantics are
+    # unchanged.  The connection opens up front; a setup failure nulls the
+    # denominator exactly as the old block did.
+    duck: dict[str, float] = {}
+    duck_total: float | None = 0.0
+    _duck_con = None
+    try:
+        import duckdb
+
+        _duck_con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            _duck_con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+    except Exception as e:  # bench must still emit its line without duckdb
+        duck = {"error": str(e)}  # type: ignore[dict-item]
+        duck_total = None
+        _duck_con = None
+
+    def _time_duck(name: str) -> None:
+        nonlocal duck_total
+        if _duck_con is None:
+            return
+        sql = registry[name].oracle
+        if sql is None:
+            return
+        if name == "x13b_cosine_join_scaled":
+            # The registered oracle pins plane literals for the 500-row
+            # GATE fixtures; at bench scale the Spark side auto-derives a
+            # different plane count.  Re-derive the literals here so
+            # DuckDB times the SAME plan — otherwise its denominator runs
+            # a coarser banding and the ratio flatters Spark.
+            from jurimetria_etl_spark.operators.similarity import (
+                suggest_lsh_planes,
+            )
+            from jurimetria_etl_spark.plans.extensions import _x13_join_sql
+
+            n = _duck_con.execute(
+                "SELECT count(*) FROM embeddings"
+            ).fetchone()[0]
+            sql = _x13_join_sql(n_planes=suggest_lsh_planes(n))
+        try:
+            t0 = time.time()
+            _duck_con.sql(sql).fetchall()
+            dt = time.time() - t0
+        except Exception as e:
+            errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:400]
+            return
+        duck[name] = round(dt, 3)
+        if duck_total is not None:
+            duck_total += dt
+
     for name in HEADLINE:
         fn = registry[name].spark
         # One broken query must not zero out the whole round's measurement
@@ -296,6 +360,9 @@ def main() -> None:
             dt = time.time() - t0
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:400]
+            # the denominator still times this query (old two-block
+            # behavior: a Spark-side failure never shrank duck_total)
+            _time_duck(name)
             continue
         timings[name] = round(dt, 3)
         total += dt
@@ -316,64 +383,19 @@ def main() -> None:
                 series.append(time.time() - t0)
         except Exception as e:
             errors[f"warm:{name}"] = f"{type(e).__name__}: {e}"[:400]
+            _time_duck(name)
             continue
         dt = statistics.median(series)
         warm_series[name] = [round(s, 3) for s in series]
         warm[name] = round(dt, 3)
         warm_total += dt
+        # the paired denominator sample, under the same instantaneous
+        # machine conditions as the warm series above
+        _time_duck(name)
 
-    # DuckDB denominator: same oracle SQL, same parquet, all local cores.
-    duck: dict[str, float] = {}
-    duck_total: float | None = 0.0
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders lineitem "
-            "events documents embeddings"
-        ).split():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')"
-            )
-        for name in HEADLINE:
-            sql = registry[name].oracle
-            if sql is None:
-                continue
-            if name == "x13b_cosine_join_scaled":
-                # The registered oracle pins plane literals for the
-                # 500-row GATE fixtures; at bench scale the Spark side
-                # auto-derives a different plane count.  Re-derive the
-                # literals here so DuckDB times the SAME plan — otherwise
-                # its denominator runs a coarser banding and the ratio
-                # flatters Spark.
-                from jurimetria_etl_spark.operators.similarity import (
-                    suggest_lsh_planes,
-                )
-                from jurimetria_etl_spark.plans.extensions import (
-                    _x13_join_sql,
-                )
-
-                n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
-                sql = _x13_join_sql(n_planes=suggest_lsh_planes(n))
-            try:
-                t0 = time.time()
-                con.sql(sql).fetchall()
-                dt = time.time() - t0
-            except Exception as e:
-                errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:400]
-                continue
-            duck[name] = round(dt, 3)
-            duck_total += dt
-    except Exception as e:  # bench must still emit its line without duckdb
-        # A partial loop must not report its accumulated time as a complete
-        # baseline total — null the denominator, keep the error marker.
-        duck = {"error": str(e)}  # type: ignore[dict-item]
-        duck_total = None
-    # Same policy for per-query duckdb failures: a total missing queries
-    # is not a baseline total (the shared ratio below stays valid — it
-    # only counts queries both engines completed).
+    # Same policy for per-query duckdb failures as for setup failure: a
+    # total missing queries is not a baseline total (the shared ratio
+    # below stays valid — it only counts queries both engines completed).
     if any(k.startswith("duckdb:") for k in errors):
         duck_total = None
 
