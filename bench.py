@@ -127,6 +127,18 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
     warm: dict[str, float] = {}
     duck: dict[str, float] = {}
     errors: dict[str, str] = {}
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf1_dir}/{t}.parquet')"
+        )
+    # Per-query interleave, same rationale as the main tier (r12): host
+    # contention waves shorter than the tier's ~20-min wall would land
+    # on one engine's block and swing the ratio.
     for name in HEADLINE:
         if name in sf1_skip:
             continue
@@ -138,18 +150,6 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
             warm[name] = round(time.time() - t0, 3)
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf1_dir}/{t}.parquet')"
-        )
-    for name in HEADLINE:
-        if name in sf1_skip:
-            continue
         sql = registry[name].oracle
         if sql is None:
             continue
