@@ -70,6 +70,10 @@ from jurimetria_etl_spark.operators.similarity import (
 
 _CENTROIDS_FILE = "_CENTROIDS.json"
 
+# load_ann_store schema memo: generation data_dir → StructType (see the
+# function docstring for why per-generation memoization is sound).
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 # ── centroid persistence (the generation contract, made checkable) ────────
 
@@ -99,6 +103,29 @@ def _load_centroids_file(path: str) -> list[tuple[int, list[float]]] | None:
     return [(int(cid), [float(x) for x in vec]) for cid, vec in raw]
 
 
+def _stat_sig(path: str) -> tuple[int, int] | None:
+    """(mtime_ns, size) freshness signature, None for a missing file —
+    both the manifest and the centroid sidecar are published with
+    ``os.replace`` of a freshly-written temp file, so any generation
+    change moves the signature."""
+    try:
+        st = os.stat(path)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
+# resolve memo: store_dir → (manifest sig, sidecar path, sidecar sig,
+# data_dir, centroids).  Probe paths resolve the SAME store every call
+# (a retrieval service probes one generation thousands of times between
+# recluster events); re-reading and re-parsing the centroid JSON per
+# probe is pure driver latency.  Invalidation is by file signature, not
+# TTL: a recluster/compaction swaps the manifest and a first append
+# writes the sidecar — both via atomic replace — so the stat pair
+# changes whenever the generation does (r12 verdict task 1).
+_RESOLVE_CACHE: dict[str, tuple] = {}
+
+
 def resolve_ann_store(
     store_dir: str,
 ) -> tuple[str, list[tuple[int, list[float]]]]:
@@ -114,7 +141,22 @@ def resolve_ann_store(
     recluster's swap and rank cells under one generation's geometry
     against the other's layout (the r11 race, closed structurally) —
     with the embedded sidecar, data dir and geometry come from the SAME
-    manifest read."""
+    manifest read.
+
+    Memoized per (manifest signature, sidecar signature): repeated
+    probes of an unchanged generation skip the JSON parse; any atomic
+    swap invalidates by construction (see ``_RESOLVE_CACHE``)."""
+    from jurimetria_etl_spark.sinks.maintenance import _manifest_file
+
+    mf_sig = _stat_sig(_manifest_file(store_dir))
+    hit = _RESOLVE_CACHE.get(store_dir)
+    if (
+        hit is not None
+        and hit[0] == mf_sig
+        and _stat_sig(hit[1]) == hit[2]
+    ):
+        return hit[3], hit[4]
+
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
     data_dir = store_data_dir(store_dir)
@@ -122,9 +164,12 @@ def resolve_ann_store(
         os.path.join(data_dir, _CENTROIDS_FILE),
         os.path.join(store_dir, _CENTROIDS_FILE),
     ):
+        sig = _stat_sig(path)
         cents = _load_centroids_file(path)
         if cents is not None:
+            _RESOLVE_CACHE[store_dir] = (mf_sig, path, sig, data_dir, cents)
             return data_dir, cents
+    _RESOLVE_CACHE.pop(store_dir, None)
     raise ValueError(
         f"ann store at {store_dir!r} has no {_CENTROIDS_FILE} — "
         "append_ann_store writes it on first append; pass centroids "
@@ -237,10 +282,25 @@ def load_ann_store(
 
     ``data_dir`` pins an already-resolved generation directory
     (``resolve_ann_store``) so a probe's data and geometry come from
-    ONE manifest read; default resolves the manifest here."""
+    ONE manifest read; default resolves the manifest here.
+
+    The parquet SCHEMA is memoized per generation directory: a store's
+    schema is fixed for the life of a generation (appends under the
+    centroid contract can't change it; a recluster/compaction publishes
+    a NEW directory → new cache key), so repeated probes skip the
+    footer-inference job while the file LISTING stays per-call — new
+    appended files are always visible."""
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
-    df = spark.read.parquet(data_dir or store_data_dir(store_dir))
+    target = data_dir or store_data_dir(store_dir)
+    schema = _SCHEMA_CACHE.get(target)
+    if schema is None:
+        df = spark.read.parquet(target)
+        if len(_SCHEMA_CACHE) >= 64:  # bound driver memory across tests
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+        _SCHEMA_CACHE[target] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(target)
     if "q" in df.columns and vec_col not in df.columns:
         df = dequantize_embeddings_int8(df, vec_col=vec_col).drop(
             "q", "q_scale"
@@ -307,6 +367,7 @@ def ann_ivf_topk_batch(
     probe_vec_col: str = "probe",
     round_to: int | None = 6,
     prune_cells: list[int] | None = None,
+    probe_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN top-k over any cell-indexed frame (``load_ann_store``
     output or ``ivf_index``'s): (query_id, id, cos_sim, rank), rank
@@ -331,21 +392,38 @@ def ann_ivf_topk_batch(
     ``ann_ivf_topk_store_batch`` passes it for you and the scan
     contract is pinned in tests/test_ann_store.py, not assumed.  It
     never changes the result: the join keeps a (probe, row) pair only
-    when the row's cell is in THAT probe's list ⊆ the union."""
+    when the row's cell is in THAT probe's list ⊆ the union.
+
+    ``probe_cells`` (optional): an already-exploded ``(probe_id_col,
+    probe_vec_col, cell_col)`` frame — ``ann_ivf_topk_store_batch``
+    builds it driver-side from the probe batch, replacing the in-plan
+    centroid-literal fold with literal rows (same cells by the
+    ``_nearest_cells_py`` ≡ ``_nearest_cells`` tie-rounding parity).
+    When given, ``probes`` is ignored."""
     if prune_cells is not None:
         indexed = indexed.where(F.col(cell_col).isin(prune_cells))
-    p = F.broadcast(
-        probes.select(
-            F.col(probe_id_col).alias("__qid"),
-            F.col(probe_vec_col).alias("__p"),
-            _norm(F.col(probe_vec_col)).alias("__pn"),
-            F.explode(
-                _nearest_cells(
-                    F.col(probe_vec_col), centroids, n_probe
-                ).getField("cid")
-            ).alias(cell_col),
+    if probe_cells is not None:
+        p = F.broadcast(
+            probe_cells.select(
+                F.col(probe_id_col).alias("__qid"),
+                F.col(probe_vec_col).alias("__p"),
+                _norm(F.col(probe_vec_col)).alias("__pn"),
+                F.col(cell_col),
+            )
         )
-    )
+    else:
+        p = F.broadcast(
+            probes.select(
+                F.col(probe_id_col).alias("__qid"),
+                F.col(probe_vec_col).alias("__p"),
+                _norm(F.col(probe_vec_col)).alias("__pn"),
+                F.explode(
+                    _nearest_cells(
+                        F.col(probe_vec_col), centroids, n_probe
+                    ).getField("cid")
+                ).alias(cell_col),
+            )
+        )
     sim = _dot(F.col(vec_col), F.col("__p")) / (
         _norm(F.col(vec_col)) * F.col("__pn")
     )
@@ -378,7 +456,7 @@ def ann_ivf_topk_batch(
 def ann_ivf_topk_store_batch(
     spark: SparkSession,
     store_dir: str,
-    probes: DataFrame,
+    probes,
     k: int = 5,
     n_probe: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
@@ -387,37 +465,59 @@ def ann_ivf_topk_store_batch(
     probe_id_col: str = "query_id",
     probe_vec_col: str = "probe",
     round_to: int | None = 6,
+    probe_schema: str | None = None,
 ) -> DataFrame:
     """Batch top-k over the PERSISTED index with contractual partition
-    pruning: collect the (tiny — it is broadcast anyway) probe batch,
-    rank each probe's cells driver-side (|probes| × n_cells × dim flops,
-    the same bounded driver work as the single-probe path), and hand
-    ``ann_ivf_topk_batch`` the union as a static ``isin`` — the scan
-    reads exactly the probed cells' partitions regardless of whether
-    dynamic partition pruning fires.  ``centroids=None`` reads the
-    store's own ``_CENTROIDS.json`` atomically with the data dir
-    (``resolve_ann_store`` — one manifest read covers both)."""
+    pruning: rank each probe's cells driver-side (|probes| × n_cells ×
+    dim flops, the same bounded driver work as the single-probe path)
+    and hand ``ann_ivf_topk_batch`` the union as a static ``isin`` — the
+    scan reads exactly the probed cells' partitions regardless of
+    whether dynamic partition pruning fires.  ``centroids=None`` reads
+    the store's own ``_CENTROIDS.json`` atomically with the data dir
+    (``resolve_ann_store`` — one manifest read covers both).
+
+    ``probes`` is either a 2-column DataFrame or a plain list of
+    ``(probe_id, vector)`` pairs — the native shape of a retrieval
+    service's request batch, which skips the collect round-trip a
+    DataFrame probe costs per call (r12 verdict task 1).  Either way
+    the join side is BUILT FROM the driver-held rows (one evaluation —
+    a non-deterministic probe frame can't produce join-side cells
+    outside the prune union, the r11 ADVICE invariant, now held by
+    construction): cells rank via ``_nearest_cells_py`` (tie-parity
+    with the in-plan fold pinned in tests) and ship as literal
+    ``(id, vector, cell)`` rows.  ``probe_schema`` (DDL, list input
+    only) pins the id/vector types — match the store's vector element
+    type (e.g. ``array<float>``) so scoring arithmetic is unchanged;
+    default ``<probe_id_col> bigint, <probe_vec_col> array<double>``."""
     data_dir = None
     if centroids is None:
         data_dir, centroids = resolve_ann_store(store_dir)
-    # Collect ONCE and rebuild the probe frame from the collected rows
-    # (r11 ADVICE): evaluating ``probes`` twice — once here for the
-    # prune union, once inside the broadcast join — would let a
-    # non-deterministic probe frame (sample, unordered limit,
-    # rand-derived) produce join-side cells outside the union and
-    # silently drop results.  The batch is tiny (it is broadcast
-    # anyway), so materializing it driver-side is free.
-    probe_sel = probes.select(probe_id_col, probe_vec_col)
-    probe_rows = probe_sel.collect()
-    probes = spark.createDataFrame(probe_rows, probe_sel.schema)
-    cells = sorted(
-        {
-            c
-            for r in probe_rows
-            for c in _nearest_cells_py(
-                [float(x) for x in r[probe_vec_col]], centroids, n_probe
-            )
-        }
+    from pyspark.sql.types import StructType
+
+    if isinstance(probes, DataFrame):
+        probe_sel = probes.select(probe_id_col, probe_vec_col)
+        pairs = [(r[0], r[1]) for r in probe_sel.collect()]
+        base_schema = probe_sel.schema
+    else:
+        pairs = list(probes)
+        base_schema = StructType.fromDDL(
+            probe_schema
+            or f"{probe_id_col} bigint, {probe_vec_col} array<double>"
+        )
+    exploded: list[tuple] = []
+    union: set[int] = set()
+    for qid, vec in pairs:
+        cs = _nearest_cells_py([float(x) for x in vec], centroids, n_probe)
+        union.update(cs)
+        exploded.extend((qid, vec, c) for c in cs)
+    from pyspark.sql.types import IntegerType, StructField
+
+    probe_cells = spark.createDataFrame(
+        exploded,
+        StructType(
+            list(base_schema.fields)
+            + [StructField("ivf_cell", IntegerType(), False)]
+        ),
     )
     indexed = load_ann_store(
         spark, store_dir, id_col, vec_col, data_dir=data_dir
@@ -425,7 +525,7 @@ def ann_ivf_topk_store_batch(
     return ann_ivf_topk_batch(
         indexed,
         centroids,
-        probes,
+        None,
         k=k,
         n_probe=n_probe,
         id_col=id_col,
@@ -433,5 +533,6 @@ def ann_ivf_topk_store_batch(
         probe_id_col=probe_id_col,
         probe_vec_col=probe_vec_col,
         round_to=round_to,
-        prune_cells=cells,
+        prune_cells=sorted(union),
+        probe_cells=probe_cells,
     )

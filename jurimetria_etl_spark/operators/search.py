@@ -510,6 +510,7 @@ def hybrid_search(
     ann_centroids: list[tuple[int, list[float]]] | None = None,
     ann_n_probe: int = 4,
     ann_store_dir: str | None = None,
+    probe_schema: str | None = None,
 ) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 top-``k_each`` (terms)
     and cosine top-``k_each`` (vectors) per query, fused with RRF.
@@ -535,7 +536,11 @@ def hybrid_search(
     and prunes the scan with the probes' static cell union — partition
     pruning by construction, not DPP luck.  Takes precedence over
     ``ann_index``; ``ann_centroids=None`` then reads the store's own
-    generation sidecar."""
+    generation sidecar.  In this mode ``probe_queries`` may also be a
+    plain list of ``(query_id, vector)`` pairs — the native shape of a
+    request batch, skipping the per-call collect a DataFrame costs —
+    with ``probe_schema`` (DDL) pinning the id/vector types (see
+    ``ann_ivf_topk_store_batch``)."""
     from jurimetria_etl_spark.operators.similarity import cosine_topk_batch
 
     lex = bm25_search_docs(
@@ -547,7 +552,11 @@ def hybrid_search(
         )
 
         dense = ann_ivf_topk_store_batch(
-            probe_queries.sparkSession,
+            (
+                probe_queries.sparkSession
+                if isinstance(probe_queries, DataFrame)
+                else docs.sparkSession
+            ),
             ann_store_dir,
             probe_queries,
             k=k_each,
@@ -555,6 +564,7 @@ def hybrid_search(
             centroids=ann_centroids,
             id_col=vec_id_col,
             vec_col=vec_col,
+            probe_schema=probe_schema,
         )
     elif ann_index is not None:
         if ann_centroids is None:
