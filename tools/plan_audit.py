@@ -198,6 +198,11 @@ def summarize(plan: str) -> list[str]:
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     nonempty = [p for p in pushed if p.strip()]
     out.append(f"pushed-filter scans: {len(nonempty)}")
+    out.append(f"FileScan: {plan.count('FileScan')}")
+    part = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    out.append(
+        f"partition-filtered scans: {len([p for p in part if p.strip()])}"
+    )
     out.append(f"BroadcastHashJoin: {plan.count('BroadcastHashJoin')}")
     out.append(f"SortMergeJoin: {plan.count('SortMergeJoin')}")
     out.append(f"ShuffledHashJoin: {plan.count('ShuffledHashJoin')}")
@@ -241,7 +246,20 @@ def main(sf_dir: str) -> None:
         print(f"## {name}\n")
         print(f"*Intent:* {intent}\n")
         print("Summary: " + " · ".join(summarize(plan)) + "\n")
-        trimmed = "\n".join(plan.splitlines()[:40])
+        # Head-trim for readability, but NEVER trim away a scan: every
+        # FileScan line beyond the head is appended verbatim, so a
+        # section whose intent claims a scan property (PartitionFilters
+        # INSET, PushedFilters) always carries the evidencing line —
+        # the r12 x37b audit cut off before the ANN-store scan and the
+        # artifact could no longer support its own intent line.
+        lines = plan.splitlines()
+        trimmed = "\n".join(lines[:40])
+        tail_scans = [ln for ln in lines[40:] if "FileScan" in ln]
+        if tail_scans:
+            trimmed += (
+                "\n... [head-trimmed; every remaining FileScan line "
+                "follows] ...\n" + "\n".join(tail_scans)
+            )
         print("```\n" + trimmed + "\n```\n")
 
 
