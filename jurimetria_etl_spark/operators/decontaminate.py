@@ -42,6 +42,49 @@ def benchmark_shingle_set(
     )
 
 
+def overlap_ratio_col(overlap_cnt, n_shingles):
+    """``overlap_cnt / n_shingles`` rounded to 6 (NULL when the document
+    has no shingles) — shared by ``flag_contamination`` and the curation
+    funnel so the two can never round differently."""
+    return F.round(
+        overlap_cnt / F.nullif(n_shingles, F.lit(0)).cast("double"), 6
+    )
+
+
+def contaminated_predicate(
+    overlap_cnt, overlap_ratio, min_overlap: int, min_overlap_ratio: float
+):
+    """THE contamination predicate — ``overlap ≥ min_overlap`` AND
+    ``ratio ≥ min_overlap_ratio``, with shingle-less documents clean.
+    Single source of truth for ``flag_contamination`` and
+    ``plans.curation.curation_funnel``: a threshold or rounding change
+    lands in both the gate and the audit that mirrors it (r12 ADVICE —
+    previously held together only by tests)."""
+    return F.coalesce(
+        (overlap_cnt >= min_overlap) & (overlap_ratio >= min_overlap_ratio),
+        F.lit(False),
+    )
+
+
+def maybe_broadcast_probe(
+    bench_set: DataFrame, broadcast_max_rows: int | None
+):
+    """The benchmark-probe broadcast posture, shared by every consumer:
+    ``None`` broadcasts unconditionally (external eval suites — MBs by
+    construction); a row threshold persists + counts the set, hints the
+    broadcast only at-or-under it, and above it leaves the join to AQE's
+    runtime stats instead of forcing an executor-OOM broadcast (the
+    ``spans._survivor_semi_filter`` posture)."""
+    if broadcast_max_rows is None:
+        return F.broadcast(bench_set)
+    from pyspark import StorageLevel
+
+    bench_set = bench_set.persist(StorageLevel.MEMORY_AND_DISK)
+    if bench_set.count() <= broadcast_max_rows:
+        return F.broadcast(bench_set)
+    return bench_set
+
+
 def flag_contamination(
     docs: DataFrame,
     bench: DataFrame | None,
@@ -92,14 +135,7 @@ def flag_contamination(
                 "the same n (build_benchmark_store)"
             )
         bench_set = benchmark_shingle_set(bench, text_col, n)
-    if broadcast_max_rows is None:
-        bench_set = F.broadcast(bench_set)
-    else:
-        from pyspark import StorageLevel
-
-        bench_set = bench_set.persist(StorageLevel.MEMORY_AND_DISK)
-        if bench_set.count() <= broadcast_max_rows:
-            bench_set = F.broadcast(bench_set)
+    bench_set = maybe_broadcast_probe(bench_set, broadcast_max_rows)
     # ONE pass over docs: shingle once, carry the per-doc shingle count
     # through an explode_outer (zero-shingle and NULL-text docs keep one
     # NULL row, so every document still gets an output row), LEFT join
@@ -125,19 +161,16 @@ def flag_contamination(
         .agg(F.count("__bench_sh").alias("overlap_cnt"))
         .withColumn(
             "overlap_ratio",
-            F.round(
-                F.col("overlap_cnt")
-                / F.nullif(F.col("n_shingles"), F.lit(0)).cast("double"),
-                6,
-            ),
+            overlap_ratio_col(F.col("overlap_cnt"), F.col("n_shingles")),
         )
     )
     return out.withColumn(
         "contaminated",
-        F.coalesce(
-            (F.col("overlap_cnt") >= min_overlap)
-            & (F.col("overlap_ratio") >= min_overlap_ratio),
-            F.lit(False),
+        contaminated_predicate(
+            F.col("overlap_cnt"),
+            F.col("overlap_ratio"),
+            min_overlap,
+            min_overlap_ratio,
         ),
     )
 

@@ -465,6 +465,10 @@ def curation_funnel(
     decontam_ngram: int = 5,
     decontam_min_overlap: int = 1,
     decontam_min_ratio: float = 0.0,
+    decontam_spans: bool = False,
+    span_len: int = 40,
+    span_k: int = 8,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """ONE-ROW curation audit: how many documents pass each gate
     ``curate_corpus`` would apply, counted INDEPENDENTLY per gate (which
@@ -475,18 +479,40 @@ def curation_funnel(
 
     Columns: ``n_docs``, ``n_lang_pass``, ``n_quality_pass``
     [, ``n_classifier_pass``][, ``n_rules_pass``][, ``n_clean`` with a
-    benchmark], ``n_eligible``.
+    benchmark][, ``n_span_clean`` with ``decontam_spans``],
+    ``n_eligible``.
 
     The flags come from ``curation_gate_flags`` — the SAME Column
-    expressions ``curate_corpus``'s gate conjoins, so the audit cannot
-    drift from the pipeline.  Scale: gates are scan-fused flag
-    expressions; with a ``benchmark`` the contamination flag carries the
-    flags through the shingle explode→broadcast-join→per-doc aggregate
-    (``flag_contamination``'s one-pass shape, operators/decontaminate.py)
-    so the WHOLE audit — flags, overlap, and the final counts — is ONE
-    corpus scan feeding two map-side-combinable aggregates; without one
-    it is one scan and one global aggregate.  No per-document output
-    ever leaves the executors."""
+    expressions ``curate_corpus``'s gate conjoins — and the
+    contamination flag evaluates ``contaminated_predicate`` /
+    ``overlap_ratio_col`` (operators/decontaminate.py), the SAME
+    predicate ``flag_contamination`` applies, so the audit cannot drift
+    from the pipeline.  ``decontam_spans=True`` (requires ``benchmark``,
+    exactly as in ``curate_corpus``) adds the exact-span gate's flag via
+    ``flag_span_contamination`` — with it the audit covers every
+    pre-dedup gate the pipeline applies; without it the span gate is
+    outside the audit and ``n_eligible`` counts only the shingle-side
+    conjunction.
+
+    Scale: gates are scan-fused flag expressions; with a ``benchmark``
+    the contamination flag carries the flags through the shingle
+    explode→broadcast-join→per-doc aggregate
+    (``flag_contamination``'s one-pass shape) so the WHOLE audit —
+    flags, overlap, and the final counts — is ONE corpus scan feeding
+    two map-side-combinable aggregates; without one it is one scan and
+    one global aggregate.  The span axis, when enabled, adds the same
+    second fingerprint scan the pipeline's span gate costs.  The
+    benchmark probe set broadcasts under ``maybe_broadcast_probe``'s
+    shared posture — ``broadcast_max_rows`` gates the hint exactly as
+    in ``flag_contamination`` (a store-backed "benchmark" can grow; an
+    ungated hint there is an executor-OOM at scale).  No per-document
+    output ever leaves the executors."""
+    if decontam_spans and benchmark is None:
+        raise ValueError(
+            "decontam_spans requires the benchmark frame — span "
+            "verification resolves benchmark text (same contract as "
+            "curate_corpus)"
+        )
     flags = curation_gate_flags(
         text_col, languages, min_quality,
         classifier, classifier_threshold, quality_rules,
@@ -502,21 +528,32 @@ def curation_funnel(
         *[flag.alias(name) for name, flag in flags.items()],
     )
     flag_names = list(flags)
+    bench_span_fps = None
     if benchmark is not None or benchmark_store_dir is not None:
         from jurimetria_etl_spark.operators.decontaminate import (
             _shingle_hashes,
             benchmark_shingle_set,
+            contaminated_predicate,
             load_benchmark_store,
+            maybe_broadcast_probe,
+            overlap_ratio_col,
         )
 
         if benchmark_store_dir is not None:
-            bench_set = load_benchmark_store(
-                docs.sparkSession, benchmark_store_dir, n=decontam_ngram
-            ).shingles
+            bs = load_benchmark_store(
+                docs.sparkSession,
+                benchmark_store_dir,
+                n=decontam_ngram,
+                span_len=span_len if decontam_spans else None,
+                span_k=span_k if decontam_spans else None,
+            )
+            bench_set = bs.shingles
+            bench_span_fps = bs.span_fps
         else:
             bench_set = benchmark_shingle_set(
                 benchmark, text_col, decontam_ngram
             )
+        bench_set = maybe_broadcast_probe(bench_set, broadcast_max_rows)
         # flag_contamination's one-pass shape with the gate flags carried
         # through the explode as grouping keys (per-doc constants): one
         # corpus scan computes flags AND overlap together.
@@ -532,27 +569,39 @@ def curation_funnel(
         )
         per_doc = (
             doc_sh.join(
-                F.broadcast(bench_set),
+                bench_set,
                 doc_sh["__sh"] == bench_set["__bench_sh"],
                 "left",
             )
             .groupBy(id_col, *flag_names, "__n_sh")
             .agg(F.count("__bench_sh").alias("__ov"))
         )
-        clean = ~F.coalesce(
-            (F.col("__ov") >= decontam_min_overlap)
-            & (
-                F.round(
-                    F.col("__ov")
-                    / F.nullif(F.col("__n_sh"), F.lit(0)).cast("double"),
-                    6,
-                )
-                >= decontam_min_ratio
-            ),
-            F.lit(False),
+        clean = ~contaminated_predicate(
+            F.col("__ov"),
+            overlap_ratio_col(F.col("__ov"), F.col("__n_sh")),
+            decontam_min_overlap,
+            decontam_min_ratio,
         )
         flagged = per_doc.withColumn("clean", clean)
         flag_names = flag_names + ["clean"]
+    if decontam_spans:
+        from jurimetria_etl_spark.operators.decontaminate import (
+            flag_span_contamination,
+        )
+
+        span_flags = flag_span_contamination(
+            docs,
+            benchmark,
+            span_len=span_len,
+            k=span_k,
+            id_col=id_col,
+            text_col=text_col,
+            bench_fps=bench_span_fps,
+        ).select(
+            id_col, (~F.col("contaminated")).alias("span_clean")
+        )
+        flagged = flagged.join(span_flags, id_col, "left")
+        flag_names = flag_names + ["span_clean"]
     eligible = F.lit(True)
     for name in flag_names:
         eligible = eligible & F.col(name)

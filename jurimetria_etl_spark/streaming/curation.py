@@ -107,7 +107,18 @@ def load_curation_audit(spark: SparkSession, audit_dir: str) -> DataFrame:
     batch recompute identical counts, and the only divergent replay —
     re-running a batch whose fp append already landed — produces
     strictly SMALLER counts (its documents dedup away), which max
-    discards."""
+    discards.
+
+    Generation dependency (r12 ADVICE): the exactness argument also
+    assumes the gate's FIXED inputs — benchmark store, strip lists,
+    classifier weights — are unchanged between a batch's first run and
+    any replay of it.  Rebuilding one of those mid-stream is a
+    generation change (the span stores' fixed-strip-list rule): a
+    replay under the new generation can legitimately gate differently,
+    and max would silently keep whichever generation counted higher.
+    Operational contract: swap gate assets only between streams (stop,
+    rebuild, restart with a fresh checkpoint), exactly as the store
+    maintenance contracts require."""
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
     df = spark.read.schema(_AUDIT_SCHEMA).parquet(store_data_dir(audit_dir))

@@ -4,6 +4,7 @@ near-dups remain, and the funnel report accounts for every document."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from jurimetria_etl_spark.operators import dedup as D
@@ -539,3 +540,80 @@ def test_curation_funnel_consistency_and_optional_columns(spark):
     assert set(basic) == {
         "n_docs", "n_lang_pass", "n_quality_pass", "n_eligible",
     }
+
+
+def test_curation_funnel_span_axis_and_broadcast_gate(spark):
+    """The two r12 funnel refinements: (1) ``decontam_spans=True`` adds
+    an ``n_span_clean`` axis mirroring the pipeline's exact-span gate,
+    so ``n_eligible`` matches ``curate_corpus(decontam_spans=True)``'s
+    pre-dedup survivors instead of over-counting; (2) the benchmark
+    probe broadcast honors ``broadcast_max_rows`` with the same
+    AQE-fallback posture as ``flag_contamination`` (shared
+    ``maybe_broadcast_probe``), with identical counts either way."""
+    from jurimetria_etl_spark.plans.curation import (
+        curate_corpus,
+        curation_funnel,
+    )
+
+    leak = "The answer to the ultimate question is forty-two, obviously."
+    p0 = (
+        "the appellate court reviewed the evidence carefully and found "
+        "that the lower ruling should stand without any modification."
+    )
+    p1 = (
+        "several engineers spent the afternoon debugging the pipeline "
+        "and discovered that the scheduler had silently dropped work."
+    )
+    p2 = (
+        "a long walk along the river revealed three herons standing in "
+        "the shallows while the morning fog lifted over the water."
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, p0),
+            (1, p1),
+            (2, p2 + " quoting now: " + leak + " end quote."),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "eval: " + leak)], "doc_id bigint, text string"
+    )
+    kw = dict(
+        languages=("en",), min_quality=0.1, benchmark=bench,
+        decontam_spans=True, span_len=40,
+    )
+    funnel = curation_funnel(docs, **kw).collect()[0].asDict()
+    assert "n_span_clean" in funnel
+    assert funnel["n_span_clean"] == 2  # doc 2 shares an exact span
+    survivors = curate_corpus(
+        docs, near_dup_threshold=0.99, transitive=False, **kw
+    ).count()
+    assert survivors == funnel["n_eligible"]
+    # span gate without its benchmark text is a contract error, not a
+    # silent over-count (same message class as curate_corpus)
+    with pytest.raises(ValueError, match="decontam_spans"):
+        curation_funnel(docs, decontam_spans=True)
+    # broadcast gate: above the threshold the explicit hint must drop so
+    # AQE decides; the one-row audit is identical either way
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        hinted = curation_funnel(docs, benchmark=bench)
+        gated = curation_funnel(docs, benchmark=bench, broadcast_max_rows=0)
+        hp = hinted._jdf.queryExecution().executedPlan().toString()
+        gp = gated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in hp
+        assert "BroadcastExchange" not in gp
+        assert hinted.collect() == gated.collect()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -213,6 +213,14 @@ def main() -> None:
     if selected and os.path.exists(out):
         with open(out) as f:
             results = json.load(f)
+        # A single-row merge must not carry forward rows for queries that
+        # were renamed or removed since the artifact was written — stale
+        # exponents would read as live coverage (r12 ADVICE).
+        stale = sorted(set(results) - set(HEAVY) - set(extra))
+        for s in stale:
+            del results[s]
+        if stale:
+            print(f"dropped stale rows: {stale}", flush=True)
     for name in names:
         fn = extra[name] if name in extra else registry[name].spark
         row: dict[str, float] = {}
