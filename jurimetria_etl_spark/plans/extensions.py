@@ -2156,7 +2156,15 @@ EXTENSIONS: dict[str, Q] = {
     # Round-8: line-level dedup gets its engine-vs-engine oracle (the r7
     # verdict's top missing check); admitted by rotating q15/q24 out.
     "x32_duplicate_lines": Q(x32_duplicate_lines, X32_SQL),
-    "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
+    # Round-13 rotation (x15 → pytest-oracle): the one-row per-gate
+    # curation funnel audit — the composite the whole curation stack
+    # funnels through (recomposes the x09/x10 profile fragments and
+    # x25's overlap shape) and the pre-commit drop-rate check a 100-TB
+    # run fires before every full pass — gets the driver-gate row (r12
+    # verdict task 4).  x15's single-op Arrow boundary stays exercised
+    # by x18's pipeline and the x16/x17 pytest-oracles, and keeps the
+    # identical DuckDB comparison in tests/test_deregistered_queries.py.
+    "x43_curation_funnel": Q(x43_curation_funnel, X43_SQL),
     "x18_near_dup_clusters": Q(x18_near_dup_clusters, X18_SQL),
     "x20_pack_shards": Q(x20_pack_shards, X20_SQL),
     # Round-4 rotation: driver-grade rows for the curation-stage operators
@@ -2183,10 +2191,13 @@ EXTENSIONS: dict[str, Q] = {
 # comparison in tests/test_deregistered_queries.py.
 EXT_DEREGISTERED: dict[str, Q] = {
     # Never registered (window full, r12): the seeded training-order
-    # shuffle (x20 keeps the packing prefix sum registered) and the
-    # one-row per-gate curation funnel audit.
+    # shuffle (x20 keeps the packing prefix sum registered).
     "x42_shuffled_shards": Q(x42_shuffled_shards, X42_SQL),
-    "x43_curation_funnel": Q(x43_curation_funnel, X43_SQL),
+    # Round-13 rotation out (to admit x43_curation_funnel): the media-
+    # metadata single-op Arrow boundary — x18's registered pipeline
+    # exercises the same mapInPandas plumbing; identical DuckDB
+    # comparison continues in tests/test_deregistered_queries.py.
+    "x15_media_metadata": Q(x15_media_metadata, X15_SQL),
     # Round-11 rotation out (to admit x41_ann_store_topk): the
     # session-built IVF full-probe row — x41 registers the identical
     # probe math over the persisted store; the standalone form keeps

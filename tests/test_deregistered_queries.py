@@ -62,6 +62,9 @@ PAIRS = [
     (E.x19_stratified_sample, E.X19_SQL),
     (E.x21_chunk_documents, E.X21_SQL),
     (E.x42_shuffled_shards, E.X42_SQL),
+    # rotated OUT in round 13 (to admit x43_curation_funnel): the
+    # media-metadata Arrow boundary rides x18's registered pipeline
+    (E.x15_media_metadata, E.X15_SQL),
     (E.x43_curation_funnel, E.X43_SQL),
     (E.x22_training_shards, E.X22_SQL),
     (E.x23_pii_scrub, E.X23_SQL),
