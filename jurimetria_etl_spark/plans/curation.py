@@ -391,6 +391,7 @@ def prepare_training_shards(
     max_chars_per_shard: int = 100_000,
     intermediate_dir: str | None = None,
     shuffle_seed: str | None = None,
+    token_count_fn=None,
 ) -> DataFrame:
     """The full corpus→training-shards pipeline: curation gates + dedup
     (``curate_corpus``), overlapping context-window chunking
@@ -407,6 +408,17 @@ def prepare_training_shards(
     without tearing long documents apart — and the whole assignment
     stays bit-reproducible from the seed alone (a new epoch is a new
     seed, not a stored order).
+
+    ``token_count_fn`` (optional, Column → Column): the packing budget's
+    counting function.  Default ``None`` packs on ``length(chunk)`` —
+    the char proxy, fully JVM-native (zero Python in the plan).  A real
+    pretraining run packs on TOKENIZER counts: pass an Arrow
+    ``pandas_udf("long")`` wrapping the actual tokenizer (batched,
+    executor-side — never a row-at-a-time UDF) and
+    ``max_chars_per_shard`` becomes a max-TOKENS budget.  The hook
+    touches only the packing-weight column; gates, chunking, ordering,
+    and the two-phase prefix sum are unchanged either way, so the
+    default plan stays byte-identical (pinned in tests).
 
     Output: one row per chunk with ``shard_id`` — ready to
     ``write.partitionBy("shard_id")``.  Everything upstream of the packing
@@ -440,13 +452,18 @@ def prepare_training_shards(
     chunks = chunk_documents(
         curated, text_col, chunk_chars=chunk_chars, overlap_chars=overlap_chars
     ).withColumn("__order", order_key)
+    weight = (
+        token_count_fn(F.col("chunk"))
+        if token_count_fn is not None
+        else F.length("chunk")
+    )
     packed = pack_into_shards(
-        chunks.withColumn("__chunk_chars", F.length("chunk").cast("bigint")),
-        tokens_col="__chunk_chars",
+        chunks.withColumn("__chunk_wt", weight.cast("bigint")),
+        tokens_col="__chunk_wt",
         order_col="__order",
         max_tokens_per_shard=max_chars_per_shard,
     )
-    return packed.drop("__order", "__chunk_chars")
+    return packed.drop("__order", "__chunk_wt")
 
 
 def curation_funnel(
