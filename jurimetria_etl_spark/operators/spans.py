@@ -699,15 +699,24 @@ def strip_boilerplate_bulk(
     # policy as every other span entry point).
     docs = widen_partitions(docs)
     spark = docs.sparkSession
-    n_spans = spans.select(span_col).distinct().count()
-    if n_spans > max_spans:
+    # ONE action guards AND collects: limit(max+1) bounds what can ever
+    # reach the driver (the guard holds even in the failure case), and
+    # the dedicated count job the r9 gate charged per strip call is gone
+    # (r12 verdict task 7).
+    span_rows = [
+        r[0]
+        for r in spans.select(span_col)
+        .distinct()
+        .limit(max_spans + 1)
+        .collect()
+    ]
+    if len(span_rows) > max_spans:
         raise ValueError(
-            f"strip_boilerplate_bulk: strip-list has {n_spans} distinct "
-            f"spans (> max_spans={max_spans}); the broadcast set must fit "
-            "in driver and executor memory — filter the list (min_df / "
-            "top-N) or raise max_spans deliberately"
+            f"strip_boilerplate_bulk: strip-list exceeds "
+            f"max_spans={max_spans} distinct spans; the broadcast set "
+            "must fit in driver and executor memory — filter the list "
+            "(min_df / top-N) or raise max_spans deliberately"
         )
-    span_rows = [r[0] for r in spans.select(span_col).distinct().collect()]
     if any(s is None for s in span_rows):
         raise ValueError(
             "strip_boilerplate_bulk: strip-list contains NULL spans — "
@@ -900,14 +909,20 @@ def strip_duplicate_lines(
 
     docs = widen_partitions(docs)
     spark = docs.sparkSession
-    n_lines = lines.select(line_col).distinct().count()
-    if n_lines > max_lines:
+    # one action guards AND collects (strip_boilerplate_bulk's posture)
+    line_rows = [
+        r[0]
+        for r in lines.select(line_col)
+        .distinct()
+        .limit(max_lines + 1)
+        .collect()
+    ]
+    if len(line_rows) > max_lines:
         raise ValueError(
-            f"strip_duplicate_lines: strip-list has {n_lines} distinct "
-            f"lines (> max_lines={max_lines}); filter it (min_df / top-N) "
-            "or raise max_lines deliberately"
+            f"strip_duplicate_lines: strip-list exceeds "
+            f"max_lines={max_lines} distinct lines; filter it (min_df / "
+            "top-N) or raise max_lines deliberately"
         )
-    line_rows = [r[0] for r in lines.select(line_col).distinct().collect()]
     if any(l is None for l in line_rows):
         raise ValueError(
             "strip_duplicate_lines: strip-list contains NULL lines — "

@@ -413,6 +413,62 @@ def test_strip_bulk_removes_whole_region_via_run_extension(spark, planted):
         assert got[2] == orig[2] and got[3] == orig[3]
 
 
+def test_strip_calls_charge_one_driver_action(spark, planted):
+    """Building a strip plan collects the strip-list in ONE Spark action
+    (limit-bounded collect doubling as the size guard) — the r9 gate's
+    separate count job is gone (r12 verdict task 7).  Pinned by job
+    count per call for both strip entry points."""
+    from jurimetria_etl_spark.operators.spans import (
+        duplicate_lines,
+        strip_boilerplate_bulk,
+        strip_duplicate_lines,
+    )
+
+    bp = boilerplate_spans(planted, span_len=40, min_df=2)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during(label, fn):
+        sc.setJobGroup(label, label)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(tracker.getJobIdsForGroup(label))
+
+    # AQE splits even one collect into several stage-jobs, so the pin is
+    # RELATIVE: plan construction (the mapInPandas scan itself runs
+    # later) must charge exactly what ONE bare limit-collect of the
+    # strip-list charges — zero extra actions for the size guard.
+    baseline = jobs_during(
+        "strip_bulk_baseline",
+        lambda: bp.select("span").distinct().limit(10_001).collect(),
+    )
+    assert jobs_during(
+        "strip_bulk_probe",
+        lambda: strip_boilerplate_bulk(
+            planted, bp, span_len=40, max_spans=10_000
+        ),
+    ) == baseline
+
+    docs = _docs(
+        spark,
+        [
+            (0, "nav menu\nreal content zero\nfooter"),
+            (1, "nav menu\nreal content one\nfooter"),
+        ],
+    )
+    gl = duplicate_lines(docs, min_df=2)
+    baseline_l = jobs_during(
+        "strip_lines_baseline",
+        lambda: gl.select("line").distinct().limit(10_001).collect(),
+    )
+    assert jobs_during(
+        "strip_lines_probe",
+        lambda: strip_duplicate_lines(docs, gl, max_lines=10_000),
+    ) == baseline_l
+
+
 def test_strip_bulk_is_single_python_map_no_shuffle(spark, planted):
     from jurimetria_etl_spark.operators.spans import strip_boilerplate_bulk
 
