@@ -115,14 +115,17 @@ def _stat_sig(path: str) -> tuple[int, int] | None:
     return (st.st_mtime_ns, st.st_size)
 
 
-# resolve memo: store_dir → (manifest sig, sidecar path, sidecar sig,
-# data_dir, centroids).  Probe paths resolve the SAME store every call
-# (a retrieval service probes one generation thousands of times between
-# recluster events); re-reading and re-parsing the centroid JSON per
-# probe is pure driver latency.  Invalidation is by file signature, not
-# TTL: a recluster/compaction swaps the manifest and a first append
-# writes the sidecar — both via atomic replace — so the stat pair
-# changes whenever the generation does (r12 verdict task 1).
+# resolve memo: store_dir → (data_dir, sidecar path, sidecar sig,
+# centroids).  Probe paths resolve the SAME store every call (a
+# retrieval service probes one generation thousands of times between
+# recluster events); re-parsing the centroid JSON per probe is pure
+# driver latency.  The manifest is still READ every call (it is a
+# ~16-byte file — reading it is the unambiguous generation identity,
+# where an mtime signature could collide across two rapid swaps on a
+# coarse-timestamp filesystem); the memo skips only the sidecar parse,
+# invalidated by the resolved directory changing (recluster/compaction
+# publish NEW version dirs) or the sidecar file's stat changing (first
+# append creates it via atomic replace).  (r12 verdict task 1.)
 _RESOLVE_CACHE: dict[str, tuple] = {}
 
 
@@ -143,23 +146,19 @@ def resolve_ann_store(
     with the embedded sidecar, data dir and geometry come from the SAME
     manifest read.
 
-    Memoized per (manifest signature, sidecar signature): repeated
-    probes of an unchanged generation skip the JSON parse; any atomic
-    swap invalidates by construction (see ``_RESOLVE_CACHE``)."""
-    from jurimetria_etl_spark.sinks.maintenance import _manifest_file
-
-    mf_sig = _stat_sig(_manifest_file(store_dir))
-    hit = _RESOLVE_CACHE.get(store_dir)
-    if (
-        hit is not None
-        and hit[0] == mf_sig
-        and _stat_sig(hit[1]) == hit[2]
-    ):
-        return hit[3], hit[4]
-
+    The centroid-JSON parse is memoized per resolved generation (see
+    ``_RESOLVE_CACHE``); the manifest itself is read every call, so a
+    generation swap can never serve stale geometry."""
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
     data_dir = store_data_dir(store_dir)
+    hit = _RESOLVE_CACHE.get(store_dir)
+    if (
+        hit is not None
+        and hit[0] == data_dir
+        and _stat_sig(hit[1]) == hit[2]
+    ):
+        return data_dir, hit[3]
     for path in (
         os.path.join(data_dir, _CENTROIDS_FILE),
         os.path.join(store_dir, _CENTROIDS_FILE),
@@ -167,7 +166,7 @@ def resolve_ann_store(
         sig = _stat_sig(path)
         cents = _load_centroids_file(path)
         if cents is not None:
-            _RESOLVE_CACHE[store_dir] = (mf_sig, path, sig, data_dir, cents)
+            _RESOLVE_CACHE[store_dir] = (data_dir, path, sig, cents)
             return data_dir, cents
     _RESOLVE_CACHE.pop(store_dir, None)
     raise ValueError(
