@@ -511,6 +511,8 @@ def hybrid_search(
     ann_n_probe: int = 4,
     ann_store_dir: str | None = None,
     probe_schema: str | None = None,
+    text_index_dir: str | None = None,
+    text_index_max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 top-``k_each`` (terms)
     and cosine top-``k_each`` (vectors) per query, fused with RRF.
@@ -540,12 +542,36 @@ def hybrid_search(
     plain list of ``(query_id, vector)`` pairs — the native shape of a
     request batch, skipping the per-call collect a DataFrame costs —
     with ``probe_schema`` (DDL) pinning the id/vector types (see
-    ``ann_ivf_topk_store_batch``)."""
+    ``ann_ivf_topk_store_batch``).
+
+    ``text_index_dir`` is the lexical side's persisted-store form —
+    the symmetric swap: BM25 consumes the incremental postings store
+    (``append_text_index`` / ``load_text_index``, the index the
+    streaming curation pipeline maintains) instead of re-tokenizing the
+    whole corpus per call.  Scores are IDENTICAL to the inline build
+    (the load folds the same rows the builder emits; stats derive
+    identically), so with both store dirs set the function is the fully
+    store-backed retrieval service: both indexes persisted, maintained
+    at ingest, resolved through their manifests per request — pass
+    ``docs=None`` in that mode.  ``text_index_max_df_ratio`` forwards
+    the stop-list ratio (``load_text_index``'s contract: reads a
+    materialized list when one is published at that ratio)."""
     from jurimetria_etl_spark.operators.similarity import cosine_topk_batch
 
-    lex = bm25_search_docs(
-        docs, text_queries, k=k_each, id_col=id_col, text_col=text_col
-    )
+    if text_index_dir is not None:
+        lex = bm25_search(
+            load_text_index(
+                text_queries.sparkSession,
+                text_index_dir,
+                max_df_ratio=text_index_max_df_ratio,
+            ),
+            text_queries,
+            k=k_each,
+        )
+    else:
+        lex = bm25_search_docs(
+            docs, text_queries, k=k_each, id_col=id_col, text_col=text_col
+        )
     if ann_store_dir is not None:
         from jurimetria_etl_spark.operators.ann_store import (
             ann_ivf_topk_store_batch,
@@ -555,7 +581,7 @@ def hybrid_search(
             (
                 probe_queries.sparkSession
                 if isinstance(probe_queries, DataFrame)
-                else docs.sparkSession
+                else text_queries.sparkSession
             ),
             ann_store_dir,
             probe_queries,

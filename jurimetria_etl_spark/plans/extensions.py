@@ -1664,29 +1664,30 @@ def x37_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x37b_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x37's composed AT-SCALE form (r11 verdict task 2, the x13→x13b
-    precedent): the dense side comes from the PERSISTED incremental IVF
-    ANN store (the x41 fixture: two appends + a full replayed append)
-    through ``hybrid_search(ann_store_dir=…)`` — one manifest read
-    resolves data dir + centroid generation, the probes' static cell
-    union prunes the store scan by construction, and the RRF fusion is
-    unchanged.  Probed at FULL probe (n_probe == n_cells), where the
-    ANN list is provably identical to exact brute force — so the
-    registered x37's DuckDB oracle applies verbatim, while the plan
-    under it is the at-scale one (store scan + replay fold + broadcast
-    probe-cell equi-join instead of the exact broadcast cross).  The
-    partial-probe recall trade is pinned in tests/test_ann_store.py and
+    """x37's composed AT-SCALE form — since r13 the FULLY STORE-BACKED
+    retrieval service: the dense side probes the PERSISTED incremental
+    IVF ANN store (the x41 fixture: two appends + a full replayed
+    append + compaction) and the lexical side reads the PERSISTED
+    incremental BM25 postings store (``append_text_index`` at ingest,
+    compacted) — ``hybrid_search(ann_store_dir=…, text_index_dir=…,
+    docs=None)``.  No corpus text is tokenized and no index is rebuilt
+    at query time; both generations resolve through their manifests per
+    request.  Probed at FULL probe (n_probe == n_cells) where IVF is
+    provably exact, and the store-loaded BM25 scores are fold-identical
+    to the inline build (pinned in tests/test_search_store.py), so the
+    registered x37's DuckDB oracle applies verbatim while the plan
+    under it is the production one (store scans + replay folds + static
+    cell pruning + broadcast probe-cell equi-join).  The partial-probe
+    recall trade is pinned in tests/test_ann_store.py and
     tests/test_streaming_ann.py."""
     from jurimetria_etl_spark.operators.search import hybrid_search
-    from jurimetria_etl_spark.sources.fixtures import load_fixture
 
-    docs = load_fixture(spark, sf_dir, "documents")
-    embeds = load_fixture(spark, sf_dir, "embeddings")
     tq = spark.createDataFrame(_X35_QUERIES, "query_id int, query_text string")
     pq = _ann_probe_rows(spark, sf_dir, (1, 2, 3, 4))
     d, cents = _ann_store_dir(spark, sf_dir, n_cells=16)
+    ti = _text_index_dir(spark, sf_dir)
     return hybrid_search(
-        docs,
+        None,
         None,
         tq,
         pq,
@@ -1699,6 +1700,7 @@ def x37b_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         # int query_id to match tq's literal frame (the fused output's
         # type); float vectors to keep the store's scoring arithmetic
         probe_schema="query_id int, probe array<float>",
+        text_index_dir=ti,
     )
 
 
@@ -2047,6 +2049,32 @@ def _ann_probe_rows(
 
 
 _ANN_PROBE_CACHE: dict[tuple, list] = {}
+
+
+def _text_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached persisted BM25 index over the documents table
+    (``append_text_index``), compacted once after ingest — the lexical
+    twin of ``_ann_store_dir``: a retrieval service indexes at ingest
+    and serves many queries from the store; rebuilding the inverted
+    index per probe call charges every query the corpus tokenization."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TEXT_INDEX_CACHE:
+        for stale in [k for k in _TEXT_INDEX_CACHE if k[0] != key[0]]:
+            del _TEXT_INDEX_CACHE[stale]
+        from jurimetria_etl_spark.operators.search import append_text_index
+        from jurimetria_etl_spark.sinks.maintenance import compact_store
+
+        d = tempfile.mkdtemp(prefix="text_index_x37b_")
+        append_text_index(_t(spark, sf_dir, "documents"), d)
+        for sub in ("postings", "doc_lens"):
+            compact_store(spark, f"{d}/{sub}")
+        _TEXT_INDEX_CACHE[key] = d
+    return _TEXT_INDEX_CACHE[key]
+
+
+_TEXT_INDEX_CACHE: dict[tuple, str] = {}
 
 
 _X41_PROBE_IDS = (1, 7)

@@ -163,14 +163,19 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # (query, scan-partition) pre-rank spreads the sort and the final
     # window ranks only |partitions|·k survivors.
     "x37_hybrid_search": (2, 0, 19, 4),
-    # x37b (r12): the composed persisted-store retrieval path — the
-    # dense side is the ANN store probe (replay fold agg + broadcast
-    # probe-cell equi-join over the STATICALLY cell-pruned scan: the
-    # probes' cell union reaches the store scan as PartitionFilters
-    # INSET, pinned in test_ann_store.py) + the BM25 side (its one-row
-    # stats attach is the 1 BNLJ) + RRF fusion.  One fewer BNLJ than
-    # x37: the exact dense side's |probes|×|corpus| broadcast cross is
-    # replaced by the store's equi-join.  Zero python nodes.
+    # x37b (r12; r13 fully store-backed): the composed persisted-store
+    # retrieval path — the dense side is the ANN store probe (replay
+    # fold agg + broadcast probe-cell equi-join over the STATICALLY
+    # cell-pruned scan: the probes' cell union reaches the store scan
+    # as PartitionFilters INSET, pinned both in test_ann_store.py and
+    # on this fused plan below) + the BM25 side reading the persisted
+    # postings/doc_lens stores (r13: no corpus tokenization at query
+    # time; its one-row stats attach is the 1 BNLJ) + RRF fusion.  One
+    # fewer BNLJ than x37: the exact dense side's |probes|×|corpus|
+    # broadcast cross is replaced by the store's equi-join.  Zero
+    # python nodes.  The exchange count is unchanged from the inline
+    # form: the store loads' replay folds replace the tokenize-side
+    # aggregations one-for-one.
     "x37b_hybrid_search_ann": (1, 0, 18, 5),
     # q32b (r11; r12 single-scan rewrite): the registered q32's
     # scale-path twin — both value columns melted to (metric, v) long

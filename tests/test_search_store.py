@@ -330,3 +330,51 @@ def test_stream_maintains_text_index(spark, tmp_path):
     )
     top = bm25_search(idx, qdf, k=1).first()
     assert top["doc_id"] == 2
+
+
+def test_hybrid_search_store_backed_lexical_parity(spark, tmp_path):
+    """hybrid_search(text_index_dir=…): the lexical side reads the
+    persisted postings store instead of re-tokenizing the corpus, and
+    the fused output is IDENTICAL to the inline-index path — with
+    ann_store_dir also set this is the fully store-backed retrieval
+    service (both indexes persisted, docs=None)."""
+    import numpy as np
+
+    from jurimetria_etl_spark.operators.ann_store import append_ann_store
+    from jurimetria_etl_spark.operators.search import hybrid_search
+
+    docs = _docs(spark, BATCH0 + BATCH1)
+    rng = np.random.default_rng(7)
+    vecs = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)])
+        for i, _ in BATCH0 + BATCH1
+    ]
+    embeds = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    cents = [(j, v) for j, (_, v) in enumerate(vecs[:2])]
+    tq = _q(spark)
+    pq = [(qid, vecs[qid % len(vecs)][1]) for qid, _ in QUERIES]
+
+    idx_dir = str(tmp_path / "text_index")
+    append_text_index(docs, idx_dir)
+    ann_dir = str(tmp_path / "ann_store")
+    append_ann_store(embeds, ann_dir, cents)
+
+    common = dict(
+        k_each=3, topk=4, rrf_k=60,
+        ann_store_dir=ann_dir, ann_centroids=cents, ann_n_probe=2,
+        probe_schema="query_id int, probe array<double>",
+    )
+    inline = hybrid_search(docs, None, tq, pq, **common)
+    stored = hybrid_search(
+        None, None, tq, pq, text_index_dir=idx_dir, **common
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+    # the store-backed plan reads parquet stores (postings + doc_lens +
+    # ann cells), never document text: docs=None proves no corpus
+    # tokenization; the scans must all be parquet FileScans
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") >= 3

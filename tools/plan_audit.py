@@ -158,13 +158,15 @@ AUDITED = [
     ),
     (
         "x37b_hybrid_search_ann",
-        "the composed persisted-store retrieval path (r12): dense side "
+        "the FULLY store-backed retrieval path (r13): dense side "
         "probes the ANN store — probes' static cell union reaches the "
         "hive scan as PartitionFilters INSET, (cell,id) replay fold "
         "above it, broadcast probe-cell EQUI-join (replaces x37's "
-        "|probes|×|corpus| broadcast cross) + two-level top-k; BM25 "
-        "side and RRF fusion identical to x37 (its 1-row stats attach "
-        "is the single BNLJ); fusion match-sized",
+        "|probes|×|corpus| broadcast cross) + two-level top-k; lexical "
+        "side reads the persisted BM25 postings/doc_lens stores (no "
+        "corpus tokenization at query time — zero scans of documents "
+        "text); RRF fusion identical to x37 (its 1-row stats attach is "
+        "the single BNLJ); fusion match-sized",
     ),
     (
         "x38_split_guarded",

@@ -190,10 +190,77 @@ def main() -> None:
             spark, d, probes, k=5, n_probe=4, centroids=cents
         )
 
+    def streaming_audited_funnel(spark, sf_dir):
+        # r12 verdict task 6: the per-batch AUDITED streaming funnel,
+        # end-to-end — x43's batch exponent is known (0.74); this row
+        # measures the same drop-rate monitoring on the STREAMING path
+        # (curate_document_stream(audit_dir=…)): stage the documents
+        # table as 4 chronological drops, run the audited exact→minhash
+        # →decontam stream against FRESH stores (each timed run is a
+        # full from-empty pass — identical work at both scales), return
+        # the folded one-row-per-batch audit.  Constant batch COUNT,
+        # growing batch SIZE: the exponent reads how per-batch cost
+        # scales with batch volume.
+        import shutil
+        import tempfile
+        import time as _time
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from jurimetria_etl_spark.sources.fixtures import load_fixture
+        from jurimetria_etl_spark.streaming.curation import (
+            curate_document_stream,
+            load_curation_audit,
+            read_documents_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="audit_scale_")
+        docs = load_fixture(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.coalesce("source", F.lit("s")).alias("source"),
+            F.coalesce("lang", F.lit("en")).alias("lang"),
+            "text",
+        )
+        flat = os.path.join(tmp, "flat")
+        base_t = _time.time() - 3600
+        for b in range(4):
+            staging = os.path.join(tmp, f"stage_{b}")
+            docs.where(F.col("doc_id") % 4 == b).coalesce(1).write.parquet(
+                staging
+            )
+            Path(flat).mkdir(parents=True, exist_ok=True)
+            dst = os.path.join(flat, f"{b:03d}.parquet")
+            shutil.move(
+                str(next(Path(staging).glob("part-*.parquet"))), dst
+            )
+            os.utime(dst, (base_t + 60 * b, base_t + 60 * b))
+            shutil.rmtree(staging, ignore_errors=True)
+        # x43's benchmark shape: a fixed corpus slice
+        bench = docs.where(F.col("doc_id") % 97 == 0).select(
+            "doc_id", "text"
+        )
+        audit = os.path.join(tmp, "audit")
+        q = curate_document_stream(
+            read_documents_stream(spark, flat),
+            os.path.join(tmp, "corpus"),
+            os.path.join(tmp, "fps"),
+            os.path.join(tmp, "sigs"),
+            os.path.join(tmp, "ckpt"),
+            benchmark=bench,
+            decontam_ngram=5,
+            audit_dir=audit,
+        )
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError("audited stream did not finish in 30 min")
+        return load_curation_audit(spark, audit)
+
     extra: dict = {
         "knn_join_top5": knn_join_top5,
         "semdedup_scaled": semdedup_scaled,
         "ann_store_scaled_cells": ann_store_scaled_cells,
+        "streaming_audited_funnel": streaming_audited_funnel,
     }
 
     # Optional name filter: `python tools/scale_bench.py <name> …`
