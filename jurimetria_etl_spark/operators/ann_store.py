@@ -166,6 +166,8 @@ def resolve_ann_store(
         sig = _stat_sig(path)
         cents = _load_centroids_file(path)
         if cents is not None:
+            if len(_RESOLVE_CACHE) >= 64:  # bound driver memory
+                _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
             _RESOLVE_CACHE[store_dir] = (data_dir, path, sig, cents)
             return data_dir, cents
     _RESOLVE_CACHE.pop(store_dir, None)
@@ -283,21 +285,29 @@ def load_ann_store(
     (``resolve_ann_store``) so a probe's data and geometry come from
     ONE manifest read; default resolves the manifest here.
 
-    The parquet SCHEMA is memoized per generation directory: a store's
-    schema is fixed for the life of a generation (appends under the
-    centroid contract can't change it; a recluster/compaction publishes
-    a NEW directory → new cache key), so repeated probes skip the
-    footer-inference job while the file LISTING stays per-call — new
-    appended files are always visible."""
-    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+    The parquet SCHEMA is memoized for VERSIONED generation directories
+    only: a published ``_versions/<uuid>`` dir is immutable by
+    construction (recluster/compaction publish NEW uuid-named dirs), so
+    repeated probes skip the footer-inference job while the file
+    LISTING stays per-call.  Plain directories re-infer every load — an
+    in-place rebuild there (delete + rewrite, e.g. switching
+    ``quantize``) changes the schema under an unchanging path, and a
+    cached schema would silently NULL the missing columns instead of
+    erroring."""
+    from jurimetria_etl_spark.sinks.maintenance import (
+        _VERSIONS,
+        store_data_dir,
+    )
 
     target = data_dir or store_data_dir(store_dir)
-    schema = _SCHEMA_CACHE.get(target)
+    cacheable = f"{os.sep}{_VERSIONS}{os.sep}" in target
+    schema = _SCHEMA_CACHE.get(target) if cacheable else None
     if schema is None:
         df = spark.read.parquet(target)
-        if len(_SCHEMA_CACHE) >= 64:  # bound driver memory across tests
-            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
-        _SCHEMA_CACHE[target] = df.schema
+        if cacheable:
+            if len(_SCHEMA_CACHE) >= 64:  # bound driver memory
+                _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+            _SCHEMA_CACHE[target] = df.schema
     else:
         df = spark.read.schema(schema).parquet(target)
     if "q" in df.columns and vec_col not in df.columns:
@@ -491,7 +501,7 @@ def ann_ivf_topk_store_batch(
     data_dir = None
     if centroids is None:
         data_dir, centroids = resolve_ann_store(store_dir)
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     if isinstance(probes, DataFrame):
         probe_sel = probes.select(probe_id_col, probe_vec_col)
@@ -509,8 +519,6 @@ def ann_ivf_topk_store_batch(
         cs = _nearest_cells_py([float(x) for x in vec], centroids, n_probe)
         union.update(cs)
         exploded.extend((qid, vec, c) for c in cs)
-    from pyspark.sql.types import IntegerType, StructField
-
     probe_cells = spark.createDataFrame(
         exploded,
         StructType(

@@ -513,6 +513,7 @@ def hybrid_search(
     probe_schema: str | None = None,
     text_index_dir: str | None = None,
     text_index_max_df_ratio: float | None = None,
+    text_index_fold_accents: bool = False,
 ) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 top-``k_each`` (terms)
     and cosine top-``k_each`` (vectors) per query, fused with RRF.
@@ -555,7 +556,11 @@ def hybrid_search(
     at ingest, resolved through their manifests per request — pass
     ``docs=None`` in that mode.  ``text_index_max_df_ratio`` forwards
     the stop-list ratio (``load_text_index``'s contract: reads a
-    materialized list when one is published at that ratio)."""
+    materialized list when one is published at that ratio);
+    ``text_index_fold_accents`` MUST match how the index was built
+    (``curate_document_stream(text_index_fold_accents=…)`` /
+    ``append_text_index(fold_accents=…)``) — queries tokenize with it,
+    and an unfolded query term can never hit a folded posting."""
     from jurimetria_etl_spark.operators.similarity import cosine_topk_batch
 
     if text_index_dir is not None:
@@ -567,6 +572,7 @@ def hybrid_search(
             ),
             text_queries,
             k=k_each,
+            fold_accents=text_index_fold_accents,
         )
     else:
         lex = bm25_search_docs(

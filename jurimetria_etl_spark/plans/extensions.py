@@ -9,6 +9,8 @@ per-permutation minhash) is generated programmatically below.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1983,6 +1985,8 @@ def _ann_store_dir(spark: SparkSession, sf_dir: str, n_cells: int = 16):
     key = (spark.sparkContext.applicationId, sf_dir, n_cells)
     if key not in _ANN_STORE_CACHE:
         for stale in [k for k in _ANN_STORE_CACHE if k[0] != key[0]]:
+            # the dead session's on-disk store goes with its cache entry
+            shutil.rmtree(_ANN_STORE_CACHE[stale][0], ignore_errors=True)
             del _ANN_STORE_CACHE[stale]
         from jurimetria_etl_spark.operators.ann_store import (
             append_ann_store,
@@ -2062,6 +2066,8 @@ def _text_index_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TEXT_INDEX_CACHE:
         for stale in [k for k in _TEXT_INDEX_CACHE if k[0] != key[0]]:
+            # the dead session's on-disk index goes with its cache entry
+            shutil.rmtree(_TEXT_INDEX_CACHE[stale], ignore_errors=True)
             del _TEXT_INDEX_CACHE[stale]
         from jurimetria_etl_spark.operators.search import append_text_index
         from jurimetria_etl_spark.sinks.maintenance import compact_store

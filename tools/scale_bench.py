@@ -254,7 +254,14 @@ def main() -> None:
         if not q.awaitTermination(1800):
             q.stop()
             raise RuntimeError("audited stream did not finish in 30 min")
-        return load_curation_audit(spark, audit)
+        # materialize the (4-row) audit so the staged corpus copy can be
+        # reclaimed NOW — time_query runs this 3× per scale, and leaving
+        # six staged corpus copies under /tmp per bench run fills disks
+        out = load_curation_audit(spark, audit)
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return result
 
     extra: dict = {
         "knn_join_top5": knn_join_top5,
