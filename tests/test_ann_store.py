@@ -443,3 +443,38 @@ def test_recluster_swaps_data_and_centroids_atomically(spark, tmp_path):
         spark, d, dict(ROWS)[3], k=K, n_probe=len(new_cents)
     ).collect()
     assert len(got) == K
+
+
+def test_plain_dir_rebuild_in_place_reinfers_schema(spark, tmp_path):
+    """The load-time schema memo must NOT survive an in-place rebuild of
+    a PLAIN (non-versioned) directory: same path, different schema
+    (float store → quantized store).  Only immutable ``_versions/`` dirs
+    are cacheable — a stale schema here would read every new column as
+    NULL instead of re-inferring (r13 review finding)."""
+    import shutil
+
+    d = str(tmp_path / "plain")
+    append_ann_store(_emb(spark, BATCH0), d, CENTROIDS)
+    first = load_ann_store(spark, d)
+    assert "embedding" in first.columns and first.count() == len(BATCH0)
+    # in-place regeneration: wipe and rebuild QUANTIZED at the same path
+    shutil.rmtree(d)
+    append_ann_store(_emb(spark, BATCH0), d, CENTROIDS, quantize=True)
+    again = load_ann_store(spark, d)
+    rows = again.where("embedding IS NOT NULL").count()
+    assert rows == len(BATCH0)  # dequantized, not NULLed by a stale schema
+
+
+def test_versioned_store_schema_memo_survives_appends(spark, tmp_path):
+    """The cacheable (versioned) path: after compaction publishes a
+    version dir, repeated loads reuse the memoized schema while new
+    appends into the SAME generation stay visible (listing is
+    per-call)."""
+    from jurimetria_etl_spark.sinks.maintenance import compact_store
+
+    d = _store(spark, tmp_path, name="versioned")
+    compact_store(spark, d, partition_cols=["ivf_cell"])
+    n0 = load_ann_store(spark, d).count()
+    extra = [(10_000, ROWS[0][1])]
+    append_ann_store(_emb(spark, extra), d, CENTROIDS)
+    assert load_ann_store(spark, d).count() == n0 + 1

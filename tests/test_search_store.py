@@ -378,3 +378,51 @@ def test_hybrid_search_store_backed_lexical_parity(spark, tmp_path):
     # tokenization; the scans must all be parquet FileScans
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") >= 3
+
+
+def test_hybrid_store_backed_accent_folding_matches_index(spark, tmp_path):
+    """An accent-folded persisted index must be queried with folded
+    terms: hybrid_search(text_index_dir=…, text_index_fold_accents=True)
+    folds the query side to match; without the flag an accented query
+    term can never hit a folded posting (r13 review finding)."""
+    from jurimetria_etl_spark.operators.search import hybrid_search
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a decisão judicial sobre o processo foi publicada"),
+            (1, "notas sobre particionamento e embaralhamento de dados"),
+        ],
+    )
+    idx_dir = str(tmp_path / "folded_index")
+    append_text_index(docs, idx_dir, fold_accents=True)
+    embeds = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    tq = spark.createDataFrame(
+        [(1, "decisão")], "query_id int, query_text string"
+    )
+    pq = [(1, [1.0, 0.0])]
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    from jurimetria_etl_spark.operators.ann_store import append_ann_store
+
+    ann_dir = str(tmp_path / "folded_ann")
+    append_ann_store(
+        spark.createDataFrame(embeds, "vec_id long, embedding array<double>"),
+        ann_dir,
+        cents,
+    )
+    common = dict(
+        k_each=2, topk=2,
+        ann_store_dir=ann_dir, ann_centroids=cents, ann_n_probe=2,
+        probe_schema="query_id int, probe array<double>",
+        text_index_dir=idx_dir,
+    )
+    folded = hybrid_search(None, None, tq, pq,
+                           text_index_fold_accents=True, **common)
+    top = {r["doc_id"]: r["fused_rank"] for r in folded.collect()}
+    assert top.get(0) == 1  # the lexical match ranks doc 0 first
+    # the mismatched (unfolded-query) form demotes doc 0: its accented
+    # terms miss the folded postings, so only the dense side ranks it
+    unfolded = hybrid_search(None, None, tq, pq, **common)
+    scores_f = {r["doc_id"]: r["rrf_score"] for r in folded.collect()}
+    scores_u = {r["doc_id"]: r["rrf_score"] for r in unfolded.collect()}
+    assert scores_f[0] > scores_u[0]
