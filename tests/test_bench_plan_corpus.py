@@ -128,13 +128,17 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # shape as x29 — corpus-wide exchange carries longs, AQE survivor
     # semi-filter, line-keyed recount.
     "x32_duplicate_lines": (0, 0, 5, 1),
-    # x34 (r8): Bloom-prefiltered incremental dedup — fingerprint store
-    # build (agg exchange), Bloom word build (bit_or agg), dense bitset
-    # compaction (range join + single-row agg), the 2 pinned BNLJs are
-    # the one-row-bitset broadcast attach printed for both legs of the
-    # fresh/suspect union; suspects re-check through a broadcast anti
-    # join.  Zero python nodes: build and probe are native expressions.
-    "x34_bloom_incremental_dedup": (2, 0, 13, 3),
+    # x34 (r8; r13 one-pass re-check): Bloom-prefiltered incremental
+    # dedup — fingerprint store build (agg exchange), Bloom word build
+    # (bit_or agg), dense bitset compaction (range join + single-row
+    # agg), then ONE conditional left join (__maybe AND fp==store_fp —
+    # the equi key drives the strategy, the residual spares every
+    # Bloom-negative row a store lookup).  The former fresh/suspect
+    # split re-executed the scan+probe lineage per branch (2 BNLJ / 13
+    # exchanges); the single lineage pins 1 BNLJ (one bitset attach) /
+    # 8 exchanges, and the trailing dropDuplicates reuses the join's
+    # fp partitioning.  Zero python nodes.
+    "x34_bloom_incremental_dedup": (1, 0, 8, 2),
     # x35 (r8): BM25 keyword top-k — postings/doc-length/df aggs, the
     # tiny query-term and df frames broadcast (3+ BHJs), the one-row
     # (n_docs, avgdl) stats frame is the pinned BNLJ attach, per-query

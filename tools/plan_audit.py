@@ -125,13 +125,16 @@ AUDITED = [
     ),
     (
         "x34_bloom_incremental_dedup",
-        "dense single-row-bitset broadcast attach under the size gate "
-        "(the 2 nested-loops: one per leg of the fresh/suspect union — "
-        "constant 1-row side, intended; the word-join probe takes over "
-        "above the bitset ceiling); Bloom-positive suspects re-check via "
-        "broadcast ANTI against the real store — the filter is "
-        "output-invisible (test_bench_plan_corpus pin: 2 BNLJ / 0 py / "
-        "13 exchanges)",
+        "ONE dense single-row-bitset broadcast attach under the size "
+        "gate (the single nested-loop — constant 1-row side, intended; "
+        "the word-join probe takes over above the bitset ceiling); the "
+        "exact re-check is one conditional LEFT join (__maybe AND "
+        "fp==store_fp: equi key drives the strategy, the residual "
+        "spares Bloom-negative rows the lookup) whose fp partitioning "
+        "the trailing dropDuplicates reuses — the filter is "
+        "output-invisible (test_bench_plan_corpus pin: 1 BNLJ / 0 py / "
+        "8 exchanges; r13, was 2 BNLJ / 13 via a fresh/suspect union "
+        "that re-executed the probe lineage per branch)",
     ),
     (
         "x41_ann_store_topk",
