@@ -34,11 +34,13 @@ has no built-in. This module re-expresses it Spark-first:
 
 - **Compose** (``dedup_incremental_bloom``): the production pattern —
   rows whose fingerprint the Bloom rejects are DEFINITELY fresh (a
-  Bloom filter has no false negatives) and skip the store entirely;
+  Bloom filter has no false negatives) and never look the store up;
   only the ~fpp false-positive sliver plus true duplicates pay the
-  exact anti-join.  Output is row-for-row the same contract as
-  ``dedup_exact``/``dedup_incremental`` (operators/dedup.py) — the
-  Bloom is a plan optimization, never a semantics change.
+  exact re-check, carried as the residual of ONE conditional left join
+  (see the function's shape rationale).  Output is row-for-row the
+  same contract as ``dedup_exact``/``dedup_incremental``
+  (operators/dedup.py) — the Bloom is a plan optimization, never a
+  semantics change.
 
 Cited vs reference: no counterpart (the 566-LoC reference has no
 incremental or approximate operators); this extends the brief's
