@@ -154,6 +154,54 @@ def test_dedup_incremental_bloom_matches_plain(spark):
     assert via_bloom.columns == batch.columns
 
 
+@pytest.mark.parametrize("seed", [2, 17, 41])
+def test_dedup_incremental_bloom_matches_plain_randomized(spark, seed):
+    """Seeded-random equivalence sweep for the r13 one-join re-check
+    shape: random overlap patterns (store dupes, batch-internal dupes,
+    fresh rows, empty/whitespace texts, store-duplicated fp rows) must
+    produce EXACTLY dedup_incremental's surviving set, in both probe
+    modes (dense bitset and word-join), at an fpp high enough to force
+    real false positives through the residual re-check."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(30)]
+    def text(): return " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+    store_texts = [text() for _ in range(80)]
+    batch_texts = (
+        [rng.choice(store_texts) for _ in range(30)]  # store dupes
+        + [text() for _ in range(60)]                 # mostly fresh
+        + ["", "   "]                                 # degenerate texts
+    )
+    rng.shuffle(batch_texts)
+    from jurimetria_etl_spark.operators.dedup import fingerprint
+
+    store = spark.createDataFrame(
+        [(t,) for t in store_texts + store_texts[:10]], "text string"
+    ).select(fingerprint("text").alias("fp"))  # duplicated store rows
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    def norm_set(df):
+        # compare at fingerprint granularity: survivor ROW choice within
+        # a duplicate group is arbitrary (e.g. "" vs "   " share an fp),
+        # the surviving fp SET is the contract
+        return {
+            (r["text"] or "").strip() and " ".join(r["text"].split())
+            for r in df.collect()
+        }
+
+    want = norm_set(dedup_incremental(batch, store))
+    for mode in ("dense", "join"):
+        got = norm_set(
+            dedup_incremental_bloom(
+                batch, store, fpp=0.3, mode=mode, id_col="doc_id"
+            )
+        )
+        assert got == want, f"mode={mode}"
+
+
 def test_plan_has_no_python_nodes(spark, keys, built):
     """§2.11 contract: build and both probe modes are pure native
     expressions — no BatchEvalPython / ArrowEvalPython anywhere."""
