@@ -91,6 +91,12 @@ HEAVY = [
     # exchange and per-partition window dominate; expect x20's profile
     # (sort on a 32-char string vs a long is the only delta).
     "x42_shuffled_shards",
+    # r13: Bloom-prefiltered incremental dedup after the one-join
+    # re-check rewrite (the former fresh/suspect union re-executed the
+    # probe lineage per branch) — fingerprint + bitset probe are
+    # scan-fused, the single store join and trailing dropDuplicates
+    # share one fp exchange; expect near-floor growth.
+    "x34_bloom_incremental_dedup",
 ]
 
 
