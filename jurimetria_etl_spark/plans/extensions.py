@@ -773,11 +773,11 @@ flags AS (
   JOIN ({X10_SQL}) q USING (doc_id)
   LEFT JOIN ov o USING (doc_id))
 SELECT count(*) AS n_docs,
-       sum(CAST(lang_pass AS BIGINT)) AS n_lang_pass,
-       sum(CAST(quality_pass AS BIGINT)) AS n_quality_pass,
-       sum(CAST(clean AS BIGINT)) AS n_clean,
-       sum(CAST(lang_pass AND quality_pass AND clean AS BIGINT))
-         AS n_eligible
+       CAST(sum(CAST(lang_pass AS BIGINT)) AS BIGINT) AS n_lang_pass,
+       CAST(sum(CAST(quality_pass AS BIGINT)) AS BIGINT) AS n_quality_pass,
+       CAST(sum(CAST(clean AS BIGINT)) AS BIGINT) AS n_clean,
+       CAST(sum(CAST(lang_pass AND quality_pass AND clean AS BIGINT))
+            AS BIGINT) AS n_eligible
 FROM flags
 """
 
