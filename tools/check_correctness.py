@@ -3,20 +3,33 @@ entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
 row count, column names, and an order-insensitive value hash (doubles
 rounded 1e-9, timestamps as UTC epoch micros).
 
-Usage: python tools/check_correctness.py [sf_dir]
+Also writes HASH_BISECT.json: per query, per column, each side's canonical
+value hash, the Python types observed, and the engine-declared column type
+(Spark dtype / DuckDB type).  When a driver run disagrees with this local
+replica (r13: x43's DuckDB HUGEINT sums hashed differently in the driver's
+canonicalizer), the artifact points at the exact column — look for a
+``suspect_types`` entry (HUGEINT/DECIMAL/UHUGEINT oracle columns) or a
+per-column hash that differs between sides despite the row hash matching
+locally.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import hashlib
+import json
 import math
+import os
 import sys
 import time
 
 import duckdb
 
 sys.path.insert(0, "/root/repo")
+
+SUSPECT_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "INT128")
 
 
 def canon_value(v):
@@ -50,6 +63,53 @@ def canon_value(v):
     except ImportError:
         pass
     return str(v)
+
+
+def column_report(
+    cols: list[str], rows: list[tuple], engine_types: dict[str, str]
+) -> dict:
+    """Per-column canonical hash + observed Python types + declared engine
+    type.  Column hashes are over the column's sorted canonical values, so
+    they are row-order-insensitive like hash_rows; a mismatching column
+    between two sides isolates a canonicalization drift to one column."""
+    out = {}
+    for i, c in enumerate(cols):
+        vals = sorted(canon_value(r[i]) for r in rows)
+        h = hashlib.sha256()
+        for v in vals:
+            h.update(v.encode())
+            h.update(b"\n")
+        pytypes = sorted({type(r[i]).__name__ for r in rows})
+        out[c] = {
+            "hash": h.hexdigest()[:16],
+            "pytypes": pytypes,
+            "engine_type": engine_types.get(c, "?"),
+        }
+    return out
+
+
+def bisect_entry(
+    scols, srows, stypes, dcols=None, drows=None, dtypes=None
+) -> dict:
+    """Build one HASH_BISECT.json record.  ``suspect_types`` lists oracle
+    columns whose DuckDB type is a known driver-hash hazard (int128/decimal
+    promotions); ``col_mismatches`` lists columns whose canonical value hash
+    differs between the two sides."""
+    rec = {"spark": column_report(scols, srows, stypes)}
+    if dcols is not None:
+        rec["oracle"] = column_report(dcols, drows, dtypes)
+        rec["suspect_types"] = sorted(
+            c
+            for c, t in dtypes.items()
+            if any(s in t.upper() for s in SUSPECT_TYPES)
+        )
+        rec["col_mismatches"] = sorted(
+            c
+            for c in rec["spark"]
+            if c in rec["oracle"]
+            and rec["spark"][c]["hash"] != rec["oracle"][c]["hash"]
+        )
+    return rec
 
 
 def hash_rows(cols: list[str], rows: list[tuple]) -> str:
@@ -99,27 +159,37 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                 n_planes=suggest_lsh_planes(n)
             )
     failures = []
+    bisect: dict[str, dict] = {}
     for name, fn in queries.items():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            bisect[name] = bisect_entry(scols, srows, stypes)
             print(f"ok~  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
+        bisect[name] = bisect_entry(scols, srows, stypes, dcols, drows, dtypes)
+        if bisect[name]["suspect_types"]:
+            print(
+                f"  warn {name}: oracle columns with driver-hash-hazard "
+                f"types: {bisect[name]['suspect_types']}"
+            )
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
@@ -140,9 +210,25 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                         break
         if problems:
             failures.append(name)
+            mism = bisect[name].get("col_mismatches")
+            if mism:
+                problems.append(f"differing columns: {mism}")
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"ok   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    out_path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "HASH_BISECT.json")
+    )
+    if only and os.path.exists(out_path):
+        # partial run: merge into the existing artifact instead of clobbering
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get("sf_dir") == sf_dir:
+            merged = prior.get("queries", {})
+            merged.update(bisect)
+            bisect = merged
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "queries": bisect}, f, indent=1, sort_keys=True)
     print(f"\n{len(queries) - len(failures)}/{len(queries)} passed")
     return 1 if failures else 0
 
