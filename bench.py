@@ -224,6 +224,58 @@ def _advance_warm_baseline(
     return by_sf, base_warm, base_round, base_sf, warm_delta, flagged
 
 
+def remeasure_flagged(
+    flagged: dict[str, float],
+    base_warm: dict,
+    run_query,
+    get_load1m,
+    sleep,
+    load_thresh: float = 4.0,
+    quiet_budget_sec: float = 300.0,
+    passes: int = 3,
+    flag_ratio: float = 1.5,
+) -> dict:
+    """Quiet-window re-measure of warm-delta-flagged queries (r13 verdict
+    task 3): the r13 driver run burned headroom on phantom regressions —
+    x20 "5.78×" and q06/q08/q10 "1.65-2×" with ZERO code changes, under
+    loadavg 10.93 at bench start.  When the host was loaded at start AND
+    the delta guard fired, wait (bounded) for the 1-min loadavg to drop
+    under ``load_thresh``, then re-run ONLY the flagged queries and record
+    both measurements — the judge can then separate code-attributable
+    deltas (still flagged in the quiet pass) from load artifacts (delta
+    evaporates).
+
+    ``run_query(name)`` executes one warm pass and returns seconds;
+    ``get_load1m()``/``sleep(sec)`` are injected for unit tests."""
+    waited = 0.0
+    while get_load1m() > load_thresh and waited < quiet_budget_sec:
+        sleep(10.0)
+        waited += 10.0
+    out: dict[str, dict] = {}
+    for name in flagged:
+        series = []
+        try:
+            for _ in range(passes):
+                series.append(run_query(name))
+        except Exception as e:
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            continue
+        m = statistics.median(series)
+        rec: dict = {
+            "warm": round(m, 3),
+            "first_pass_delta": flagged[name],
+            "loadavg1m": round(get_load1m(), 2),
+            "waited_sec": waited,
+        }
+        p = base_warm.get(name)
+        if isinstance(p, (int, float)) and p > 0 and m > 0:
+            r = round(m / p, 2)
+            rec["delta_vs_prev"] = r
+            rec["still_flagged"] = bool(r > flag_ratio or r < 1 / flag_ratio)
+        out[name] = rec
+    return out
+
+
 def shed_to_fit(summary: dict, timings: dict, limit: int = 1900) -> str:
     """Driver tail-capture guard (the driver records the last ~2000 chars
     of stdout): shed the LEAST essential summary content first — per-query
@@ -454,9 +506,33 @@ def main() -> None:
         flagged,
     ) = _advance_warm_baseline(prev, cur_round, detail_sf, warm)
 
+    # Quiet-window re-measure (r13 task 3): only when the delta guard
+    # fired AND the host was already loaded when the run started — a
+    # quiet-start run's flags are code-attributable by construction and
+    # re-measuring them would just double the round's bench wall.
+    load_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_THRESH", "4.0"))
+    remeasured: dict = {}
+    if flagged and max(load_start[0], load_start[1]) > load_thresh:
+
+        def _run_query(name: str) -> float:
+            fn = registry[name].spark
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        remeasured = remeasure_flagged(
+            flagged,
+            base_warm,
+            _run_query,
+            lambda: os.getloadavg()[0],
+            time.sleep,
+            load_thresh=load_thresh,
+        )
+
     # Per-query warm/DuckDB detail rides in a file; only totals go to
     # stdout so the driver's bounded tail always captures the final line.
     detail = {
+        "flagged_remeasured": remeasured,
         "warm_delta_vs_prev": warm_delta,
         "warm_delta_flagged": flagged,
         "queries": timings,
@@ -531,6 +607,12 @@ def main() -> None:
         worst = max(flagged, key=lambda n: max(flagged[n], 1 / flagged[n]))
         summary["warm_delta_flagged"] = len(flagged)
         summary["warm_delta_worst"] = f"{worst}:{flagged[worst]}"
+    if remeasured:
+        # how many flags SURVIVED the quiet pass — the code-attributable
+        # count; the per-query map rides in BENCH_DETAIL.json
+        summary["flagged_still_after_quiet"] = sum(
+            1 for r in remeasured.values() if r.get("still_flagged")
+        )
     if errors:
         summary["n_errors"] = len(errors)
     print(shed_to_fit(summary, timings))

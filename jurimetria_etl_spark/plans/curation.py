@@ -518,12 +518,18 @@ def curation_funnel(
     flags, overlap, and the final counts — is ONE corpus scan feeding
     two map-side-combinable aggregates; without one it is one scan and
     one global aggregate.  The span axis, when enabled, adds the same
-    second fingerprint scan the pipeline's span gate costs.  The
-    benchmark probe set broadcasts under ``maybe_broadcast_probe``'s
-    shared posture — ``broadcast_max_rows`` gates the hint exactly as
-    in ``flag_contamination`` (a store-backed "benchmark" can grow; an
+    second fingerprint scan the pipeline's span gate costs, reduced to
+    the DISTINCT contaminated-id set before it meets the funnel — the
+    per-document side joins that (contamination-sized) probe map-side
+    under the broadcast gate / AQE rather than exchanging a corpus-
+    sized report frame (r13 task 4).  The benchmark probe set
+    broadcasts under ``maybe_broadcast_probe``'s shared posture —
+    ``broadcast_max_rows`` gates the hint exactly as in
+    ``flag_contamination`` (a store-backed "benchmark" can grow; an
     ungated hint there is an executor-OOM at scale).  No per-document
-    output ever leaves the executors."""
+    output leaves the executors on the shingle path; on the span path
+    only the contaminated-id set does (plus, when that set outgrows
+    the gate, the one AQE-planned re-key the join then needs)."""
     if decontam_spans and benchmark is None:
         raise ValueError(
             "decontam_spans requires the benchmark frame — span "
@@ -603,21 +609,47 @@ def curation_funnel(
         flag_names = flag_names + ["clean"]
     if decontam_spans:
         from jurimetria_etl_spark.operators.decontaminate import (
-            flag_span_contamination,
+            maybe_broadcast_probe as _maybe_bcast,
+        )
+        from jurimetria_etl_spark.operators.spans import (
+            duplicate_spans_against,
         )
 
-        span_flags = flag_span_contamination(
-            docs,
-            benchmark,
-            span_len=span_len,
-            k=span_k,
-            id_col=id_col,
-            text_col=text_col,
-            bench_fps=bench_span_fps,
-        ).select(
-            id_col, (~F.col("contaminated")).alias("span_clean")
+        # The audit needs only the CONTAMINATED id set (span_clean = id
+        # not in it), not flag_span_contamination's every-document
+        # report — the report's docs.select(id) left join re-keyed a
+        # full corpus-sized frame after the funnel's aggregate (r13
+        # verdict task 4).  The distinct hit-id set is contamination-
+        # sized (usually tiny), so the probe joins map-side under the
+        # shared broadcast gate / AQE instead of exchanging per-document
+        # rows.  Same hit semantics as flag_span_contamination:
+        # contaminated ⇔ ≥1 verified shared span ⇔ id appears in hits.
+        span_hits = (
+            duplicate_spans_against(
+                docs,
+                benchmark,
+                span_len=span_len,
+                k=span_k,
+                max_fp_df=None,
+                id_col=id_col,
+                text_col=text_col,
+                right_fps=bench_span_fps,
+            )
+            .select(F.col("left_id").alias(id_col))
+            .distinct()
+            .withColumn("__span_hit", F.lit(True))
         )
-        flagged = flagged.join(span_flags, id_col, "left")
+        if broadcast_max_rows is not None:
+            # size-gated hint, exactly the bench-probe posture; with no
+            # gate the hit set is NOT benchmark-bounded (it scales with
+            # how contaminated the corpus is), so leave the un-gated
+            # case to AQE's runtime stats rather than forcing broadcast
+            span_hits = _maybe_bcast(span_hits, broadcast_max_rows)
+        flagged = (
+            flagged.join(span_hits, id_col, "left")
+            .withColumn("span_clean", F.col("__span_hit").isNull())
+            .drop("__span_hit")
+        )
         flag_names = flag_names + ["span_clean"]
     eligible = F.lit(True)
     for name in flag_names:

@@ -139,3 +139,79 @@ def test_shed_to_fit_prefers_queries_over_flag_detail():
     # an impossible limit still degrades to the detail pointer
     out3 = json.loads(shed_to_fit(summary(), timings, limit=300))
     assert out3["queries"] == {} and out3["detail_file"] == "BENCH_DETAIL.json"
+
+
+def test_remeasure_flagged_waits_for_quiet_then_separates_noise():
+    """r13 task 3: the quiet-window pass must (a) wait out the load wave
+    (bounded), (b) re-run only the flagged queries, and (c) mark deltas
+    that evaporate under quiet load as not-still-flagged while keeping
+    genuinely regressed ones flagged."""
+    from bench import remeasure_flagged
+
+    # load decays 12 -> 2 over three polls; sleep calls are recorded
+    loads = iter([12.0, 8.0, 2.0, 2.0, 2.0, 2.0])
+    slept = []
+    # baseline warm 1.0s each; under quiet load q_noise is back to 1.05
+    # (phantom) while q_real still takes 2.0 (code-attributable)
+    quiet_warm = {"q_noise": 1.05, "q_real": 2.0}
+    calls = []
+
+    def run(name):
+        calls.append(name)
+        return quiet_warm[name]
+
+    out = remeasure_flagged(
+        flagged={"q_noise": 5.78, "q_real": 2.1},
+        base_warm={"q_noise": 1.0, "q_real": 1.0},
+        run_query=run,
+        get_load1m=lambda: next(loads),
+        sleep=slept.append,
+        load_thresh=4.0,
+    )
+    assert slept == [10.0, 10.0]  # waited exactly until load < thresh
+    assert sorted(set(calls)) == ["q_noise", "q_real"]
+    assert len(calls) == 6  # 3 passes each, flagged queries only
+    assert out["q_noise"]["still_flagged"] is False
+    assert out["q_noise"]["delta_vs_prev"] == 1.05
+    assert out["q_noise"]["first_pass_delta"] == 5.78
+    assert out["q_real"]["still_flagged"] is True
+    assert out["q_real"]["delta_vs_prev"] == 2.0
+    assert out["q_noise"]["waited_sec"] == 20.0
+
+
+def test_remeasure_flagged_quiet_wait_is_bounded():
+    """A host that never quiets must not stall the bench: the wait gives
+    up at quiet_budget_sec and measures anyway."""
+    from bench import remeasure_flagged
+
+    slept = []
+    out = remeasure_flagged(
+        flagged={"q": 3.0},
+        base_warm={"q": 1.0},
+        run_query=lambda name: 1.0,
+        get_load1m=lambda: 99.0,
+        sleep=slept.append,
+        load_thresh=4.0,
+        quiet_budget_sec=30.0,
+    )
+    assert sum(slept) == 30.0
+    assert out["q"]["warm"] == 1.0 and out["q"]["still_flagged"] is False
+
+
+def test_remeasure_flagged_survives_a_broken_query():
+    from bench import remeasure_flagged
+
+    def run(name):
+        if name == "q_bad":
+            raise RuntimeError("boom")
+        return 1.0
+
+    out = remeasure_flagged(
+        flagged={"q_bad": 2.0, "q_ok": 2.0},
+        base_warm={"q_bad": 1.0, "q_ok": 1.0},
+        run_query=run,
+        get_load1m=lambda: 1.0,
+        sleep=lambda s: None,
+    )
+    assert "error" in out["q_bad"]
+    assert out["q_ok"]["warm"] == 1.0

@@ -673,3 +673,35 @@ def test_curation_funnel_span_axis_and_broadcast_gate(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_span_axis_joins_hit_set_not_report(spark):
+    """r13 verdict task 4, plan-pinned: the span axis must fold the
+    DISTINCT contaminated-id set into the funnel, not
+    ``flag_span_contamination``'s corpus-sized every-document report —
+    the report shape re-keyed per-document rows (its ``docs.select(id)``
+    left join) after the funnel's aggregate.  The report's
+    ``n_shared_spans``/``n_bench_docs`` columns are the textual marker:
+    they must never appear anywhere in the funnel's optimized plan."""
+    from jurimetria_etl_spark.plans.curation import curation_funnel
+
+    leak = "The answer to the ultimate question is forty-two, obviously."
+    docs = spark.createDataFrame(
+        [
+            (0, "a calm and ordinary sentence about rivers and stones."),
+            (1, "context before the leak " + leak + " and text after."),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "eval item: " + leak)], "doc_id bigint, text string"
+    )
+    funnel = curation_funnel(
+        docs, languages=("en",), min_quality=0.0, benchmark=bench,
+        decontam_spans=True, span_len=40,
+    )
+    plan = funnel._jdf.queryExecution().optimizedPlan().toString()
+    assert "n_shared_spans" not in plan
+    assert "n_bench_docs" not in plan
+    row = funnel.collect()[0].asDict()
+    assert row["n_docs"] == 2 and row["n_span_clean"] == 1
