@@ -79,28 +79,55 @@ _SCHEMA_CACHE: dict[str, object] = {}
 
 
 def write_ann_centroids(
-    store_dir: str, centroids: list[tuple[int, list[float]]]
+    store_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    quantize: bool | None = None,
 ) -> None:
     """Persist the store's centroid set at the store root (atomic
     same-filesystem replace, the manifest-publish posture).  ``_``
-    prefix keeps it out of Spark's parquet listing."""
+    prefix keeps it out of Spark's parquet listing.
+
+    ``quantize`` records the generation's STORAGE POSTURE in the same
+    sidecar (r13 ADVICE): within-generation appends share one schema —
+    that is what makes ``load_ann_store``'s schema memo sound — so a
+    ``quantize=True`` append into a float generation must be a contract
+    error, not silently-NULL columns.  ``None`` writes the legacy
+    list-only form (posture unknown — pre-r14 stores keep validating)."""
     os.makedirs(store_dir, exist_ok=True)
     path = os.path.join(store_dir, _CENTROIDS_FILE)
     tmp = path + f".tmp_{uuid.uuid4().hex[:8]}"
+    cents = [[int(cid), list(map(float, v))] for cid, v in centroids]
+    payload = (
+        cents
+        if quantize is None
+        else {"centroids": cents, "quantize": bool(quantize)}
+    )
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump([[int(cid), list(map(float, v))] for cid, v in centroids], f)
+        json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
-def _load_centroids_file(path: str) -> list[tuple[int, list[float]]] | None:
+def _load_centroids_file(
+    path: str,
+) -> tuple[list[tuple[int, list[float]]], bool | None] | None:
+    """Parse the sidecar → (centroids, quantize posture).  Legacy files
+    are a bare centroid list (posture ``None``); r14+ files wrap it in
+    ``{"centroids": ..., "quantize": ...}``."""
     try:
         with open(path, encoding="utf-8") as f:
             raw = json.load(f)
     except FileNotFoundError:
         return None
-    return [(int(cid), [float(x) for x in vec]) for cid, vec in raw]
+    quantize: bool | None = None
+    if isinstance(raw, dict):
+        quantize = raw.get("quantize")
+        raw = raw["centroids"]
+    return (
+        [(int(cid), [float(x) for x in vec]) for cid, vec in raw],
+        quantize,
+    )
 
 
 def _stat_sig(path: str) -> tuple[int, int] | None:
@@ -116,17 +143,56 @@ def _stat_sig(path: str) -> tuple[int, int] | None:
 
 
 # resolve memo: store_dir → (data_dir, sidecar path, sidecar sig,
-# centroids).  Probe paths resolve the SAME store every call (a
-# retrieval service probes one generation thousands of times between
-# recluster events); re-parsing the centroid JSON per probe is pure
-# driver latency.  The manifest is still READ every call (it is a
-# ~16-byte file — reading it is the unambiguous generation identity,
-# where an mtime signature could collide across two rapid swaps on a
-# coarse-timestamp filesystem); the memo skips only the sidecar parse,
-# invalidated by the resolved directory changing (recluster/compaction
-# publish NEW version dirs) or the sidecar file's stat changing (first
-# append creates it via atomic replace).  (r12 verdict task 1.)
+# centroids, quantize posture).  Probe paths resolve the SAME store
+# every call (a retrieval service probes one generation thousands of
+# times between recluster events); re-parsing the centroid JSON per
+# probe is pure driver latency.  The manifest is still READ every call
+# (it is a ~16-byte file — reading it is the unambiguous generation
+# identity, where an mtime signature could collide across two rapid
+# swaps on a coarse-timestamp filesystem); the memo skips only the
+# sidecar parse, invalidated by the resolved directory changing
+# (recluster/compaction publish NEW version dirs), the sidecar file's
+# stat changing (first append creates it via atomic replace), or — when
+# the cached sidecar was the store-ROOT fallback — a higher-priority
+# data-dir sidecar appearing under the same generation (r13 ADVICE: a
+# hit that kept serving the root copy would silently invert the lookup
+# priority).  (r12 verdict task 1.)
 _RESOLVE_CACHE: dict[str, tuple] = {}
+
+
+def _resolve(
+    store_dir: str,
+) -> tuple[str, list[tuple[int, list[float]]], bool | None]:
+    """(data_dir, centroids, quantize posture) — see resolve_ann_store."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    data_dir = store_data_dir(store_dir)
+    preferred = os.path.join(data_dir, _CENTROIDS_FILE)
+    hit = _RESOLVE_CACHE.get(store_dir)
+    if (
+        hit is not None
+        and hit[0] == data_dir
+        and _stat_sig(hit[1]) == hit[2]
+        # root-fallback hits stay valid only while the preferred
+        # data-dir sidecar is still absent
+        and (hit[1] == preferred or _stat_sig(preferred) is None)
+    ):
+        return data_dir, hit[3], hit[4]
+    for path in (preferred, os.path.join(store_dir, _CENTROIDS_FILE)):
+        sig = _stat_sig(path)
+        loaded = _load_centroids_file(path)
+        if loaded is not None:
+            cents, quantize = loaded
+            if len(_RESOLVE_CACHE) >= 64:  # bound driver memory
+                _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
+            _RESOLVE_CACHE[store_dir] = (data_dir, path, sig, cents, quantize)
+            return data_dir, cents, quantize
+    _RESOLVE_CACHE.pop(store_dir, None)
+    raise ValueError(
+        f"ann store at {store_dir!r} has no {_CENTROIDS_FILE} — "
+        "append_ann_store writes it on first append; pass centroids "
+        "explicitly for a store built by other means"
+    )
 
 
 def resolve_ann_store(
@@ -149,33 +215,8 @@ def resolve_ann_store(
     The centroid-JSON parse is memoized per resolved generation (see
     ``_RESOLVE_CACHE``); the manifest itself is read every call, so a
     generation swap can never serve stale geometry."""
-    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
-
-    data_dir = store_data_dir(store_dir)
-    hit = _RESOLVE_CACHE.get(store_dir)
-    if (
-        hit is not None
-        and hit[0] == data_dir
-        and _stat_sig(hit[1]) == hit[2]
-    ):
-        return data_dir, hit[3]
-    for path in (
-        os.path.join(data_dir, _CENTROIDS_FILE),
-        os.path.join(store_dir, _CENTROIDS_FILE),
-    ):
-        sig = _stat_sig(path)
-        cents = _load_centroids_file(path)
-        if cents is not None:
-            if len(_RESOLVE_CACHE) >= 64:  # bound driver memory
-                _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
-            _RESOLVE_CACHE[store_dir] = (data_dir, path, sig, cents)
-            return data_dir, cents
-    _RESOLVE_CACHE.pop(store_dir, None)
-    raise ValueError(
-        f"ann store at {store_dir!r} has no {_CENTROIDS_FILE} — "
-        "append_ann_store writes it on first append; pass centroids "
-        "explicitly for a store built by other means"
-    )
+    data_dir, cents, _ = _resolve(store_dir)
+    return data_dir, cents
 
 
 def read_ann_centroids(store_dir: str) -> list[tuple[int, list[float]]]:
@@ -186,18 +227,25 @@ def read_ann_centroids(store_dir: str) -> list[tuple[int, list[float]]]:
 
 
 def _check_generation(
-    store_dir: str, centroids: list[tuple[int, list[float]]]
+    store_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    quantize: bool | None = None,
 ) -> None:
-    """First append records the centroid set; later appends must match
-    it EXACTLY (bitwise on the JSON round-trip) — rows assigned under a
-    different geometry silently corrupt every probe's cell pruning.
+    """First append records the centroid set AND the storage posture;
+    later appends must match both — centroids EXACTLY (bitwise on the
+    JSON round-trip; rows assigned under a different geometry silently
+    corrupt every probe's cell pruning), and ``quantize`` because a
+    generation's appends share ONE schema (the schema-memo soundness
+    condition: a quantized append into a float generation would read
+    back as NULL embedding columns, r13 ADVICE).  A legacy sidecar with
+    no recorded posture accepts either and records it on this append.
     The comparison reads through the generation resolution (embedded
     sidecar first), so an append racing a recluster is checked against
     whatever generation the manifest currently names."""
     try:
-        stored = read_ann_centroids(store_dir)
+        _, stored, stored_q = _resolve(store_dir)
     except ValueError:
-        write_ann_centroids(store_dir, centroids)
+        write_ann_centroids(store_dir, centroids, quantize=quantize)
         return
     given = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
     if stored != given:
@@ -205,6 +253,23 @@ def _check_generation(
             f"ann store at {store_dir!r}: centroids differ from the "
             "store's generation contract — re-clustering is a new "
             "generation (recluster_ann_store), not an append"
+        )
+    if quantize is None:
+        return
+    if stored_q is None:
+        # legacy store: adopt this append's posture into the contract,
+        # written WHERE the resolved sidecar lives (the data dir on a
+        # versioned store — a root write there would be shadowed)
+        sidecar_dir = os.path.dirname(_RESOLVE_CACHE[store_dir][1])
+        write_ann_centroids(sidecar_dir, centroids, quantize=quantize)
+        return
+    if bool(quantize) != stored_q:
+        raise ValueError(
+            f"ann store at {store_dir!r}: quantize={bool(quantize)} "
+            f"append into a quantize={stored_q} generation — a posture "
+            "change is a new generation (rebuild or recluster), not an "
+            "append (appended rows would read back NULL under the "
+            "generation's schema)"
         )
 
 
@@ -249,12 +314,14 @@ def append_ann_store(
 ) -> None:
     """Append one batch's index rows, partitioned by ``ivf_cell`` so
     probes partition-prune to their cells.  First append records the
-    centroid set; every later append verifies it (see module
-    docstring).  Resolves the store manifest per call, so appends land
-    in the generation a between-batch compaction published."""
+    centroid set and the ``quantize`` posture; every later append
+    verifies both (see module docstring — a posture flip would write a
+    second schema into the generation).  Resolves the store manifest
+    per call, so appends land in the generation a between-batch
+    compaction published."""
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
-    _check_generation(store_dir, centroids)
+    _check_generation(store_dir, centroids, quantize=quantize)
     build_ann_store(
         batch, centroids, id_col, vec_col, quantize, assign
     ).write.mode("append").partitionBy("ivf_cell").parquet(
@@ -286,14 +353,16 @@ def load_ann_store(
     ONE manifest read; default resolves the manifest here.
 
     The parquet SCHEMA is memoized for VERSIONED generation directories
-    only: a published ``_versions/<uuid>`` dir is immutable by
-    construction (recluster/compaction publish NEW uuid-named dirs), so
-    repeated probes skip the footer-inference job while the file
-    LISTING stays per-call.  Plain directories re-infer every load — an
-    in-place rebuild there (delete + rewrite, e.g. switching
-    ``quantize``) changes the schema under an unchanging path, and a
-    cached schema would silently NULL the missing columns instead of
-    erroring."""
+    only: a published ``_versions/<uuid>`` dir gains rows only through
+    ``append_ann_store``, whose generation contract now REJECTS a
+    posture flip (``_check_generation`` verifies ``quantize`` along
+    with the centroids, r13 ADVICE) — so every file in the directory
+    shares one schema and repeated probes skip the footer-inference
+    job while the file LISTING stays per-call.  Plain directories
+    re-infer every load — an in-place rebuild there (delete + rewrite,
+    e.g. switching ``quantize``) changes the schema under an unchanging
+    path, and a cached schema would silently NULL the missing columns
+    instead of erroring."""
     from jurimetria_etl_spark.sinks.maintenance import (
         _VERSIONS,
         store_data_dir,
@@ -316,6 +385,24 @@ def load_ann_store(
         )
     return df.dropDuplicates(["ivf_cell", id_col]).select(
         "ivf_cell", id_col, vec_col
+    )
+
+
+def ann_store_occupancy(
+    spark: SparkSession, store_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-cell distinct-row counts over the current generation —
+    ``(ivf_cell, n_rows)``, the drift monitor that decides WHEN to run
+    ``sinks.maintenance.split_cell`` (one hot cell) vs
+    ``recluster_ann_store`` (geometry-wide drift).  One partition-
+    parallel count keyed on the partition column; the replay fold is
+    applied so appended duplicates don't masquerade as occupancy."""
+    data_dir, _ = resolve_ann_store(store_dir)
+    return (
+        spark.read.parquet(data_dir)
+        .dropDuplicates(["ivf_cell", id_col])
+        .groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
 

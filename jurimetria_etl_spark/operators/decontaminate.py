@@ -66,6 +66,26 @@ def contaminated_predicate(
     )
 
 
+# Probe sets maybe_broadcast_probe persisted for its gating count, FIFO.
+# Bounded so a long-running service calling gates/audits repeatedly (the
+# per-batch streaming decontam loop, a funnel re-run per ingest) cannot
+# accumulate cached RDDs for the session's lifetime (r13 ADVICE): adding
+# past the cap unpersists the oldest — a still-lazy query over an evicted
+# set simply recomputes its (benchmark-sized) lineage.
+_PROBE_PERSIST_CAP = 4
+_PROBE_PERSISTS: list[DataFrame] = []
+
+
+def release_probe_sets() -> int:
+    """Unpersist every probe set the broadcast gate is still holding —
+    deterministic cleanup for services that want executor memory back
+    NOW rather than at FIFO eviction.  Returns how many were released."""
+    n = len(_PROBE_PERSISTS)
+    while _PROBE_PERSISTS:
+        _PROBE_PERSISTS.pop().unpersist(blocking=False)
+    return n
+
+
 def maybe_broadcast_probe(
     bench_set: DataFrame, broadcast_max_rows: int | None
 ):
@@ -74,12 +94,21 @@ def maybe_broadcast_probe(
     construction); a row threshold persists + counts the set, hints the
     broadcast only at-or-under it, and above it leaves the join to AQE's
     runtime stats instead of forcing an executor-OOM broadcast (the
-    ``spans._survivor_semi_filter`` posture)."""
+    ``spans._survivor_semi_filter`` posture).
+
+    The persist (which also lets the consuming join reuse the counted
+    set) is LIFECYCLE-BOUNDED: at most ``_PROBE_PERSIST_CAP`` gated sets
+    stay cached, oldest-evicted — repeated gate/audit calls in one
+    session can no longer grow executor storage without bound — and
+    ``release_probe_sets()`` drops them all on demand."""
     if broadcast_max_rows is None:
         return F.broadcast(bench_set)
     from pyspark import StorageLevel
 
     bench_set = bench_set.persist(StorageLevel.MEMORY_AND_DISK)
+    _PROBE_PERSISTS.append(bench_set)
+    while len(_PROBE_PERSISTS) > _PROBE_PERSIST_CAP:
+        _PROBE_PERSISTS.pop(0).unpersist(blocking=False)
     if bench_set.count() <= broadcast_max_rows:
         return F.broadcast(bench_set)
     return bench_set

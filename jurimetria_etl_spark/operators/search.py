@@ -564,6 +564,18 @@ def hybrid_search(
     from jurimetria_etl_spark.operators.similarity import cosine_topk_batch
 
     if text_index_dir is not None:
+        if id_col != "doc_id" or text_col != "text":
+            # same contract class as the fold_accents MUST-match note:
+            # the persisted index fixed its doc ids and tokenized text
+            # at BUILD time — accepting custom columns here would
+            # silently return the store's ids under the caller's naming
+            # (r13 ADVICE)
+            raise ValueError(
+                "hybrid_search: id_col/text_col are inline-path-only — "
+                "a text_index_dir store resolved them when it was "
+                "built (append_text_index's id_col/text_col); rebuild "
+                "the index for different columns"
+            )
         lex = bm25_search(
             load_text_index(
                 text_queries.sparkSession,

@@ -500,13 +500,199 @@ def recluster_ann_store(
     # Embed the generation's geometry INSIDE its version dir BEFORE the
     # publish — the manifest swap then flips data+centroids atomically
     # for resolve_ann_store readers.
-    write_ann_centroids(vdir, new_centroids)
+    write_ann_centroids(vdir, new_centroids, quantize=quantized)
     _publish(store, version)
-    write_ann_centroids(store, new_centroids)  # legacy-root fallback
+    # legacy-root fallback copy, posture included
+    write_ann_centroids(store, new_centroids, quantize=quantized)
     return {
         "skipped": False,
         "verified": True,
         "version": version,
+        "rows": new_rows,
+        "n_cells": len(new_centroids),
+        "quantized": quantized,
+    }
+
+
+def _link_tree_except(
+    src: str, dst: str, skip_top: set[str], skip_rel_dirs: set[str]
+) -> None:
+    """Hardlink ``src``'s data tree into ``dst``, skipping ``skip_top``
+    top-level names, any ``_``/``.``-prefixed entry (manifest internals,
+    sidecars, temp files — Spark's listing ignores them anyway), and any
+    relative directory in ``skip_rel_dirs``.  Hardlinks make a new
+    generation's untouched partitions FREE (same-filesystem inode
+    shares; parquet files are immutable, and ``store_prune`` unlinking
+    an old version never breaks the links).  Falls back to copy when
+    the filesystem refuses the link."""
+    for root, dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        rel = "" if rel == "." else rel
+        if rel == "":
+            dirs[:] = [
+                d
+                for d in dirs
+                if d not in skip_top
+                and not d.startswith(("_", "."))
+                and d not in skip_rel_dirs
+            ]
+        else:
+            dirs[:] = [
+                d
+                for d in dirs
+                if not d.startswith(("_", "."))
+                and os.path.join(rel, d) not in skip_rel_dirs
+            ]
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue
+            if rel == "" and name in skip_top:
+                continue
+            out_dir = os.path.join(dst, rel) if rel else dst
+            os.makedirs(out_dir, exist_ok=True)
+            s = os.path.join(root, name)
+            d = os.path.join(out_dir, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def split_cell(
+    spark: SparkSession,
+    store: str,
+    cell_id: int,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 5,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    assign: str = "auto",
+) -> dict:
+    """Targeted IVF cell split: re-Lloyd ONLY the hot cell's vectors
+    into ``k`` sub-cells and publish the result as a new generation —
+    the bounded remedy for single-cell occupancy drift (embedding
+    drift concentrating appends in one cell) that previously required
+    ``recluster_ann_store``'s full-store rewrite (r13 verdict task 5).
+
+    Cost is proportional to the HOT CELL, not the store: every other
+    cell's partition is HARDLINKED into the new version directory
+    (same-filesystem inode shares — no data movement), only the split
+    cell's rows are read (partition-pruned scan), k-means-ed
+    (``similarity.train_ivf_centroids`` on just those vectors,
+    dequantized when the store is quantized), re-assigned among the k
+    NEW sub-centroids, and rewritten.  The split cell's replay
+    duplicates are folded while we're here (``load_ann_store``'s
+    ``(ivf_cell, id)`` dedup made durable for that cell); other cells'
+    files are byte-identical.
+
+    Geometry: the new centroid set drops ``cell_id`` and appends the k
+    sub-centroids under FRESH ids (max existing id + 1..k) — occupancy
+    probes see the split explicitly, and no partition directory is
+    ever reused across meanings.  Assignment among ONLY the k
+    sub-centroids is a restricted Voronoi refinement: rows stay inside
+    the old cell's region, so a probe that ranked the old cell now
+    ranks its sub-cells by the same geometry (the sub-centroids live
+    inside the old cell's region) — global re-optimality across ALL
+    cells remains ``recluster_ann_store``'s job.  Publish order matches
+    it: rows verified against the expected count, new ``_CENTROIDS``
+    embedded in the version dir BEFORE the manifest swap, store-root
+    copy refreshed after (legacy fallback).  Run in the maintenance
+    window for writer coordination, same as every swap here."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.ann_store import (
+        resolve_ann_store,
+        write_ann_centroids,
+    )
+    from jurimetria_etl_spark.operators.semdedup import _assign_cells
+    from jurimetria_etl_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+        train_ivf_centroids,
+    )
+
+    if k < 2:
+        raise ValueError(f"split_cell: k={k} — a split needs k >= 2")
+    src, centroids = resolve_ann_store(store)
+    by_id = dict(centroids)
+    if int(cell_id) not in by_id:
+        raise ValueError(
+            f"split_cell: cell {cell_id} not in the store's centroid set "
+            f"(cells: {sorted(by_id)})"
+        )
+    cur = spark.read.parquet(src)
+    quantized = "q" in cur.columns and vec_col not in cur.columns
+    hot_raw = cur.where(F.col("ivf_cell") == int(cell_id))
+    total_raw = cur.count()
+    hot_raw_n = hot_raw.count()
+    folded = hot_raw.dropDuplicates(["ivf_cell", id_col]).drop("ivf_cell")
+    hot_n = folded.count()
+    if hot_n < k:
+        raise ValueError(
+            f"split_cell: cell {cell_id} holds {hot_n} distinct rows — "
+            f"cannot split into k={k} sub-cells"
+        )
+    work = (
+        dequantize_embeddings_int8(folded, vec_col=vec_col)
+        if quantized
+        else folded
+    )
+    # k-means over the hot cell only, then relabel 0..k-1 to fresh ids
+    sub = train_ivf_centroids(
+        work, n_cells=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    next_id = max(by_id) + 1
+    sub_cents = [(next_id + i, vec) for i, (_, vec) in enumerate(sub)]
+    new_centroids = sorted(
+        [(cid, vec) for cid, vec in centroids if cid != int(cell_id)]
+        + sub_cents
+    )
+    # restricted assignment: nearest of the k sub-centroids only
+    payload = ["q", "q_scale"] if quantized else [vec_col]
+    reassigned = _assign_cells(work, sub_cents, vec_col, assign).select(
+        F.col("sem_cluster").alias("ivf_cell"), id_col, *payload
+    )
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(store, _VERSIONS, version)
+    os.makedirs(vdir, exist_ok=True)
+    _link_tree_except(
+        src,
+        vdir,
+        skip_top={_MANIFEST},
+        skip_rel_dirs={_VERSIONS, f"ivf_cell={int(cell_id)}"},
+    )
+    hot_bytes = dir_stats(os.path.join(src, f"ivf_cell={int(cell_id)}"))[1]
+    n_out = max(1, math.ceil(hot_bytes / target_file_bytes))
+    (
+        reassigned.repartition(n_out, "ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(vdir)
+    )
+    expected = (total_raw - hot_raw_n) + hot_n
+    new_rows = _rows_in(spark, vdir)
+    if new_rows != expected:
+        shutil.rmtree(vdir, ignore_errors=True)
+        return {
+            "skipped": True,
+            "verified": False,
+            "reason": (
+                f"rewrite rows {new_rows} != expected {expected} "
+                f"(untouched {total_raw - hot_raw_n} + folded hot {hot_n})"
+            ),
+        }
+    _copy_sidecars(src, vdir)
+    write_ann_centroids(vdir, new_centroids, quantize=quantized)
+    _publish(store, version)
+    # legacy-root fallback copy, posture included
+    write_ann_centroids(store, new_centroids, quantize=quantized)
+    return {
+        "skipped": False,
+        "verified": True,
+        "version": version,
+        "split_cell": int(cell_id),
+        "new_cells": [cid for cid, _ in sub_cents],
+        "rows_moved": hot_n,
         "rows": new_rows,
         "n_cells": len(new_centroids),
         "quantized": quantized,

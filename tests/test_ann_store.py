@@ -397,10 +397,9 @@ def test_recluster_swaps_data_and_centroids_atomically(spark, tmp_path):
     layout — while a fresh resolution gets (new data dir, new
     centroids) from one manifest read.  Appends and probes keep
     working against the current generation."""
-    import json as _json
-
     from jurimetria_etl_spark.operators.ann_store import (
         _CENTROIDS_FILE,
+        _load_centroids_file,
         resolve_ann_store,
     )
     from jurimetria_etl_spark.sinks.maintenance import compact_store
@@ -421,9 +420,10 @@ def test_recluster_swaps_data_and_centroids_atomically(spark, tmp_path):
 
     # a reader still holding the OLD generation: its directory and its
     # embedded geometry are both intact and still paired
-    with open(os.path.join(old_dir, _CENTROIDS_FILE)) as f:
-        held = [(int(c), [float(x) for x in v]) for c, v in _json.load(f)]
-    assert held == CENTROIDS
+    held, held_q = _load_centroids_file(
+        os.path.join(old_dir, _CENTROIDS_FILE)
+    )
+    assert held == CENTROIDS and held_q is False
     assert spark.read.parquet(old_dir).count() == len(ROWS)
 
     # a fresh resolution: new dir + new centroids from ONE manifest read
@@ -478,3 +478,72 @@ def test_versioned_store_schema_memo_survives_appends(spark, tmp_path):
     extra = [(10_000, ROWS[0][1])]
     append_ann_store(_emb(spark, extra), d, CENTROIDS)
     assert load_ann_store(spark, d).count() == n0 + 1
+
+
+def test_mixed_posture_append_rejected(spark, tmp_path):
+    """r13 ADVICE: the generation contract records the quantize posture —
+    a quantized append into a float generation (or vice versa) would
+    write a SECOND schema into the directory and read back as NULL
+    columns under the memoized schema; it must be an immediate error."""
+    d = _store(spark, tmp_path, name="posture")  # float generation
+    with pytest.raises(ValueError, match="quantize"):
+        append_ann_store(_emb(spark, BATCH1), d, CENTROIDS, quantize=True)
+    dq = _store(spark, tmp_path, name="postureq", quantize=True)
+    with pytest.raises(ValueError, match="quantize"):
+        append_ann_store(_emb(spark, BATCH1), dq, CENTROIDS, quantize=False)
+
+
+def test_legacy_sidecar_adopts_posture_on_append(spark, tmp_path):
+    """A pre-r14 store (bare-list sidecar, posture unknown) must keep
+    accepting appends; the first r14 append records its posture into
+    the contract, after which a flip is rejected."""
+    import json as _json
+
+    from jurimetria_etl_spark.operators.ann_store import (
+        _CENTROIDS_FILE,
+        _load_centroids_file,
+    )
+
+    d = _store(spark, tmp_path, name="legacy")
+    # rewrite the sidecar to the legacy bare-list form
+    path = os.path.join(str(tmp_path / "legacy"), _CENTROIDS_FILE)
+    with open(path, "w") as f:
+        _json.dump([[c, v] for c, v in CENTROIDS], f)
+    assert _load_centroids_file(path)[1] is None
+    append_ann_store(_emb(spark, BATCH1), d, CENTROIDS)  # adopted
+    assert _load_centroids_file(path)[1] is False
+    with pytest.raises(ValueError, match="quantize"):
+        append_ann_store(_emb(spark, BATCH1), d, CENTROIDS, quantize=True)
+
+
+def test_resolve_memo_prefers_fresh_data_dir_sidecar(spark, tmp_path):
+    """r13 ADVICE: a memoized store-root-fallback resolution must not
+    keep serving the root sidecar after a HIGHER-priority data-dir
+    sidecar appears under the same generation."""
+    from jurimetria_etl_spark.operators.ann_store import (
+        _CENTROIDS_FILE,
+        resolve_ann_store,
+        write_ann_centroids,
+    )
+    from jurimetria_etl_spark.sinks.maintenance import (
+        _VERSIONS,
+        _publish,
+    )
+
+    d = str(tmp_path / "prio")
+    version = "gen000000001"
+    vdir = os.path.join(d, _VERSIONS, version)
+    os.makedirs(vdir)
+    _emb(spark, BATCH0).limit(0).write.parquet(vdir, mode="overwrite")
+    _publish(d, version)
+    # only the store-root fallback sidecar exists → memoized from root
+    write_ann_centroids(d, CENTROIDS)
+    dd, cents = resolve_ann_store(d)
+    assert dd == vdir and cents == CENTROIDS
+    # the preferred data-dir sidecar appears (e.g. a late embed) with
+    # DIFFERENT content — a fresh resolution must pick it up, memo hit
+    # or not
+    other = [(c, [x + 1.0 for x in v]) for c, v in CENTROIDS]
+    write_ann_centroids(vdir, other)
+    _, cents2 = resolve_ann_store(d)
+    assert cents2 == other

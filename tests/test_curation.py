@@ -705,3 +705,32 @@ def test_funnel_span_axis_joins_hit_set_not_report(spark):
     assert "n_bench_docs" not in plan
     row = funnel.collect()[0].asDict()
     assert row["n_docs"] == 2 and row["n_span_clean"] == 1
+
+
+def test_probe_persist_lifecycle_is_bounded(spark):
+    """r13 ADVICE: the broadcast gate's persisted probe sets must not
+    accumulate for the session's lifetime — FIFO-bounded at the cap,
+    and release_probe_sets() drops them all."""
+    from jurimetria_etl_spark.operators.decontaminate import (
+        _PROBE_PERSIST_CAP,
+        _PROBE_PERSISTS,
+        maybe_broadcast_probe,
+        release_probe_sets,
+    )
+
+    release_probe_sets()
+    frames = []
+    for i in range(_PROBE_PERSIST_CAP + 2):
+        df = spark.range(10 + i).withColumnRenamed("id", "__bench_sh")
+        frames.append(df)
+        maybe_broadcast_probe(df, broadcast_max_rows=5)
+    assert len(_PROBE_PERSISTS) == _PROBE_PERSIST_CAP
+    # the evicted (oldest) sets are no longer cached; the newest are
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[-1].storageLevel.useMemory is True
+    assert release_probe_sets() == _PROBE_PERSIST_CAP
+    assert not _PROBE_PERSISTS
+    assert frames[-1].storageLevel.useMemory is False
+    # the None posture never persists (unconditional broadcast hint)
+    out = maybe_broadcast_probe(spark.range(3), None)
+    assert not _PROBE_PERSISTS and out is not None

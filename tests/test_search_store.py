@@ -426,3 +426,27 @@ def test_hybrid_store_backed_accent_folding_matches_index(spark, tmp_path):
     scores_f = {r["doc_id"]: r["rrf_score"] for r in folded.collect()}
     scores_u = {r["doc_id"]: r["rrf_score"] for r in unfolded.collect()}
     assert scores_f[0] > scores_u[0]
+
+
+def test_store_backed_lexical_rejects_custom_columns(spark, tmp_path):
+    """r13 ADVICE: the persisted text index fixed id/text columns at
+    build time — hybrid_search(text_index_dir=…) with custom
+    id_col/text_col must raise instead of silently returning the
+    store's doc ids under the caller's naming."""
+    import pytest as _pytest
+
+    from jurimetria_etl_spark.operators.search import hybrid_search
+
+    tq = spark.createDataFrame(
+        [(0, "any query")], "query_id bigint, query string"
+    )
+    pq = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id bigint, probe array<double>"
+    )
+    with _pytest.raises(ValueError, match="inline-path-only"):
+        hybrid_search(
+            None, None, tq, pq,
+            id_col="case_id",
+            text_index_dir=str(tmp_path / "tix"),
+            ann_store_dir=str(tmp_path / "ann"),
+        )

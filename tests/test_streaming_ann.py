@@ -275,3 +275,73 @@ def test_hybrid_search_ann_swap_equals_exact_at_full_probe(spark, ran):
             ).withColumnRenamed("doc_id", "vec_id"),
         )
 
+
+
+def test_stream_built_stores_serve_same_hybrid_ranking(spark, tmp_path):
+    """r13 verdict task 6 — the production loop closed end-to-end:
+    ingest stream → maintained stores → store-backed retrieval.
+    ``hybrid_search(text_index_dir=…, ann_store_dir=…)`` against stores
+    built BY the streaming pipeline (``curate_document_stream`` with
+    both store dirs) must return the same fused ranking as against
+    batch-built stores over the same curated corpus."""
+    from jurimetria_etl_spark.operators.ann_store import append_ann_store
+    from jurimetria_etl_spark.operators.search import (
+        append_text_index,
+        hybrid_search,
+    )
+
+    flat = str(tmp_path / "flat")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, BATCH0), flat, "000", base_t)
+    _drop(_docs(spark, BATCH1), flat, "001", base_t + 600)
+    dirs = {
+        n: str(tmp_path / n)
+        for n in ("corpus", "fps", "sigs", "ckpt", "ann", "tindex")
+    }
+    q = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        ann_store_dir=dirs["ann"],
+        ann_centroids=CENTS,
+        text_index_dir=dirs["tindex"],
+    )
+    assert q.awaitTermination(180)
+
+    # batch-built equivalents over the SAME curated corpus
+    corpus = spark.read.parquet(store_data_dir(dirs["corpus"]))
+    bidx = str(tmp_path / "batch_tindex")
+    append_text_index(corpus.select("doc_id", "text"), bidx)
+    bann = str(tmp_path / "batch_ann")
+    append_ann_store(
+        corpus.select("doc_id", "embedding"), bann, CENTS, id_col="doc_id"
+    )
+
+    tq = spark.createDataFrame(
+        [(1, "unique text alpha"), (2, "novel document")],
+        "query_id int, query_text string",
+    )
+    pq = [
+        (1, [float(x) for x in V[0]]),
+        (2, [float(x) for x in V[3]]),
+    ]
+    common = dict(
+        k_each=3, topk=3,
+        vec_id_col="doc_id",
+        ann_n_probe=len(CENTS),
+        probe_schema="query_id int, probe array<double>",
+    )
+    stream_served = hybrid_search(
+        None, None, tq, pq,
+        text_index_dir=dirs["tindex"], ann_store_dir=dirs["ann"],
+        **common,
+    )
+    batch_served = hybrid_search(
+        None, None, tq, pq,
+        text_index_dir=bidx, ann_store_dir=bann,
+        **common,
+    )
+    got = sorted(map(tuple, stream_served.collect()))
+    want = sorted(map(tuple, batch_served.collect()))
+    assert got == want and got
+    # both rankings actually cover every query (not vacuously equal)
+    assert {r[0] for r in got} == {1, 2}
