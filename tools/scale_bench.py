@@ -269,11 +269,86 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
         return result
 
+    # r14: the split-vs-recluster maintenance contrast.  Both rows copy
+    # the cached scaled-cells store via hardlinks (metadata-only), run
+    # ONE maintenance op on the copy, and return a tiny literal frame —
+    # the timing is the op itself.  With cells ∝ corpus (occupancy held
+    # ~125), split_cell's work is ONE cell → expect a near-flat
+    # exponent; recluster_ann_store reads + rewrites every row → expect
+    # ~linear.  The pair is the measured form of split_cell's "bounded
+    # remedy" claim.
+    _hot_cell_memo: dict[str, int] = {}
+
+    def _copied_scaled_store(spark, sf_dir):
+        import shutil as _sh
+        import tempfile as _tf
+
+        from jurimetria_etl_spark.plans.extensions import _ann_store_dir
+        from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        n_cells = max(16, emb.count() // 125)
+        base, cents = _ann_store_dir(spark, sf_dir, n_cells=n_cells)
+        tmp = _tf.mkdtemp(prefix="ann_maint_scale_")
+        store = os.path.join(tmp, "store")
+        _sh.copytree(base, store, copy_function=os.link)
+        return tmp, store, cents
+
+    def ann_split_hot_cell(spark, sf_dir):
+        import shutil as _sh
+
+        from pyspark.sql import functions as F
+
+        from jurimetria_etl_spark.operators.ann_store import (
+            ann_store_occupancy,
+        )
+        from jurimetria_etl_spark.sinks.maintenance import split_cell
+
+        tmp, store, _ = _copied_scaled_store(spark, sf_dir)
+        hot = _hot_cell_memo.get(sf_dir)
+        if hot is None:
+            # hot-cell election is the monitor's job, not the split's —
+            # memoized so only the discarded cold run pays the scan
+            hot = int(
+                ann_store_occupancy(spark, store)
+                .orderBy(F.col("n_rows").desc(), F.col("ivf_cell"))
+                .first()["ivf_cell"]
+            )
+            _hot_cell_memo[sf_dir] = hot
+        rep = split_cell(spark, store, hot, k=2)
+        _sh.rmtree(tmp, ignore_errors=True)
+        assert rep["verified"], rep
+        return spark.createDataFrame(
+            [(rep["rows_moved"], rep["n_cells"])],
+            "rows_moved long, n_cells long",
+        )
+
+    def ann_recluster_full(spark, sf_dir):
+        import shutil as _sh
+
+        from jurimetria_etl_spark.sinks.maintenance import (
+            recluster_ann_store,
+        )
+
+        tmp, store, cents = _copied_scaled_store(spark, sf_dir)
+        # same geometry, nudged — the cost is the full-store rewrite
+        new_cents = [
+            (cid, [x + 0.001 for x in v]) for cid, v in cents
+        ]
+        rep = recluster_ann_store(spark, store, new_cents)
+        _sh.rmtree(tmp, ignore_errors=True)
+        assert rep["verified"], rep
+        return spark.createDataFrame(
+            [(rep["rows"], rep["n_cells"])], "rows long, n_cells long"
+        )
+
     extra: dict = {
         "knn_join_top5": knn_join_top5,
         "semdedup_scaled": semdedup_scaled,
         "ann_store_scaled_cells": ann_store_scaled_cells,
         "streaming_audited_funnel": streaming_audited_funnel,
+        "ann_split_hot_cell": ann_split_hot_cell,
+        "ann_recluster_full": ann_recluster_full,
     }
 
     # Optional name filter: `python tools/scale_bench.py <name> …`
