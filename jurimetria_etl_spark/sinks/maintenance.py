@@ -699,6 +699,88 @@ def split_cell(
     }
 
 
+def maintain_ann_store(
+    spark: SparkSession,
+    store: str,
+    occupancy_factor: float = 4.0,
+    max_splits: int = 4,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+    prune_previous: bool = True,
+) -> dict:
+    """One maintenance-window pass for a persisted IVF ANN store —
+    ``maintain_stores``'s posture specialized to the cell layout:
+    prune the generations the previous pass left, compact WITH
+    ``partition_cols=["ivf_cell"]`` (the generic entry point's
+    unpartitioned rewrite would destroy the probe-pruning layout), then
+    apply the occupancy-drift policy: any cell holding more than
+    ``occupancy_factor`` × the median cell's distinct rows (and big
+    enough to split) is ``split_cell``-ed into ``k`` sub-cells, hottest
+    first, at most ``max_splits`` per pass.  Each split is its own
+    verified atomic generation publish, so a crash between splits
+    leaves a fully consistent store; a pass on a balanced store splits
+    nothing (idempotent-cheap, schedulable blindly — the
+    ``compact_parquet`` rule).  Geometry-WIDE drift (every cell's
+    centroid stale) is still ``recluster_ann_store``'s job; this pass
+    handles the localized form — embedding drift concentrating appends
+    in one region — at hot-cell cost (measured exponent 0.00 vs the
+    full recluster's 0.49, SCALE.md r14).
+
+    Returns {pruned, compaction, occupancy_median, splits: [per-split
+    reports]}."""
+    from jurimetria_etl_spark.operators.ann_store import (
+        ann_store_occupancy,
+    )
+
+    pruned = store_prune(store) if prune_previous else []
+    compaction = compact_store(
+        spark,
+        store,
+        target_file_bytes=target_file_bytes,
+        min_files_to_compact=min_files_to_compact,
+        partition_cols=["ivf_cell"],
+    )
+    occ = {
+        int(r["ivf_cell"]): int(r["n_rows"])
+        for r in ann_store_occupancy(spark, store, id_col=id_col).collect()
+    }
+    counts = sorted(occ.values())
+    # LOWER median: with few cells the upper median is dragged up by the
+    # hot cell itself (a 2-cell store could never flag), and at many
+    # cells the two are indistinguishable — bias toward detection
+    median = counts[(len(counts) - 1) // 2] if counts else 0
+    hot = sorted(
+        (
+            (cid, n)
+            for cid, n in occ.items()
+            if median > 0 and n > occupancy_factor * median and n >= 2 * k
+        ),
+        key=lambda cn: (-cn[1], cn[0]),
+    )[:max_splits]
+    splits = [
+        split_cell(
+            spark,
+            store,
+            cid,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            target_file_bytes=target_file_bytes,
+        )
+        for cid, _ in hot
+    ]
+    return {
+        "pruned": len(pruned),
+        "compaction": compaction,
+        "occupancy_median": median,
+        "n_cells": len(occ),
+        "splits": splits,
+    }
+
+
 def store_prune(store: str) -> list[str]:
     """Delete every non-current generation: old version directories and —
     once a manifest exists — the legacy root files a plain-dir upgrade

@@ -156,3 +156,41 @@ def test_split_contract_errors(spark, tmp_path):
         split_cell(spark, d, 42)
     with pytest.raises(ValueError, match="cannot split"):
         split_cell(spark, d, 0, k=11)  # cell 0 holds only 10 rows
+
+
+def test_maintain_ann_store_splits_hot_cell_only(spark, tmp_path):
+    """Occupancy-driven upkeep: one pass prunes + compacts (cell-
+    partitioned) + splits only the drifted cell; a second pass on the
+    now-balanced store splits nothing (idempotent-cheap); full-probe
+    results are unchanged throughout."""
+    from jurimetria_etl_spark.sinks.maintenance import maintain_ann_store
+
+    d = _build(spark, tmp_path, name="maint")
+    # drift: 40 more vectors pile into cell 1's region
+    drift = [
+        (
+            7000 + i,
+            [
+                float(x)
+                for x in np.array([0.0, 10.0, (3.0 if i % 2 else -3.0), 0.0])
+                + RNG.normal(0, 0.05, DIM)
+            ],
+        )
+        for i in range(40)
+    ]
+    append_ann_store(_emb(spark, drift), d, CENTROIDS)
+    before_full = _topk(spark, d, n_probe=2, k=8)
+
+    rep = maintain_ann_store(spark, d, occupancy_factor=2.0, k=2)
+    assert rep["compaction"]["verified"]
+    assert len(rep["splits"]) == 1 and rep["splits"][0]["verified"]
+    assert rep["splits"][0]["split_cell"] == 1  # the drifted cell
+    cells = sorted(c for c, _ in read_ann_centroids(d))
+    assert cells == [0, 2, 3]
+    assert _topk(spark, d, n_probe=3, k=8) == before_full
+
+    rep2 = maintain_ann_store(spark, d, occupancy_factor=2.0, k=2)
+    assert rep2["splits"] == []  # balanced now — nothing to do
+    assert _topk(spark, d, n_probe=3, k=8) == before_full
+    # the pass pruned the pre-maintenance generations
+    assert rep2["pruned"] >= 1
