@@ -8,6 +8,7 @@ from jurimetria_etl_spark.operators.ann_store import (  # noqa: F401
     ann_ivf_topk_batch,
     ann_ivf_topk_store,
     ann_ivf_topk_store_batch,
+    ann_store_occupancy,
     append_ann_store,
     build_ann_store,
     load_ann_store,
