@@ -271,7 +271,14 @@ def remeasure_flagged(
         if isinstance(p, (int, float)) and p > 0 and m > 0:
             r = round(m / p, 2)
             rec["delta_vs_prev"] = r
-            rec["still_flagged"] = bool(r > flag_ratio or r < 1 / flag_ratio)
+            # the direction matters downstream: a quiet-pass delta still
+            # ABOVE the ratio is a code-attributable REGRESSION; one
+            # still below 1/ratio is an improvement (e.g. a load wave
+            # inflated the PREVIOUS round's baseline) — only the former
+            # is a problem signal
+            rec["still_regressed"] = bool(r > flag_ratio)
+            rec["still_improved"] = bool(r < 1 / flag_ratio)
+            rec["still_flagged"] = rec["still_regressed"] or rec["still_improved"]
         out[name] = rec
     return out
 
@@ -608,10 +615,15 @@ def main() -> None:
         summary["warm_delta_flagged"] = len(flagged)
         summary["warm_delta_worst"] = f"{worst}:{flagged[worst]}"
     if remeasured:
-        # how many flags SURVIVED the quiet pass — the code-attributable
-        # count; the per-query map rides in BENCH_DETAIL.json
-        summary["flagged_still_after_quiet"] = sum(
-            1 for r in remeasured.values() if r.get("still_flagged")
+        # the problem signal: flags that are still REGRESSIONS under
+        # quiet load (code-attributable); improvements that persist are
+        # reported separately — both per-query maps ride in
+        # BENCH_DETAIL.json
+        summary["flagged_still_regressed_after_quiet"] = sum(
+            1 for r in remeasured.values() if r.get("still_regressed")
+        )
+        summary["flagged_still_improved_after_quiet"] = sum(
+            1 for r in remeasured.values() if r.get("still_improved")
         )
     if errors:
         summary["n_errors"] = len(errors)

@@ -172,9 +172,12 @@ def test_remeasure_flagged_waits_for_quiet_then_separates_noise():
     assert sorted(set(calls)) == ["q_noise", "q_real"]
     assert len(calls) == 6  # 3 passes each, flagged queries only
     assert out["q_noise"]["still_flagged"] is False
+    assert out["q_noise"]["still_regressed"] is False
     assert out["q_noise"]["delta_vs_prev"] == 1.05
     assert out["q_noise"]["first_pass_delta"] == 5.78
     assert out["q_real"]["still_flagged"] is True
+    assert out["q_real"]["still_regressed"] is True
+    assert out["q_real"]["still_improved"] is False
     assert out["q_real"]["delta_vs_prev"] == 2.0
     assert out["q_noise"]["waited_sec"] == 20.0
 
@@ -196,6 +199,7 @@ def test_remeasure_flagged_quiet_wait_is_bounded():
     )
     assert sum(slept) == 30.0
     assert out["q"]["warm"] == 1.0 and out["q"]["still_flagged"] is False
+    assert out["q"]["still_regressed"] is False
 
 
 def test_remeasure_flagged_survives_a_broken_query():
@@ -215,3 +219,20 @@ def test_remeasure_flagged_survives_a_broken_query():
     )
     assert "error" in out["q_bad"]
     assert out["q_ok"]["warm"] == 1.0
+
+
+def test_remeasure_distinguishes_persistent_improvement():
+    """An improvement that persists under quiet load (the prior round's
+    baseline was load-inflated) must read as still_improved, never as a
+    surviving regression."""
+    from bench import remeasure_flagged
+
+    out = remeasure_flagged(
+        flagged={"q": 0.23},
+        base_warm={"q": 10.0},
+        run_query=lambda name: 2.0,
+        get_load1m=lambda: 1.0,
+        sleep=lambda s: None,
+    )
+    assert out["q"]["still_improved"] is True
+    assert out["q"]["still_regressed"] is False
