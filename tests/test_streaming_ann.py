@@ -345,3 +345,72 @@ def test_stream_built_stores_serve_same_hybrid_ranking(spark, tmp_path):
     assert got == want and got
     # both rankings actually cover every query (not vacuously equal)
     assert {r[0] for r in got} == {1, 2}
+
+
+def test_split_cell_between_streams_then_resume(spark, tmp_path):
+    """The split_cell maintenance-window lifecycle (r14): curate a
+    batch → stop → split the hot cell → resume the stream handing the
+    SPLIT generation's centroids (read back from the store — the
+    published sidecar IS the handoff).  Resumed appends pass the
+    generation guard, pre- and post-split survivors serve from one
+    store, and appends under the PRE-split set are refused."""
+    from jurimetria_etl_spark.operators.ann_store import (
+        ann_store_occupancy,
+        append_ann_store,
+    )
+    from jurimetria_etl_spark.sinks.maintenance import split_cell
+
+    flat = str(tmp_path / "flat_s")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, BATCH0), flat, "000", base_t)
+    dirs = {
+        n: str(tmp_path / f"{n}_s")
+        for n in ("corpus", "fps", "sigs", "ckpt", "ann")
+    }
+    q = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        ann_store_dir=dirs["ann"],
+        ann_centroids=CENTS,
+    )
+    assert q.awaitTermination(180)
+    occupied = {
+        r["ivf_cell"]: r["n_rows"]
+        for r in ann_store_occupancy(
+            spark, dirs["ann"], id_col="doc_id"
+        ).collect()
+    }
+    hot = max(occupied, key=lambda c: (occupied[c], c))
+    if occupied[hot] < 2:
+        pytest.skip("fixture landed <2 docs per cell — nothing to split")
+    rep = split_cell(spark, dirs["ann"], hot, k=2, id_col="doc_id")
+    assert rep["verified"]
+    split_cents = read_ann_centroids(dirs["ann"])
+
+    _drop(_docs(spark, BATCH1), flat, "001", base_t + 600)
+    q2 = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        ann_store_dir=dirs["ann"],
+        ann_centroids=split_cents,
+    )
+    assert q2.awaitTermination(180)
+    indexed = load_ann_store(spark, dirs["ann"], id_col="doc_id")
+    assert {r.doc_id for r in indexed.collect()} == {0, 1, 2, 11}
+    assert hot not in {r["ivf_cell"] for r in indexed.collect()}
+    top = ann_ivf_topk_store(
+        spark, dirs["ann"], [float(x) for x in V[1]],
+        k=1, n_probe=len(split_cents), id_col="doc_id",
+    ).first()
+    assert top["doc_id"] == 1 and top["cos_sim"] == 1.0
+    # the pre-split generation is dead: its centroid set is refused
+    with pytest.raises(ValueError, match="generation"):
+        append_ann_store(
+            spark.createDataFrame(
+                [(99, [float(x) for x in V[5]])],
+                "doc_id bigint, embedding array<double>",
+            ),
+            dirs["ann"],
+            CENTS,
+            id_col="doc_id",
+        )
