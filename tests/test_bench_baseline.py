@@ -236,3 +236,39 @@ def test_remeasure_distinguishes_persistent_improvement():
     )
     assert out["q"]["still_improved"] is True
     assert out["q"]["still_regressed"] is False
+
+
+def test_shed_keeps_map_over_quiet_counts():
+    """The quiet-pass counts must never cost the per-query map: on an
+    overflowing line the improved count sheds first, then the
+    regression count, and the map survives."""
+    import json
+
+    from bench import shed_to_fit
+
+    timings = {f"x{i:02d}_query_name_abc": 1.234 for i in range(58)}
+
+    s = {
+        "metric": "headline_queries_wall_clock",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": 0.1,
+        "n_queries": 58,
+        "warm_total_sec": 82.619,
+        "duckdb_total_sec": 54.603,
+        "warm_vs_duckdb_ratio": 1.513,
+        "sf1_source": "live",
+        "sf1_warm_total_sec": 162.731,
+        "sf1_duckdb_total_sec": 407.808,
+        "sf1_warm_vs_duckdb_ratio": 0.399,
+        "loadavg1m": [7.72, 3.76],
+        "warm_delta_flagged": 6,
+        "warm_delta_worst": "x20_pack_shards:0.23",
+        "quiet_still_regressed": 0,
+        "quiet_still_improved": 5,
+    }
+    out = json.loads(shed_to_fit(s, timings, limit=1900))
+    assert len(out["queries"]) == 58, "map must survive the quiet counts"
+    # worst-mover string sheds before the quiet counts are touched
+    assert "warm_delta_worst" not in out
