@@ -391,6 +391,7 @@ def semdedup_incremental(
     max_cluster_rows: int = 200_000,
     block: int = 1024,
     assign: str = "auto",
+    static_prune: bool = False,
 ) -> DataFrame:
     """Cross-batch SemDeDup: the batch rows kept against the persisted
     store AND each other.  A batch row is dropped iff cosine >= ``eps``
@@ -407,7 +408,16 @@ def semdedup_incremental(
     Plan: assign the batch (narrow map), rank it (one window), union
     with the store's matching cells (read partition-pruned when the
     store is ``sem_cluster``-partitioned), one per-cell Arrow scan.
-    Only cells the batch touches are ever read or scanned."""
+    Only cells the batch touches are ever read or scanned.
+
+    ``static_prune=True`` makes that pruning CONTRACTUAL instead of
+    dynamic-partition-pruning luck (the ann-store posture,
+    ``prune_cells``): the batch's cell set is collected (one bounded
+    action — ≤ len(centroids) ints over a narrow assignment of the
+    batch) and applied to the store as a literal ``isin``, which is a
+    partition filter by construction on the partitioned layout the
+    streaming writer produces.  Never changes the result — the
+    semi-join below keeps exactly the same cells either way."""
     b = _assign_cells(
         widen_partitions(batch), centroids, vec_col, assign
     )
@@ -424,6 +434,12 @@ def semdedup_incremental(
     # prune the store to the batch's cells before the union — at 100 TB
     # the store is corpus-sized and a batch touches few cells
     cells = b.select("sem_cluster").distinct()
+    if static_prune:
+        store = store.where(
+            F.col("sem_cluster").isin(
+                sorted(int(r["sem_cluster"]) for r in cells.collect())
+            )
+        )
     st = (
         store.join(F.broadcast(cells), "sem_cluster", "left_semi")
         .select(

@@ -8,6 +8,7 @@ from jurimetria_etl_spark.sinks.maintenance import (  # noqa: F401
     recluster_ann_store,
     recluster_semdedup_store,
     split_cell,
+    split_semdedup_cell,
     store_prune,
 )
 from jurimetria_etl_spark.sinks.writers import (  # noqa: F401

@@ -699,6 +699,142 @@ def split_cell(
     }
 
 
+def split_semdedup_cell(
+    spark: SparkSession,
+    store: str,
+    centroids: list[tuple[int, list[float]]],
+    cell_id: int,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 5,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    assign: str = "auto",
+) -> dict:
+    """``split_cell``'s SemDeDup-store sibling: re-Lloyd one hot cell's
+    survivor vectors into ``k`` sub-cells under fresh ids, hardlink
+    every other cell's partition into a new generation, and publish —
+    the bounded remedy for a single drifted cell where
+    ``recluster_semdedup_store`` would rewrite the whole store.
+
+    The SemDeDup store has NO centroid sidecar — the caller owns the
+    set (the ``semdedup_incremental`` contract) — so the current set is
+    an argument and the split set comes back in the report
+    (``new_centroids``): hand exactly that list to every subsequent
+    ``semdedup_incremental`` / ``curate_document_stream`` call, the
+    same handoff ``recluster_semdedup_store`` documents.  Semantics are
+    recluster's accepted trade: the survivor SET is untouched, only
+    cell membership moves, so future near-dups of a survivor are caught
+    iff they assign to its (sub-)cell — on drifted-cell geometry the
+    sub-centroids are strictly closer to their rows than the stale
+    parent was.
+
+    Requires the CELL-PARTITIONED layout (the r14 streaming append /
+    ``recluster_semdedup_store`` rewrite); a flat store mixes cells in
+    shared files, so a bounded per-cell split is impossible — compact
+    with ``partition_cols=["sem_cluster"]`` once to upgrade.  Rows are
+    NOT folded (the store's multiset is the recluster posture); the
+    count check is exact."""
+    from pyspark.sql import functions as F
+
+    from jurimetria_etl_spark.operators.semdedup import (
+        build_semdedup_store,
+    )
+    from jurimetria_etl_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    if k < 2:
+        raise ValueError(f"split_semdedup_cell: k={k} — a split needs k >= 2")
+    by_id = dict(centroids)
+    if int(cell_id) not in by_id:
+        raise ValueError(
+            f"split_semdedup_cell: cell {cell_id} not in the given "
+            f"centroid set (cells: {sorted(by_id)})"
+        )
+    src = store_data_dir(store)
+    hot_dir = os.path.join(src, f"sem_cluster={int(cell_id)}")
+    flat_files = [
+        f
+        for f in os.listdir(src)
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(src, f))
+    ]
+    if flat_files or not os.path.isdir(hot_dir):
+        raise ValueError(
+            f"split_semdedup_cell: store at {src!r} is not (purely) "
+            "sem_cluster-partitioned — flat files mix cells, so a "
+            "bounded split cannot hardlink untouched cells; run "
+            'compact_store(partition_cols=["sem_cluster"]) first'
+        )
+    cur = spark.read.parquet(src)
+    for col in ("sem_cluster", id_col, vec_col):
+        if col not in cur.columns:
+            raise ValueError(
+                f"split_semdedup_cell: store at {src!r} has no {col!r} "
+                "column — not a semdedup store?"
+            )
+    total_raw = cur.count()
+    hot = cur.where(F.col("sem_cluster") == int(cell_id)).drop(
+        "sem_cluster"
+    )
+    hot_n = hot.count()
+    if hot_n < k:
+        raise ValueError(
+            f"split_semdedup_cell: cell {cell_id} holds {hot_n} rows — "
+            f"cannot split into k={k} sub-cells"
+        )
+    sub = train_ivf_centroids(
+        hot, n_cells=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    next_id = max(by_id) + 1
+    sub_cents = [(next_id + i, vec) for i, (_, vec) in enumerate(sub)]
+    new_centroids = sorted(
+        [(cid, vec) for cid, vec in centroids if cid != int(cell_id)]
+        + sub_cents
+    )
+    reassigned = build_semdedup_store(
+        hot, sub_cents, id_col, vec_col, assign
+    )
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(store, _VERSIONS, version)
+    os.makedirs(vdir, exist_ok=True)
+    _link_tree_except(
+        src,
+        vdir,
+        skip_top={_MANIFEST},
+        skip_rel_dirs={_VERSIONS, f"sem_cluster={int(cell_id)}"},
+    )
+    hot_bytes = dir_stats(hot_dir)[1]
+    n_out = max(1, math.ceil(hot_bytes / target_file_bytes))
+    (
+        reassigned.repartition(n_out, "sem_cluster")
+        .write.mode("append")
+        .partitionBy("sem_cluster")
+        .parquet(vdir)
+    )
+    new_rows = _rows_in(spark, vdir)
+    if new_rows != total_raw:
+        shutil.rmtree(vdir, ignore_errors=True)
+        return {
+            "skipped": True,
+            "verified": False,
+            "reason": f"rewrite rows {new_rows} != source rows {total_raw}",
+        }
+    _copy_sidecars(src, vdir)
+    _publish(store, version)
+    return {
+        "skipped": False,
+        "verified": True,
+        "version": version,
+        "split_cell": int(cell_id),
+        "new_cells": [cid for cid, _ in sub_cents],
+        "rows_moved": hot_n,
+        "rows": new_rows,
+        "n_clusters": len(new_centroids),
+        "new_centroids": new_centroids,
+    }
+
+
 def maintain_ann_store(
     spark: SparkSession,
     store: str,

@@ -549,6 +549,10 @@ def curate_document_stream(
                 eps=semdedup_eps,
                 id_col=id_col,
                 vec_col=vec_col,
+                # the store is cell-partitioned (the append below) —
+                # make the cell read a partition filter by contract,
+                # not DPP luck
+                static_prune=True,
             )
         # One deterministic materialization: everything below appends
         # pieces of `survivors`; recomputing it per sink would re-run the
@@ -589,12 +593,19 @@ def curate_document_stream(
                 build_semdedup_store,
             )
 
+            # partitioned BY CELL — the layout build_semdedup_store's
+            # contract names (r14: previously appended flat, which made
+            # the "incremental scan reads only the batch's cells" claim
+            # DPP luck instead of a partition filter; the ann store's
+            # append posture, applied here).  Pre-r14 flat stores:
+            # compact_store(partition_cols=["sem_cluster"]) once to
+            # upgrade — mixed flat+hive trees don't read.
             build_semdedup_store(
                 survivors.select(id_col, vec_col),
                 semdedup_centroids,
                 id_col,
                 vec_col,
-            ).write.mode("append").parquet(
+            ).write.mode("append").partitionBy("sem_cluster").parquet(
                 store_data_dir(semdedup_store_dir)
             )
         if span_fp_store_dir is not None:
