@@ -259,6 +259,28 @@ def compact_store(
     }
 
 
+def _infer_partition_cols(data_dir: str) -> list[str] | None:
+    """Infer a single-level hive partition column from the directory
+    layout (``col=value`` subdirectories) so a maintenance rewrite
+    PRESERVES it — compacting a cell-partitioned store (the semdedup /
+    ANN layouts) flat would silently destroy every consumer's partition
+    pruning (r14).  Only the repo's store layouts are in scope: one
+    partition level, one column."""
+    cols = set()
+    try:
+        entries = os.listdir(data_dir)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    for name in entries:
+        if name.startswith(("_", ".")):
+            continue
+        if "=" in name and os.path.isdir(os.path.join(data_dir, name)):
+            cols.add(name.split("=", 1)[0])
+    if len(cols) == 1:
+        return [next(iter(cols))]
+    return None
+
+
 def maintain_stores(
     spark: SparkSession,
     stores: list[str],
@@ -289,10 +311,15 @@ def maintain_stores(
     reports: dict[str, dict] = {}
     for store in stores:
         pruned = store_prune(store) if prune_previous else []
+        # preserve a hive layout through the rewrite: cell-partitioned
+        # stores (semdedup/ANN) passed through this generic pass must
+        # keep their partition pruning
+        part_cols = _infer_partition_cols(store_data_dir(store))
         report = compact_store(
             spark,
             store,
             target_file_bytes=target_file_bytes,
+            partition_cols=part_cols,
             min_files_to_compact=min_files_to_compact,
         )
         report["pruned"] = len(pruned)

@@ -319,3 +319,40 @@ def test_store_prune_spares_foreign_non_hive_dirs(spark, tmp_path):
     assert os.path.isdir(foreign)
     with open(os.path.join(foreign, "notes.txt")) as f:
         assert f.read() == "keep me"
+
+
+def test_maintain_stores_preserves_hive_layout(spark, tmp_path):
+    """r14: the generic maintenance pass must not flatten a
+    cell-partitioned store — the rewrite infers the layout and keeps
+    it, so partition pruning survives blind scheduling."""
+    import os
+
+    from jurimetria_etl_spark.sinks.maintenance import (
+        maintain_stores,
+        store_data_dir,
+    )
+
+    s = str(tmp_path / "cellstore")
+    for lo in (0, 30):
+        (
+            spark.range(lo, lo + 30)
+            .selectExpr("id", "cast(id % 3 as int) as cell")
+            .coalesce(2)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(s)
+        )
+    r = maintain_stores(spark, [s], min_files_to_compact=1)
+    assert r[s]["verified"]
+    data_dir = store_data_dir(s)
+    assert sorted(
+        d for d in os.listdir(data_dir) if d.startswith("cell=")
+    ) == ["cell=0", "cell=1", "cell=2"]
+    got = spark.read.parquet(data_dir)
+    assert got.count() == 60
+    plan = (
+        got.where("cell = 1")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: [", 1
+    )[1].split("]", 1)[0]
