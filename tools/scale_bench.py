@@ -342,6 +342,51 @@ def main() -> None:
             [(rep["rows"], rep["n_cells"])], "rows long, n_cells long"
         )
 
+    # r14: the PERSISTED-semdedup-store probe posture — a small batch
+    # gated against a corpus-sized cell-partitioned store with
+    # static_prune=True (the contractual partition filter the r14
+    # streaming writer + semdedup_incremental change added).  Cells ∝
+    # corpus at ~125 occupancy, so the batch touches a bounded number
+    # of cells and the pruned scan reads ~constant rows across 10×
+    # data — ann_store_scaled_cells' claim, on the dedup-gate store.
+    # The store build rides the discarded cold run (cached per sf).
+    _SEM_STORE_CACHE: dict = {}
+
+    def semdedup_store_probe(spark, sf_dir):
+        import tempfile as _tf
+
+        from pyspark.sql import functions as F
+
+        from jurimetria_etl_spark.operators.semdedup import (
+            build_semdedup_store,
+            semdedup_incremental,
+        )
+        from jurimetria_etl_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+        from jurimetria_etl_spark.sources.fixtures import load_fixture
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in _SEM_STORE_CACHE:
+            n_cells = max(16, emb.count() // 125)
+            cents = train_ivf_centroids(
+                emb, n_cells=n_cells, n_iters=2
+            )
+            d = _tf.mkdtemp(prefix="sem_store_scale_")
+            build_semdedup_store(emb, cents).write.mode(
+                "append"
+            ).partitionBy("sem_cluster").parquet(d)
+            _SEM_STORE_CACHE[key] = (d, cents)
+        d, cents = _SEM_STORE_CACHE[key]
+        store = spark.read.parquet(d)
+        batch = emb.where(F.col("vec_id").isin(list(range(8)))).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        return semdedup_incremental(
+            batch, store, cents, eps=0.999, static_prune=True
+        )
+
     extra: dict = {
         "knn_join_top5": knn_join_top5,
         "semdedup_scaled": semdedup_scaled,
@@ -349,6 +394,7 @@ def main() -> None:
         "streaming_audited_funnel": streaming_audited_funnel,
         "ann_split_hot_cell": ann_split_hot_cell,
         "ann_recluster_full": ann_recluster_full,
+        "semdedup_store_probe": semdedup_store_probe,
     }
 
     # Optional name filter: `python tools/scale_bench.py <name> …`
