@@ -230,55 +230,104 @@ def remeasure_flagged(
     run_query,
     get_load1m,
     sleep,
-    load_thresh: float = 4.0,
-    quiet_budget_sec: float = 300.0,
+    quiet_thresh: float = 2.0,
+    quiet_budget_sec: float = 600.0,
     passes: int = 3,
     flag_ratio: float = 1.5,
+    max_attempts: int = 3,
+    poll_sec: float = 10.0,
 ) -> dict:
     """Quiet-window re-measure of warm-delta-flagged queries (r13 verdict
-    task 3): the r13 driver run burned headroom on phantom regressions —
-    x20 "5.78×" and q06/q08/q10 "1.65-2×" with ZERO code changes, under
-    loadavg 10.93 at bench start.  When the host was loaded at start AND
-    the delta guard fired, wait (bounded) for the 1-min loadavg to drop
-    under ``load_thresh``, then re-run ONLY the flagged queries and record
-    both measurements — the judge can then separate code-attributable
-    deltas (still flagged in the quiet pass) from load artifacts (delta
-    evaporates).
+    task 3, hardened per r14 task 2): the r13 driver run burned headroom
+    on phantom regressions — x20 "5.78×" and q06/q08/q10 "1.65-2×" with
+    ZERO code changes, under loadavg 10.93 at bench start.  When the
+    delta guard fires, re-run ONLY the flagged queries and record both
+    measurements, so the judge can separate code-attributable deltas
+    from load artifacts.
+
+    The r14 lesson: "waited 30 s" is not "quiet" — x22's re-measure ran
+    at loadavg 9.16 (worse than the pass it was checking) and produced
+    an unfalsifiable ``still_regressed`` flag.  Each re-measure is now
+    GATED on observed 1-min loadavg < ``quiet_thresh``, with bounded
+    retries spread over a shared ``quiet_budget_sec`` wall budget, and
+    every attempt records loadavg before/after the pass series.  The
+    per-query outcome is three-way:
+
+    - ``cleared`` — quiet delta back inside the band (load artifact);
+      a clear observed even under load also counts, because contention
+      can only inflate a measurement, never deflate it.
+    - ``confirmed_regressed_quiet`` / ``confirmed_improved_quiet`` —
+      the delta survived a measurement the protocol can defend.  An
+      improvement confirmed under load is kept (same monotonicity
+      argument: slower-than-real measurement still beat the baseline).
+    - ``unconfirmed_no_quiet_window`` — the regression was only ever
+      observed under load; ``still_regressed`` stays False and the
+      stdout gate count must not include it.
 
     ``run_query(name)`` executes one warm pass and returns seconds;
     ``get_load1m()``/``sleep(sec)`` are injected for unit tests."""
-    waited = 0.0
-    while get_load1m() > load_thresh and waited < quiet_budget_sec:
-        sleep(10.0)
-        waited += 10.0
+    budget = quiet_budget_sec
     out: dict[str, dict] = {}
     for name in flagged:
-        series = []
-        try:
-            for _ in range(passes):
-                series.append(run_query(name))
-        except Exception as e:
-            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        rec: dict = {"first_pass_delta": flagged[name], "attempts": []}
+        measured: tuple[float, bool] | None = None
+        for _ in range(max_attempts):
+            waited = 0.0
+            while get_load1m() >= quiet_thresh and budget >= poll_sec:
+                sleep(poll_sec)
+                budget -= poll_sec
+                waited += poll_sec
+            load_b = get_load1m()
+            series: list[float] = []
+            try:
+                for _ in range(passes):
+                    series.append(run_query(name))
+            except Exception as e:
+                rec["error"] = f"{type(e).__name__}: {e}"[:200]
+                break
+            load_a = get_load1m()
+            m = statistics.median(series)
+            # quiet means quiet THROUGH the series, not just at its
+            # start — a wave arriving mid-series shows in load_a
+            quiet = load_b < quiet_thresh and load_a < quiet_thresh + 1.0
+            rec["attempts"].append(
+                {
+                    "warm": round(m, 3),
+                    "loadavg_before": round(load_b, 2),
+                    "loadavg_after": round(load_a, 2),
+                    "waited_sec": waited,
+                    "quiet": quiet,
+                }
+            )
+            measured = (m, quiet)
+            if quiet or budget < poll_sec:
+                break
+        if measured is None:
+            out[name] = rec
             continue
-        m = statistics.median(series)
-        rec: dict = {
-            "warm": round(m, 3),
-            "first_pass_delta": flagged[name],
-            "loadavg1m": round(get_load1m(), 2),
-            "waited_sec": waited,
-        }
+        m, quiet = measured
+        rec["warm"] = round(m, 3)
+        rec["measured_quiet"] = quiet
         p = base_warm.get(name)
         if isinstance(p, (int, float)) and p > 0 and m > 0:
             r = round(m / p, 2)
             rec["delta_vs_prev"] = r
-            # the direction matters downstream: a quiet-pass delta still
-            # ABOVE the ratio is a code-attributable REGRESSION; one
-            # still below 1/ratio is an improvement (e.g. a load wave
-            # inflated the PREVIOUS round's baseline) — only the former
-            # is a problem signal
-            rec["still_regressed"] = bool(r > flag_ratio)
-            rec["still_improved"] = bool(r < 1 / flag_ratio)
-            rec["still_flagged"] = rec["still_regressed"] or rec["still_improved"]
+            regressed = bool(r > flag_ratio)
+            improved = bool(r < 1 / flag_ratio)
+            if regressed and not quiet:
+                rec["outcome"] = "unconfirmed_no_quiet_window"
+                regressed = False
+            elif regressed:
+                rec["outcome"] = "confirmed_regressed_quiet"
+            elif improved:
+                rec["outcome"] = (
+                    "confirmed_improved_quiet" if quiet else "confirmed_improved"
+                )
+            else:
+                rec["outcome"] = "cleared"
+            rec["still_regressed"] = regressed
+            rec["still_improved"] = improved
+            rec["still_flagged"] = regressed or improved
         out[name] = rec
     return out
 
@@ -304,9 +353,19 @@ def shed_to_fit(summary: dict, timings: dict, limit: int = 1900) -> str:
         del summary["warm_delta_worst"]
         line = _line()
     # the quiet-pass counts are fully present in BENCH_DETAIL.json; shed
-    # the benign one first, keep the regression signal as long as the
-    # map survives (both are worth less than the per-query map)
-    for key in ("quiet_still_improved", "quiet_still_regressed"):
+    # the benign ones first, keep the regression signal as long as the
+    # map survives (all are worth less than the per-query map)
+    for key in (
+        "quiet_still_improved",
+        "quiet_unconfirmed",
+        "quiet_still_regressed",
+    ):
+        if len(line) > limit and key in summary:
+            del summary[key]
+            line = _line()
+    # the map's units label and the build-overhead split are documented
+    # in BENCH_DETAIL.json too — worth less than the map itself
+    for key in ("queries_are", "build_overhead_sec"):
         if len(line) > limit and key in summary:
             del summary[key]
             line = _line()
@@ -525,6 +584,7 @@ def main() -> None:
     # quiet-start run's flags are code-attributable by construction and
     # re-measuring them would just double the round's bench wall.
     load_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_THRESH", "4.0"))
+    quiet_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_THRESH", "2.0"))
     remeasured: dict = {}
     if flagged and max(load_start[0], load_start[1]) > load_thresh:
 
@@ -540,7 +600,10 @@ def main() -> None:
             _run_query,
             lambda: os.getloadavg()[0],
             time.sleep,
-            load_thresh=load_thresh,
+            quiet_thresh=quiet_thresh,
+            quiet_budget_sec=float(
+                os.environ.get("SPARK_GRAFT_QUIET_BUDGET", "600")
+            ),
         )
 
     # Per-query warm/DuckDB detail rides in a file; only totals go to
@@ -551,6 +614,13 @@ def main() -> None:
         "warm_delta_flagged": flagged,
         "queries": timings,
         "warm_queries": warm,
+        # cold-minus-warm per query: the fixture-build + plan-compile
+        # overhead the old headline map used to conflate with latency
+        "fixture_build_sec": {
+            n: round(max(0.0, timings[n] - warm[n]), 3)
+            for n in warm
+            if n in timings
+        },
         # Raw per-pass series + machine load at run start/end: a noisy
         # driver run is diagnosable post-hoc (was the box busy?) instead
         # of arguing from code diffs (the r11 triage).
@@ -577,7 +647,16 @@ def main() -> None:
         "metric": "headline_queries_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        # The headline map carries the WARM MEDIANS — the same values
+        # that feed warm_vs_duckdb_ratio (r14 verdict task 3: the old
+        # cold-pass map reported x41 at 14.25 s — fixture ingest+compact
+        # included — while the graded warm median was 1.62 s, inviting
+        # exactly that misreading).  The cold/build-inclusive total
+        # stays in "value" for round-over-round comparability; per-query
+        # cold passes and the build overhead split ride in BENCH_DETAIL.
+        "queries": warm,
+        "queries_are": "warm_median_sec",
+        "build_overhead_sec": round(total - warm_total, 3),
         "sf": detail["sf"],
         "n_queries": len(timings),
         "warm_total_sec": round(warm_total, 3),
@@ -622,16 +701,24 @@ def main() -> None:
         summary["warm_delta_flagged"] = len(flagged)
         summary["warm_delta_worst"] = f"{worst}:{flagged[worst]}"
     if remeasured:
-        # the problem signal: flags that are still REGRESSIONS under
-        # quiet load (code-attributable); improvements that persist are
-        # reported separately — both per-query maps ride in
-        # BENCH_DETAIL.json.  Short keys: the stdout line competes with
-        # the per-query map for the driver's ~2000-char tail.
+        # the problem signal: flags confirmed as regressions in a QUIET
+        # window (code-attributable by a measurement the protocol can
+        # defend); improvements that persist are reported separately,
+        # and flags whose regression was only ever observed under load
+        # count as UNCONFIRMED, never as regressions (r14 task 2) —
+        # the full per-query outcome maps ride in BENCH_DETAIL.json.
+        # Short keys: the stdout line competes with the per-query map
+        # for the driver's ~2000-char tail.
         summary["quiet_still_regressed"] = sum(
             1 for r in remeasured.values() if r.get("still_regressed")
         )
         summary["quiet_still_improved"] = sum(
             1 for r in remeasured.values() if r.get("still_improved")
+        )
+        summary["quiet_unconfirmed"] = sum(
+            1
+            for r in remeasured.values()
+            if r.get("outcome") == "unconfirmed_no_quiet_window"
         )
     if errors:
         summary["n_errors"] = len(errors)

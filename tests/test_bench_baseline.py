@@ -142,14 +142,15 @@ def test_shed_to_fit_prefers_queries_over_flag_detail():
 
 
 def test_remeasure_flagged_waits_for_quiet_then_separates_noise():
-    """r13 task 3: the quiet-window pass must (a) wait out the load wave
-    (bounded), (b) re-run only the flagged queries, and (c) mark deltas
-    that evaporate under quiet load as not-still-flagged while keeping
-    genuinely regressed ones flagged."""
+    """r13 task 3 + r14 task 2: the quiet-window pass must (a) gate each
+    re-measure on observed loadavg < quiet_thresh (bounded), (b) re-run
+    only the flagged queries, and (c) mark deltas that evaporate under
+    quiet load as cleared while confirming genuinely regressed ones —
+    with the quiet loadavg recorded per attempt."""
     from bench import remeasure_flagged
 
-    # load decays 12 -> 2 over three polls; sleep calls are recorded
-    loads = iter([12.0, 8.0, 2.0, 2.0, 2.0, 2.0])
+    # load decays 12 -> 8 -> quiet (1.5); sleep calls are recorded
+    seq = iter([12.0, 8.0])
     slept = []
     # baseline warm 1.0s each; under quiet load q_noise is back to 1.05
     # (phantom) while q_real still takes 2.0 (code-attributable)
@@ -164,27 +165,33 @@ def test_remeasure_flagged_waits_for_quiet_then_separates_noise():
         flagged={"q_noise": 5.78, "q_real": 2.1},
         base_warm={"q_noise": 1.0, "q_real": 1.0},
         run_query=run,
-        get_load1m=lambda: next(loads),
+        get_load1m=lambda: next(seq, 1.5),
         sleep=slept.append,
-        load_thresh=4.0,
+        quiet_thresh=2.0,
     )
     assert slept == [10.0, 10.0]  # waited exactly until load < thresh
     assert sorted(set(calls)) == ["q_noise", "q_real"]
     assert len(calls) == 6  # 3 passes each, flagged queries only
+    assert out["q_noise"]["outcome"] == "cleared"
     assert out["q_noise"]["still_flagged"] is False
     assert out["q_noise"]["still_regressed"] is False
+    assert out["q_noise"]["measured_quiet"] is True
     assert out["q_noise"]["delta_vs_prev"] == 1.05
     assert out["q_noise"]["first_pass_delta"] == 5.78
+    assert out["q_noise"]["attempts"][0]["waited_sec"] == 20.0
+    assert out["q_noise"]["attempts"][0]["loadavg_before"] == 1.5
+    assert out["q_real"]["outcome"] == "confirmed_regressed_quiet"
     assert out["q_real"]["still_flagged"] is True
     assert out["q_real"]["still_regressed"] is True
     assert out["q_real"]["still_improved"] is False
     assert out["q_real"]["delta_vs_prev"] == 2.0
-    assert out["q_noise"]["waited_sec"] == 20.0
 
 
 def test_remeasure_flagged_quiet_wait_is_bounded():
     """A host that never quiets must not stall the bench: the wait gives
-    up at quiet_budget_sec and measures anyway."""
+    up at quiet_budget_sec and measures anyway — and a CLEAR observed
+    under load still clears (contention only inflates, never deflates,
+    so fast-despite-load is decisive)."""
     from bench import remeasure_flagged
 
     slept = []
@@ -194,12 +201,57 @@ def test_remeasure_flagged_quiet_wait_is_bounded():
         run_query=lambda name: 1.0,
         get_load1m=lambda: 99.0,
         sleep=slept.append,
-        load_thresh=4.0,
         quiet_budget_sec=30.0,
     )
     assert sum(slept) == 30.0
     assert out["q"]["warm"] == 1.0 and out["q"]["still_flagged"] is False
     assert out["q"]["still_regressed"] is False
+    assert out["q"]["outcome"] == "cleared"
+    assert out["q"]["measured_quiet"] is False
+
+
+def test_remeasure_regression_under_load_is_unconfirmed():
+    """The r14 x22 failure mode: a regression whose only measurement ran
+    under load must read unconfirmed_no_quiet_window, never
+    still_regressed — a flag confirmed at loadavg 9.16 is not
+    confirmed."""
+    from bench import remeasure_flagged
+
+    out = remeasure_flagged(
+        flagged={"q": 3.0},
+        base_warm={"q": 10.0},
+        run_query=lambda name: 30.0,
+        get_load1m=lambda: 9.16,
+        sleep=lambda s: None,
+        quiet_budget_sec=30.0,
+    )
+    assert out["q"]["outcome"] == "unconfirmed_no_quiet_window"
+    assert out["q"]["still_regressed"] is False
+    assert out["q"]["measured_quiet"] is False
+    assert out["q"]["delta_vs_prev"] == 3.0  # the data is still recorded
+
+
+def test_remeasure_retries_when_wave_arrives_mid_series():
+    """Quiet at the gate but loaded by the end of the pass series is not
+    a quiet measurement: the protocol retries (bounded) and keeps the
+    attempt that ran quiet end-to-end."""
+    from bench import remeasure_flagged
+
+    # attempt 1: gate 1.0 quiet, but 5.0 after the series -> not quiet;
+    # attempt 2: gate 1.0, after 1.0 -> quiet
+    seq = iter([1.0, 1.0, 5.0, 1.0, 1.0, 1.0])
+    out = remeasure_flagged(
+        flagged={"q": 2.1},
+        base_warm={"q": 1.0},
+        run_query=lambda name: 2.0,
+        get_load1m=lambda: next(seq, 1.0),
+        sleep=lambda s: None,
+    )
+    assert len(out["q"]["attempts"]) == 2
+    assert out["q"]["attempts"][0]["quiet"] is False
+    assert out["q"]["attempts"][1]["quiet"] is True
+    assert out["q"]["outcome"] == "confirmed_regressed_quiet"
+    assert out["q"]["still_regressed"] is True
 
 
 def test_remeasure_flagged_survives_a_broken_query():
@@ -236,6 +288,7 @@ def test_remeasure_distinguishes_persistent_improvement():
     )
     assert out["q"]["still_improved"] is True
     assert out["q"]["still_regressed"] is False
+    assert out["q"]["outcome"] == "confirmed_improved_quiet"
 
 
 def test_shed_keeps_map_over_quiet_counts():
