@@ -226,10 +226,34 @@ def read_ann_centroids(store_dir: str) -> list[tuple[int, list[float]]]:
     return resolve_ann_store(store_dir)[1]
 
 
+def _sniff_store_columns(data_dir: str) -> set[str] | None:
+    """Column names of the generation's data files — ONE parquet footer
+    read (pyarrow, no Spark job) plus any hive partition-dir keys on the
+    walked path.  ``None`` when the generation holds no data files yet
+    (a sidecar-only store)."""
+    import pyarrow.parquet as pq
+
+    for root, dirs, files in os.walk(data_dir):
+        dirs.sort()
+        for fname in sorted(files):
+            if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                continue
+            cols = set(
+                pq.ParquetFile(os.path.join(root, fname)).schema_arrow.names
+            )
+            rel = os.path.relpath(root, data_dir)
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    cols.add(seg.split("=", 1)[0])
+            return cols
+    return None
+
+
 def _check_generation(
     store_dir: str,
     centroids: list[tuple[int, list[float]]],
     quantize: bool | None = None,
+    vec_col: str = "embedding",
 ) -> None:
     """First append records the centroid set AND the storage posture;
     later appends must match both — centroids EXACTLY (bitwise on the
@@ -237,11 +261,18 @@ def _check_generation(
     corrupt every probe's cell pruning), and ``quantize`` because a
     generation's appends share ONE schema (the schema-memo soundness
     condition: a quantized append into a float generation would read
-    back as NULL embedding columns, r13 ADVICE).  A legacy sidecar with
-    no recorded posture accepts either and records it on this append.
-    The comparison reads through the generation resolution (embedded
-    sidecar first), so an append racing a recluster is checked against
-    whatever generation the manifest currently names."""
+    back as NULL embedding columns, r13 ADVICE).  The comparison reads
+    through the generation resolution (embedded sidecar first), so an
+    append racing a recluster is checked against whatever generation the
+    manifest currently names.
+
+    A legacy sidecar with no recorded posture does NOT simply trust the
+    caller's flag (r14 ADVICE): the store's actual data files are the
+    ground truth — their schema is sniffed (``q`` present and the vector
+    column absent ⇒ quantized) and a claimed posture that contradicts it
+    is rejected BEFORE the append writes a second schema into the
+    generation and durably records the wrong contract.  Only an empty
+    generation, or one whose files agree, adopts the flag."""
     try:
         _, stored, stored_q = _resolve(store_dir)
     except ValueError:
@@ -257,7 +288,21 @@ def _check_generation(
     if quantize is None:
         return
     if stored_q is None:
-        # legacy store: adopt this append's posture into the contract,
+        # legacy store (pre-posture sidecar): validate the claimed flag
+        # against the data files before adopting it into the contract
+        data_dir = _RESOLVE_CACHE[store_dir][0]
+        cols = _sniff_store_columns(data_dir)
+        if cols is not None:
+            actual_q = "q" in cols and vec_col not in cols
+            if bool(quantize) != actual_q:
+                raise ValueError(
+                    f"ann store at {store_dir!r}: quantize="
+                    f"{bool(quantize)} append into a legacy generation "
+                    f"whose data files are quantize={actual_q} (schema "
+                    "sniff) — a posture change is a new generation "
+                    "(rebuild or recluster), not an append"
+                )
+        # adopt the (now schema-verified, or empty-store) posture,
         # written WHERE the resolved sidecar lives (the data dir on a
         # versioned store — a root write there would be shadowed)
         sidecar_dir = os.path.dirname(_RESOLVE_CACHE[store_dir][1])
@@ -319,14 +364,19 @@ def append_ann_store(
     second schema into the generation).  Resolves the store manifest
     per call, so appends land in the generation a between-batch
     compaction published."""
-    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+    from jurimetria_etl_spark.sinks.maintenance import (
+        require_cell_partitioned,
+        store_data_dir,
+    )
 
-    _check_generation(store_dir, centroids, quantize=quantize)
+    _check_generation(store_dir, centroids, quantize=quantize, vec_col=vec_col)
+    data_dir = store_data_dir(store_dir)
+    # refuse to corrupt a legacy flat layout with hive dirs (r14 ADVICE;
+    # same guard as the streaming semdedup append)
+    require_cell_partitioned(data_dir, "ivf_cell", "append_ann_store")
     build_ann_store(
         batch, centroids, id_col, vec_col, quantize, assign
-    ).write.mode("append").partitionBy("ivf_cell").parquet(
-        store_data_dir(store_dir)
-    )
+    ).write.mode("append").partitionBy("ivf_cell").parquet(data_dir)
 
 
 def load_ann_store(

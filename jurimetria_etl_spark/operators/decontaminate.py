@@ -71,7 +71,14 @@ def contaminated_predicate(
 # per-batch streaming decontam loop, a funnel re-run per ingest) cannot
 # accumulate cached RDDs for the session's lifetime (r13 ADVICE): adding
 # past the cap unpersists the oldest — a still-lazy query over an evicted
-# set simply recomputes its (benchmark-sized) lineage.
+# set simply recomputes its (benchmark-sized) lineage.  That recompute is
+# why the probe source must be DETERMINISTIC (r14 ADVICE): eviction (or
+# release_probe_sets) can land between the gating count and a consuming
+# join's execution, so a non-deterministic bench_set — a fresh random
+# sample, a re-read of a mutating table — could be gated on one
+# materialization and joined on another.  Callers with an inherently
+# non-deterministic source should pin it first
+# (``bench_set.localCheckpoint()`` severs the lineage) before gating.
 _PROBE_PERSIST_CAP = 4
 _PROBE_PERSISTS: list[DataFrame] = []
 
@@ -100,7 +107,14 @@ def maybe_broadcast_probe(
     set) is LIFECYCLE-BOUNDED: at most ``_PROBE_PERSIST_CAP`` gated sets
     stay cached, oldest-evicted — repeated gate/audit calls in one
     session can no longer grow executor storage without bound — and
-    ``release_probe_sets()`` drops them all on demand."""
+    ``release_probe_sets()`` drops them all on demand.
+
+    CONTRACT: ``bench_set`` must be a deterministic plan.  An evicted
+    (or released) set that a still-lazy consumer re-executes recomputes
+    its lineage from source; a non-deterministic source (fresh random
+    sample, re-read of a mutating table) would then be gated on one
+    materialization and joined on another.  Pin such a source with
+    ``bench_set.localCheckpoint()`` before gating."""
     if broadcast_max_rows is None:
         return F.broadcast(bench_set)
     from pyspark import StorageLevel

@@ -432,17 +432,24 @@ def semdedup_incremental(
         F.lit(False).alias("__stored"),
     )
     # prune the store to the batch's cells before the union — at 100 TB
-    # the store is corpus-sized and a batch touches few cells
-    cells = b.select("sem_cluster").distinct()
+    # the store is corpus-sized and a batch touches few cells.  On the
+    # static path the collected literal list IS the pruning (it is the
+    # same set the semi-join would keep), so the semi-join is dropped
+    # rather than layered on top — the r14 ADVICE double-compute: the
+    # collect is an action over the uncached assignment plan, so
+    # keeping the semi-join too would compute the batch's narrow
+    # assignment a third time every micro-batch.
     if static_prune:
-        store = store.where(
-            F.col("sem_cluster").isin(
-                sorted(int(r["sem_cluster"]) for r in cells.collect())
-            )
+        batch_cells = sorted(
+            int(r["sem_cluster"])
+            for r in b.select("sem_cluster").distinct().collect()
         )
+        store = store.where(F.col("sem_cluster").isin(batch_cells))
+    else:
+        cells = b.select("sem_cluster").distinct()
+        store = store.join(F.broadcast(cells), "sem_cluster", "left_semi")
     st = (
-        store.join(F.broadcast(cells), "sem_cluster", "left_semi")
-        .select(
+        store.select(
             F.col(id_col),
             "sem_cluster",
             F.col(vec_col),

@@ -170,6 +170,36 @@ def store_data_dir(store: str) -> str:
     return os.path.join(store, _VERSIONS, version)
 
 
+def require_cell_partitioned(data_dir: str, partition_col: str, op: str) -> None:
+    """Refuse to mix a hive-partitioned write into a legacy FLAT store
+    (r14 ADVICE): appending ``partition_col=…`` directories next to flat
+    parquet files succeeds at write time but produces a tree Spark's
+    parquet reader rejects — the corruption lands silently and the
+    failure surfaces later in an unrelated-looking read, where
+    at-least-once replay can't repair it.  Called BEFORE the first
+    partitioned append so the migration error is caught while the store
+    is still intact.  A missing or empty data dir (fresh store) passes;
+    a dir holding only ``partition_col=…`` subdirs passes."""
+    try:
+        names = os.listdir(data_dir)
+    except (FileNotFoundError, NotADirectoryError):
+        return
+    flat = [
+        f
+        for f in names
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(data_dir, f))
+    ]
+    if flat:
+        raise ValueError(
+            f"{op}: store data dir {data_dir!r} holds flat parquet files "
+            f"(legacy pre-partitioned layout) — appending "
+            f"{partition_col}=… hive directories next to them would "
+            "corrupt the tree (mixed layouts don't read); run "
+            f"compact_store(store, partition_cols=[{partition_col!r}]) "
+            "once to upgrade"
+        )
+
+
 def _publish(store: str, version: str) -> None:
     """Atomically point the manifest at ``version`` — one ``os.replace``
     of a same-filesystem temp file, so a reader sees either the old or
@@ -781,17 +811,18 @@ def split_semdedup_cell(
         )
     src = store_data_dir(store)
     hot_dir = os.path.join(src, f"sem_cluster={int(cell_id)}")
-    flat_files = [
-        f
-        for f in os.listdir(src)
-        if f.endswith(".parquet") and os.path.isfile(os.path.join(src, f))
-    ]
-    if flat_files or not os.path.isdir(hot_dir):
+    try:
+        require_cell_partitioned(src, "sem_cluster", "split_semdedup_cell")
+    except ValueError as e:
         raise ValueError(
-            f"split_semdedup_cell: store at {src!r} is not (purely) "
-            "sem_cluster-partitioned — flat files mix cells, so a "
-            "bounded split cannot hardlink untouched cells; run "
-            'compact_store(partition_cols=["sem_cluster"]) first'
+            f"{e} — flat files mix cells, so a bounded split cannot "
+            "hardlink untouched cells"
+        ) from None
+    if not os.path.isdir(hot_dir):
+        raise ValueError(
+            f"split_semdedup_cell: store at {src!r} has no "
+            f"sem_cluster={int(cell_id)} partition — the cell is empty "
+            "or the store is not sem_cluster-partitioned"
         )
     cur = spark.read.parquet(src)
     for col in ("sem_cluster", id_col, vec_col):

@@ -597,9 +597,20 @@ def curate_document_stream(
             # contract names (r14: previously appended flat, which made
             # the "incremental scan reads only the batch's cells" claim
             # DPP luck instead of a partition filter; the ann store's
-            # append posture, applied here).  Pre-r14 flat stores:
-            # compact_store(partition_cols=["sem_cluster"]) once to
-            # upgrade — mixed flat+hive trees don't read.
+            # append posture, applied here).  Pre-r14 flat stores are
+            # REFUSED before the write (r14 ADVICE): a hive append next
+            # to flat files would corrupt the tree silently and surface
+            # later in an unrelated read — the guard turns it into an
+            # upgrade instruction while the store is still intact.
+            from jurimetria_etl_spark.sinks.maintenance import (
+                require_cell_partitioned,
+            )
+
+            require_cell_partitioned(
+                store_data_dir(semdedup_store_dir),
+                "sem_cluster",
+                "curate_document_stream semdedup append",
+            )
             build_semdedup_store(
                 survivors.select(id_col, vec_col),
                 semdedup_centroids,

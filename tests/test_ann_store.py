@@ -516,6 +516,38 @@ def test_legacy_sidecar_adopts_posture_on_append(spark, tmp_path):
         append_ann_store(_emb(spark, BATCH1), d, CENTROIDS, quantize=True)
 
 
+def test_legacy_sidecar_rejects_wrong_claimed_posture(spark, tmp_path):
+    """r14 ADVICE: legacy-posture adoption must not TRUST the caller's
+    flag — the first r14 append into a pre-r14 float store claiming
+    quantize=True would both write a second schema into the generation
+    (rows read back NULL) and durably record the wrong posture as the
+    contract.  The data files' sniffed schema is the ground truth: the
+    wrong claim is rejected up front, the sidecar stays posture-less,
+    and the correct claim still adopts."""
+    import json as _json
+
+    from jurimetria_etl_spark.operators.ann_store import (
+        _CENTROIDS_FILE,
+        _load_centroids_file,
+    )
+
+    d = _store(spark, tmp_path, name="legacywrong")  # float data files
+    path = os.path.join(str(tmp_path / "legacywrong"), _CENTROIDS_FILE)
+    with open(path, "w") as f:
+        _json.dump([[c, v] for c, v in CENTROIDS], f)
+    assert _load_centroids_file(path)[1] is None
+    with pytest.raises(ValueError, match="schema sniff"):
+        append_ann_store(_emb(spark, BATCH1), d, CENTROIDS, quantize=True)
+    # the rejected claim must NOT have been adopted into the contract
+    assert _load_centroids_file(path)[1] is None
+    # the store is uncorrupted: every row still reads back float
+    n0 = load_ann_store(spark, d).count()
+    append_ann_store(_emb(spark, BATCH1), d, CENTROIDS, quantize=False)
+    assert _load_centroids_file(path)[1] is False
+    # BATCH1 was already in the store; the replay fold keeps the count
+    assert load_ann_store(spark, d).count() == n0
+
+
 def test_resolve_memo_prefers_fresh_data_dir_sidecar(spark, tmp_path):
     """r13 ADVICE: a memoized store-root-fallback resolution must not
     keep serving the root sidecar after a HIGHER-priority data-dir

@@ -116,6 +116,50 @@ def test_missing_centroids_fails_loudly(spark, tmp_path):
         q.processAllAvailable()
 
 
+def test_legacy_flat_store_is_refused_before_corruption(spark, tmp_path):
+    """r14 ADVICE: a pre-r14 FLAT semdedup store must be refused with
+    the compact_store upgrade hint BEFORE the partitioned append writes
+    hive dirs next to the flat files — the corrupting write used to
+    succeed and surface later in an unrelated-looking read."""
+    import os
+
+    from jurimetria_etl_spark.operators.semdedup import build_semdedup_store
+
+    flat = str(tmp_path / "flat_legacy")
+    _drop(_docs(spark, BATCH0), flat, "000", time.time() - 3600)
+    dirs = {
+        n: str(tmp_path / f"{n}_legacy")
+        for n in ("corpus", "fps", "sigs", "ckpt", "sem")
+    }
+    cents = [
+        (k, [float(x) for x in RNG.normal(size=DIM)]) for k in range(2)
+    ]
+    # seed the store in the legacy FLAT layout (no partitionBy)
+    build_semdedup_store(
+        _docs(spark, [(99, "seed doc", V[7])]).select("doc_id", "embedding"),
+        cents,
+        "doc_id",
+        "embedding",
+    ).write.mode("append").parquet(dirs["sem"])
+    q = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        semdedup_store_dir=dirs["sem"],
+        semdedup_centroids=cents,
+        semdedup_eps=0.99,
+    )
+    with pytest.raises(Exception, match="compact_store"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+    q.stop()
+    # the guard fired BEFORE the write: no hive dirs landed in the tree
+    assert not [
+        e for e in os.listdir(dirs["sem"]) if e.startswith("sem_cluster=")
+    ]
+    # and the flat store still reads
+    assert spark.read.parquet(dirs["sem"]).count() == 1
+
+
 def test_double_embeddings_and_store_schema_round_trip(spark, tmp_path):
     """r8 review: the semdedup store read-back schema must derive from
     the LIVE batch schema — ``array<double>`` embeddings (the natural
