@@ -344,14 +344,43 @@ def maintain_stores(
         # preserve a hive layout through the rewrite: cell-partitioned
         # stores (semdedup/ANN) passed through this generic pass must
         # keep their partition pruning
-        part_cols = _infer_partition_cols(store_data_dir(store))
+        data_dir = store_data_dir(store)
+        part_cols = _infer_partition_cols(data_dir)
+        upgraded = False
+        min_files = min_files_to_compact
+        if part_cols is None:
+            # opportunistic legacy-layout upgrade (r14 verdict task 5):
+            # a FLAT store whose rows carry a cell column (pre-r14
+            # semdedup/ANN layouts) is re-written cell-partitioned here,
+            # so split_semdedup_cell / split_cell / the partition-pruned
+            # probes work without the operator telling the caller to run
+            # compact_store(partition_cols=…) by hand.  One parquet
+            # footer sniff — no Spark job — and the upgrade compacts
+            # even a single-file store (the rewrite's purpose is the
+            # layout, not the file count).
+            from jurimetria_etl_spark.operators.ann_store import (
+                _sniff_store_columns,
+            )
+
+            sniffed = _sniff_store_columns(data_dir)
+            cell_cols = [
+                c
+                for c in ("sem_cluster", "ivf_cell")
+                if sniffed is not None and c in sniffed
+            ]
+            if len(cell_cols) == 1:
+                part_cols = cell_cols
+                upgraded = True
+                min_files = 1
         report = compact_store(
             spark,
             store,
             target_file_bytes=target_file_bytes,
             partition_cols=part_cols,
-            min_files_to_compact=min_files_to_compact,
+            min_files_to_compact=min_files,
         )
+        if upgraded and not report.get("skipped"):
+            report["layout_upgraded"] = part_cols[0]
         report["pruned"] = len(pruned)
         if os.path.basename(os.path.normpath(store)) == "postings":
             index_dir = os.path.dirname(os.path.normpath(store))

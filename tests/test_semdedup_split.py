@@ -131,6 +131,72 @@ def test_flat_store_is_refused_with_the_remedy_named(spark, tmp_path):
         split_semdedup_cell(spark, d, CENTROIDS, 1, k=2)
 
 
+def test_maintain_stores_upgrades_legacy_flat_layout(spark, tmp_path):
+    """r14 verdict task 5: a flat pre-r14 semdedup store passed through
+    the generic maintenance pass comes out sem_cluster-partitioned —
+    and is then split_semdedup_cell-able — without the caller knowing
+    to pass partition_cols; rows are value-identical and the
+    incremental gate's verdicts are unchanged."""
+    from jurimetria_etl_spark.sinks.maintenance import maintain_stores
+
+    d = _store(spark, tmp_path, name="semlegacy", partitioned=False)
+    before = sorted(
+        (r.vec_id, r.sem_cluster, tuple(r.embedding))
+        for r in spark.read.parquet(store_data_dir(d)).collect()
+    )
+    rep = maintain_stores(spark, [d])
+    assert rep[d]["layout_upgraded"] == "sem_cluster"
+    assert rep[d]["verified"]
+    dd = store_data_dir(d)
+    assert [e for e in os.listdir(dd) if e.startswith("sem_cluster=")]
+    assert not [e for e in os.listdir(dd) if e.endswith(".parquet")]
+    after = sorted(
+        (r.vec_id, r.sem_cluster, tuple(r.embedding))
+        for r in spark.read.parquet(dd).collect()
+    )
+    assert after == before
+    # the upgraded store is split-able and the gate verdicts hold
+    rep2 = split_semdedup_cell(spark, d, CENTROIDS, 1, k=2)
+    assert rep2["verified"] and rep2["rows_moved"] == 20
+    assert _gate(spark, d, rep2["new_centroids"]) == [9001]
+    assert _gate(spark, d, rep2["new_centroids"], static_prune=True) == [9001]
+
+
+def test_maintain_stores_upgrades_flat_ivf_and_spares_plain_stores(
+    spark, tmp_path
+):
+    """The same opportunistic upgrade recognizes the ANN store's
+    ivf_cell column; a store with neither cell column passes through
+    flat and unflagged."""
+    from jurimetria_etl_spark.sinks.maintenance import maintain_stores
+
+    ann = str(tmp_path / "annflat")
+    (
+        spark.range(0, 30)
+        .selectExpr(
+            "id as vec_id",
+            "cast(id % 3 as int) as ivf_cell",
+            "array(cast(id as double)) as embedding",
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(ann)
+    )
+    plain = str(tmp_path / "plainfp")
+    spark.range(0, 20).selectExpr(
+        "id as doc_id", "md5(cast(id as string)) as fp"
+    ).coalesce(1).write.mode("append").parquet(plain)
+    rep = maintain_stores(spark, [ann, plain])
+    assert rep[ann]["layout_upgraded"] == "ivf_cell"
+    assert sorted(
+        e
+        for e in os.listdir(store_data_dir(ann))
+        if e.startswith("ivf_cell=")
+    ) == ["ivf_cell=0", "ivf_cell=1", "ivf_cell=2"]
+    assert "layout_upgraded" not in rep[plain]
+    assert spark.read.parquet(store_data_dir(plain)).count() == 20
+
+
 def test_split_contract_errors(spark, tmp_path):
     d = _store(spark, tmp_path, name="semerr")
     with pytest.raises(ValueError, match="k="):
