@@ -4,6 +4,7 @@ from jurimetria_etl_spark.sinks.maintenance import (  # noqa: F401
     compact_parquet,
     compact_store,
     maintain_ann_store,
+    maintain_semdedup_store,
     maintain_stores,
     recluster_ann_store,
     recluster_semdedup_store,

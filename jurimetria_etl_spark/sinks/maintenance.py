@@ -1004,6 +1004,117 @@ def maintain_ann_store(
     }
 
 
+def maintain_semdedup_store(
+    spark: SparkSession,
+    store: str,
+    centroids: list[tuple[int, list[float]]],
+    occupancy_factor: float = 4.0,
+    max_splits: int = 4,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+    prune_previous: bool = True,
+    assign: str = "auto",
+) -> dict:
+    """``maintain_ann_store``'s SemDeDup sibling (r14 verdict task 7):
+    one maintenance-window pass — prune the previous pass's
+    generations, compact WITH ``partition_cols=["sem_cluster"]`` (a
+    legacy FLAT store is upgraded here, single-file or not), then apply
+    the same occupancy policy: any cell holding more than
+    ``occupancy_factor`` × the lower-median cell's rows (and ≥ ``2*k``
+    rows) is ``split_semdedup_cell``-ed, hottest first, at most
+    ``max_splits`` per pass, each split its own verified atomic
+    generation.  A balanced store splits nothing — idempotent-cheap,
+    schedulable blindly.
+
+    The one structural difference from the ANN pass: the SemDeDup store
+    has no centroid sidecar — the set is CALLER-OWNED (the
+    ``semdedup_incremental`` contract) — so the current set is an
+    argument, successive splits chain through each report's
+    ``new_centroids``, and the final set comes back under
+    ``new_centroids``: hand exactly that list to every subsequent
+    ``semdedup_incremental`` / ``curate_document_stream`` call (the
+    ``recluster_semdedup_store`` handoff).  Occupancy counts the row
+    MULTISET per cell (this store is not replay-folded — the recluster
+    posture), one partition-parallel count keyed on the partition
+    column.
+
+    Returns {pruned, compaction, occupancy_median, n_cells,
+    splits: [per-split reports], new_centroids}."""
+    from pyspark.sql import functions as F
+
+    pruned = store_prune(store) if prune_previous else []
+    min_files = min_files_to_compact
+    if _infer_partition_cols(store_data_dir(store)) is None:
+        # flat legacy layout: the compaction's purpose is the upgrade,
+        # not the file count — never skip it (maintain_stores posture)
+        min_files = 1
+    compaction = compact_store(
+        spark,
+        store,
+        target_file_bytes=target_file_bytes,
+        min_files_to_compact=min_files,
+        partition_cols=["sem_cluster"],
+    )
+    cents = [(int(c), [float(x) for x in v]) for c, v in centroids]
+    src = store_data_dir(store)
+    if dir_stats(src)[0] == 0:
+        return {
+            "pruned": len(pruned),
+            "compaction": compaction,
+            "occupancy_median": 0,
+            "n_cells": 0,
+            "splits": [],
+            "new_centroids": cents,
+        }
+    occ = {
+        int(r["sem_cluster"]): int(r["n"])
+        for r in spark.read.parquet(src)
+        .groupBy("sem_cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = sorted(occ.values())
+    # LOWER median — same detection bias as maintain_ann_store: with
+    # few cells the upper median is dragged up by the hot cell itself
+    median = counts[(len(counts) - 1) // 2] if counts else 0
+    hot = sorted(
+        (
+            (cid, n)
+            for cid, n in occ.items()
+            if median > 0 and n > occupancy_factor * median and n >= 2 * k
+        ),
+        key=lambda cn: (-cn[1], cn[0]),
+    )[:max_splits]
+    splits: list[dict] = []
+    for cid, _n in hot:
+        rep = split_semdedup_cell(
+            spark,
+            store,
+            cents,
+            cid,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            target_file_bytes=target_file_bytes,
+            assign=assign,
+        )
+        splits.append(rep)
+        if rep.get("verified"):
+            # chain: the next split runs under the published geometry
+            cents = rep["new_centroids"]
+    return {
+        "pruned": len(pruned),
+        "compaction": compaction,
+        "occupancy_median": median,
+        "n_cells": len(occ),
+        "splits": splits,
+        "new_centroids": cents,
+    }
+
+
 def store_prune(store: str) -> list[str]:
     """Delete every non-current generation: old version directories and —
     once a manifest exists — the legacy root files a plain-dir upgrade

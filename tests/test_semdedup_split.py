@@ -197,6 +197,54 @@ def test_maintain_stores_upgrades_flat_ivf_and_spares_plain_stores(
     assert spark.read.parquet(store_data_dir(plain)).count() == 20
 
 
+def test_maintain_semdedup_store_splits_by_occupancy_rule(spark, tmp_path):
+    """r14 verdict task 7: the occupancy_factor × lower-median policy,
+    applied to the SemDeDup store — planted skew (cell 1 holds 20 rows
+    vs cell 0's 10) splits the hot cell, keep-decisions are
+    value-identical pre/post, the chained centroid set comes back in
+    the report, and a second pass on the now-balanced store splits
+    nothing (idempotent-cheap)."""
+    from jurimetria_etl_spark.sinks.maintenance import (
+        maintain_semdedup_store,
+    )
+
+    d = _store(spark, tmp_path, name="semocc")
+    assert _gate(spark, d, CENTROIDS) == [9001]
+    rep = maintain_semdedup_store(
+        spark, d, CENTROIDS, occupancy_factor=1.5, k=2
+    )
+    assert rep["occupancy_median"] == 10 and rep["n_cells"] == 2
+    assert len(rep["splits"]) == 1
+    assert rep["splits"][0]["verified"]
+    assert rep["splits"][0]["split_cell"] == 1
+    new_cents = rep["new_centroids"]
+    assert sorted(c for c, _ in new_cents) == [0, 2, 3]
+    # keep-decisions value-identical under the split generation
+    assert _gate(spark, d, new_cents) == [9001]
+    assert _gate(spark, d, new_cents, static_prune=True) == [9001]
+    # balanced store: second pass is a no-op on the split axis
+    rep2 = maintain_semdedup_store(
+        spark, d, new_cents, occupancy_factor=1.5, k=2
+    )
+    assert rep2["splits"] == []
+    assert rep2["new_centroids"] == new_cents
+
+
+def test_maintain_semdedup_store_heals_flat_then_splits(spark, tmp_path):
+    """A legacy FLAT store passed to the policy pass is upgraded by the
+    compaction (layout is the purpose, single-file or not) and then
+    split under the same rule — one schedulable entry point end-to-end."""
+    from jurimetria_etl_spark.sinks.maintenance import (
+        maintain_semdedup_store,
+    )
+
+    d = _store(spark, tmp_path, name="semoccflat", partitioned=False)
+    rep = maintain_semdedup_store(spark, d, CENTROIDS, occupancy_factor=1.5)
+    assert rep["compaction"]["verified"]
+    assert len(rep["splits"]) == 1
+    assert _gate(spark, d, rep["new_centroids"]) == [9001]
+
+
 def test_split_contract_errors(spark, tmp_path):
     d = _store(spark, tmp_path, name="semerr")
     with pytest.raises(ValueError, match="k="):
