@@ -414,3 +414,81 @@ def test_split_cell_between_streams_then_resume(spark, tmp_path):
             CENTS,
             id_col="doc_id",
         )
+
+
+def test_drift_maintain_probe_round_trip(spark, tmp_path):
+    """r14 verdict task 6 — the occupancy POLICY runs where drift
+    actually happens: the stream appends a batch skewed into one cell,
+    ``maintain_ann_store`` (a) splits exactly that hot cell by the
+    occupancy_factor × median rule, (b) full-probe results are
+    value-identical pre/post split, and (c) the stream keeps appending
+    against the split generation (the generation-contract check accepts
+    the published fresh centroid set read back from the store)."""
+    from jurimetria_etl_spark.sinks.maintenance import maintain_ann_store
+
+    # skewed batch: 8 docs hugging centroid 0, one near each other cell
+    skew = [
+        (
+            100 + i,
+            f"unique drifted document number {i} with text",
+            np.array(CENTS[0][1]) + RNG.normal(0, 0.05, DIM),
+        )
+        for i in range(8)
+    ] + [
+        (200, "lone doc near centroid one", np.array(CENTS[1][1])),
+        (201, "lone doc near centroid two", np.array(CENTS[2][1])),
+    ]
+    flat = str(tmp_path / "flat_m")
+    base_t = time.time() - 3600
+    _drop(_docs(spark, skew), flat, "000", base_t)
+    dirs = {
+        n: str(tmp_path / f"{n}_m")
+        for n in ("corpus", "fps", "sigs", "ckpt", "ann")
+    }
+    q = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        ann_store_dir=dirs["ann"],
+        ann_centroids=CENTS,
+    )
+    assert q.awaitTermination(180)
+
+    probe_vec = [float(x) for x in skew[0][2]]
+
+    def _probe(n_cells):
+        return [
+            (r["doc_id"], round(r["cos_sim"], 12))
+            for r in ann_ivf_topk_store(
+                spark, dirs["ann"], probe_vec,
+                k=5, n_probe=n_cells, id_col="doc_id",
+            ).collect()
+        ]
+
+    before = _probe(len(CENTS))
+    rep = maintain_ann_store(spark, dirs["ann"], id_col="doc_id")
+    # (a) the policy found and split exactly the planted hot cell
+    assert len(rep["splits"]) == 1
+    assert rep["splits"][0]["verified"]
+    assert rep["splits"][0]["split_cell"] == 0
+    assert rep["splits"][0]["rows_moved"] == 8
+    split_cents = read_ann_centroids(dirs["ann"])
+    assert len(split_cents) == len(CENTS) + 1
+    # (b) full-probe results value-identical pre/post split
+    assert _probe(len(split_cents)) == before
+
+    # (c) the stream resumes against the split generation — the
+    # published sidecar IS the centroid handoff
+    _drop(_docs(spark, BATCH1), flat, "001", base_t + 600)
+    q2 = curate_document_stream(
+        _read_stream(spark, flat),
+        dirs["corpus"], dirs["fps"], dirs["sigs"], dirs["ckpt"],
+        ann_store_dir=dirs["ann"],
+        ann_centroids=split_cents,
+    )
+    assert q2.awaitTermination(180)
+    indexed = load_ann_store(spark, dirs["ann"], id_col="doc_id")
+    ids = {r.doc_id for r in indexed.collect()}
+    assert ids == {100 + i for i in range(8)} | {200, 201, 10, 11}
+    # second pass on the rebalanced store: idempotent-cheap, no splits
+    rep2 = maintain_ann_store(spark, dirs["ann"], id_col="doc_id")
+    assert rep2["splits"] == []
