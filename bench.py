@@ -352,20 +352,16 @@ def shed_to_fit(summary: dict, timings: dict, limit: int = 1900) -> str:
     if len(line) > limit and "warm_delta_worst" in summary:
         del summary["warm_delta_worst"]
         line = _line()
-    # the quiet-pass counts are fully present in BENCH_DETAIL.json; shed
-    # the benign ones first, keep the regression signal as long as the
-    # map survives (all are worth less than the per-query map)
+    # shed labels and benign counts before the regression signal:
+    # quiet_still_regressed is the round's one real problem indicator
+    # (everything here is fully present in BENCH_DETAIL.json)
     for key in (
+        "queries_are",
+        "build_overhead_sec",
         "quiet_still_improved",
         "quiet_unconfirmed",
         "quiet_still_regressed",
     ):
-        if len(line) > limit and key in summary:
-            del summary[key]
-            line = _line()
-    # the map's units label and the build-overhead split are documented
-    # in BENCH_DETAIL.json too — worth less than the map itself
-    for key in ("queries_are", "build_overhead_sec"):
         if len(line) > limit and key in summary:
             del summary[key]
             line = _line()
@@ -722,7 +718,10 @@ def main() -> None:
         )
     if errors:
         summary["n_errors"] = len(errors)
-    print(shed_to_fit(summary, timings))
+    # the shed fallback must re-round the WARM map (the map the summary
+    # carries) — handing it the cold timings would silently swap the
+    # build-inclusive numbers back in on any overflowing line
+    print(shed_to_fit(summary, warm))
 
 
 if __name__ == "__main__":

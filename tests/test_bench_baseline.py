@@ -325,3 +325,45 @@ def test_shed_keeps_map_over_quiet_counts():
     assert len(out["queries"]) == 58, "map must survive the quiet counts"
     # worst-mover string sheds before the quiet counts are touched
     assert "warm_delta_worst" not in out
+
+
+def test_shed_keeps_regression_count_longest():
+    """Among the shed-able summary extras, quiet_still_regressed — the
+    round's one real problem indicator — must outlive the labels and
+    the benign counts; and the shed fallback must re-round the map it
+    was handed (main passes the WARM map), never reinstate another."""
+    import json
+
+    from bench import shed_to_fit
+
+    warm = {f"x{i:02d}_query_name_abc": 1.234 for i in range(58)}
+    s = {
+        "metric": "headline_queries_wall_clock",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": dict(warm),
+        "queries_are": "warm_median_sec",
+        "build_overhead_sec": 45.133,
+        "sf": 0.1,
+        "n_queries": 58,
+        "warm_total_sec": 82.619,
+        "duckdb_total_sec": 54.603,
+        "warm_vs_duckdb_ratio": 1.513,
+        "sf1_source": "live",
+        "sf1_warm_total_sec": 162.731,
+        "sf1_duckdb_total_sec": 407.808,
+        "sf1_warm_vs_duckdb_ratio": 0.399,
+        "loadavg1m": [7.72, 3.76],
+        "warm_delta_flagged": 14,
+        "warm_delta_worst": "x20_pack_shards:0.23",
+        "quiet_still_regressed": 0,
+        "quiet_still_improved": 4,
+        "quiet_unconfirmed": 1,
+    }
+    out = json.loads(shed_to_fit(s, warm, limit=1900))
+    assert len(out["queries"]) == 58
+    assert set(out["queries"].values()) == {1.23}  # rounded from warm
+    if "quiet_still_improved" in out or "build_overhead_sec" in out:
+        assert "quiet_still_regressed" in out, (
+            "regression count shed before the benign extras"
+        )
