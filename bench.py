@@ -242,6 +242,7 @@ def remeasure_flagged(
     flag_ratio: float = 1.5,
     max_attempts: int = 3,
     poll_sec: float = 10.0,
+    stable_ratio: float = 1.6,
 ) -> dict:
     """Quiet-window re-measure of warm-delta-flagged queries (r13 verdict
     task 3, hardened per r14 task 2): the r13 driver run burned headroom
@@ -293,14 +294,27 @@ def remeasure_flagged(
                 break
             load_a = get_load1m()
             m = statistics.median(series)
-            # quiet means quiet THROUGH the series, not just at its
-            # start — a wave arriving mid-series shows in load_a
-            quiet = load_b < quiet_thresh and load_a < quiet_thresh + 1.0
+            # Quiet means quiet AT THE GATE plus a STABLE pass series.
+            # The load reading after the series cannot gate quietness
+            # directly: the measured query's OWN 32-thread work raises
+            # 1-min loadavg past any threshold on a multi-second query
+            # (observed: x18's re-measure read 1.73 → 12.78 purely from
+            # itself), which would make heavy queries permanently
+            # unconfirmable.  An EXTERNAL wave arriving mid-series is
+            # caught by the series spread instead — self-load is the
+            # same work every pass, so stable passes + quiet gate is
+            # defensible while a wave inflates the later passes.
+            stable = (
+                min(series) > 0
+                and max(series) / min(series) <= stable_ratio
+            )
+            quiet = load_b < quiet_thresh and stable
             rec["attempts"].append(
                 {
                     "warm": round(m, 3),
                     "loadavg_before": round(load_b, 2),
                     "loadavg_after": round(load_a, 2),
+                    "series_stable": stable,
                     "waited_sec": waited,
                     "quiet": quiet,
                 }
@@ -329,6 +343,13 @@ def remeasure_flagged(
                 rec["outcome"] = (
                     "confirmed_improved_quiet" if quiet else "confirmed_improved"
                 )
+            elif not quiet and flagged[name] < 1:
+                # an IMPROVEMENT flag whose loaded re-measure reads
+                # in-band is not cleared: contention inflates m, so the
+                # quiet value could still be an improvement — only a
+                # REGRESSION flag can be cleared by an inflated
+                # measurement (inflated ≤ band ⇒ quiet ≤ band)
+                rec["outcome"] = "unconfirmed_no_quiet_window"
             else:
                 rec["outcome"] = "cleared"
             rec["still_regressed"] = regressed
@@ -358,14 +379,17 @@ def shed_to_fit(summary: dict, timings: dict, limit: int = 1900) -> str:
     if len(line) > limit and "warm_delta_worst" in summary:
         del summary["warm_delta_worst"]
         line = _line()
-    # shed labels and benign counts before the regression signal:
-    # quiet_still_regressed is the round's one real problem indicator
+    # shed benign extras before the load-bearing fields: the map's unit
+    # label (queries_are) outlives the overhead split and the benign
+    # counts — an UNLABELED warm map invites the exact cold-vs-warm
+    # misreading the label was added for — and quiet_still_regressed,
+    # the round's one real problem indicator, sheds last of all
     # (everything here is fully present in BENCH_DETAIL.json)
     for key in (
-        "queries_are",
         "build_overhead_sec",
         "quiet_still_improved",
         "quiet_unconfirmed",
+        "queries_are",
         "quiet_still_regressed",
     ):
         if len(line) > limit and key in summary:
@@ -658,7 +682,13 @@ def main() -> None:
         # cold passes and the build overhead split ride in BENCH_DETAIL.
         "queries": warm,
         "queries_are": "warm_median_sec",
-        "build_overhead_sec": round(total - warm_total, 3),
+        # per-query sum over queries with BOTH passes — a query whose
+        # warm series failed must not dump its whole cold wall into the
+        # "build overhead" number (it is reported under errors instead)
+        "build_overhead_sec": round(
+            sum(max(0.0, timings[n] - warm[n]) for n in warm if n in timings),
+            3,
+        ),
         "sf": detail["sf"],
         "n_queries": len(timings),
         "warm_total_sec": round(warm_total, 3),

@@ -195,8 +195,32 @@ def require_cell_partitioned(data_dir: str, partition_col: str, op: str) -> None
             f"(legacy pre-partitioned layout) — appending "
             f"{partition_col}=… hive directories next to them would "
             "corrupt the tree (mixed layouts don't read); run "
-            f"compact_store(store, partition_cols=[{partition_col!r}]) "
-            "once to upgrade"
+            f"compact_store(store, partition_cols=[{partition_col!r}], "
+            "min_files_to_compact=1) once to upgrade (the explicit "
+            "min_files matters: a single-file store would otherwise be "
+            "skipped as already-compact)"
+        )
+    # a store hive-partitioned by a DIFFERENT column is just as
+    # corruptible: the appended {partition_col}= dirs would land next to
+    # the foreign ones and the mixed tree fails the same way (e.g. an
+    # ann_store_dir pointed at a sem_cluster-partitioned semdedup store)
+    foreign = sorted(
+        {
+            n.split("=", 1)[0]
+            for n in names
+            if "=" in n
+            and not n.startswith(("_", "."))
+            and os.path.isdir(os.path.join(data_dir, n))
+        }
+        - {partition_col}
+    )
+    if foreign:
+        raise ValueError(
+            f"{op}: store data dir {data_dir!r} is hive-partitioned by "
+            f"{foreign} — not by {partition_col!r}; this is a different "
+            "store layout (wrong store dir?), and appending "
+            f"{partition_col}=… directories next to it would corrupt "
+            "the tree"
         )
 
 
@@ -922,6 +946,33 @@ def split_semdedup_cell(
     }
 
 
+def _select_hot_cells(
+    occ: dict[int, int],
+    occupancy_factor: float,
+    k: int,
+    max_splits: int,
+) -> tuple[int, list[tuple[int, int]]]:
+    """The shared occupancy-drift rule for both store-maintenance passes
+    (``maintain_ann_store`` / ``maintain_semdedup_store``): a cell is
+    hot when it holds more than ``occupancy_factor`` × the LOWER-median
+    cell's rows — with few cells the upper median is dragged up by the
+    hot cell itself (a 2-cell store could never flag), and at many cells
+    the two are indistinguishable, so bias toward detection — and big
+    enough to split (≥ ``2*k`` rows).  Hottest first, at most
+    ``max_splits`` per pass.  Returns (median, [(cell_id, n_rows)])."""
+    counts = sorted(occ.values())
+    median = counts[(len(counts) - 1) // 2] if counts else 0
+    hot = sorted(
+        (
+            (cid, n)
+            for cid, n in occ.items()
+            if median > 0 and n > occupancy_factor * median and n >= 2 * k
+        ),
+        key=lambda cn: (-cn[1], cn[0]),
+    )[:max_splits]
+    return median, hot
+
+
 def maintain_ann_store(
     spark: SparkSession,
     store: str,
@@ -970,19 +1021,7 @@ def maintain_ann_store(
         int(r["ivf_cell"]): int(r["n_rows"])
         for r in ann_store_occupancy(spark, store, id_col=id_col).collect()
     }
-    counts = sorted(occ.values())
-    # LOWER median: with few cells the upper median is dragged up by the
-    # hot cell itself (a 2-cell store could never flag), and at many
-    # cells the two are indistinguishable — bias toward detection
-    median = counts[(len(counts) - 1) // 2] if counts else 0
-    hot = sorted(
-        (
-            (cid, n)
-            for cid, n in occ.items()
-            if median > 0 and n > occupancy_factor * median and n >= 2 * k
-        ),
-        key=lambda cn: (-cn[1], cn[0]),
-    )[:max_splits]
+    median, hot = _select_hot_cells(occ, occupancy_factor, k, max_splits)
     splits = [
         split_cell(
             spark,
@@ -1069,6 +1108,24 @@ def maintain_semdedup_store(
             "splits": [],
             "new_centroids": cents,
         }
+    if _infer_partition_cols(src) is None:
+        # the upgrade compaction did not land (e.g. its row-count
+        # verification failed against a racing append) — the store is
+        # still flat and split_semdedup_cell would raise out of this
+        # "schedulable blindly" pass; report and let the next window
+        # retry instead
+        return {
+            "pruned": len(pruned),
+            "compaction": compaction,
+            "occupancy_median": 0,
+            "n_cells": 0,
+            "splits": [],
+            "splits_skipped_reason": (
+                "store is not sem_cluster-partitioned (upgrade "
+                "compaction skipped or failed verification)"
+            ),
+            "new_centroids": cents,
+        }
     occ = {
         int(r["sem_cluster"]): int(r["n"])
         for r in spark.read.parquet(src)
@@ -1076,18 +1133,7 @@ def maintain_semdedup_store(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    counts = sorted(occ.values())
-    # LOWER median — same detection bias as maintain_ann_store: with
-    # few cells the upper median is dragged up by the hot cell itself
-    median = counts[(len(counts) - 1) // 2] if counts else 0
-    hot = sorted(
-        (
-            (cid, n)
-            for cid, n in occ.items()
-            if median > 0 and n > occupancy_factor * median and n >= 2 * k
-        ),
-        key=lambda cn: (-cn[1], cn[0]),
-    )[:max_splits]
+    median, hot = _select_hot_cells(occ, occupancy_factor, k, max_splits)
     splits: list[dict] = []
     for cid, _n in hot:
         rep = split_semdedup_cell(

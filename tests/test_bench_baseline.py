@@ -232,26 +232,72 @@ def test_remeasure_regression_under_load_is_unconfirmed():
 
 
 def test_remeasure_retries_when_wave_arrives_mid_series():
-    """Quiet at the gate but loaded by the end of the pass series is not
-    a quiet measurement: the protocol retries (bounded) and keeps the
-    attempt that ran quiet end-to-end."""
+    """Quiet at the gate but a wave inflating the pass series is not a
+    quiet measurement: the spread of the series itself is the wave
+    detector (the POST-series loadavg cannot be — the measured query's
+    own 32-thread work raises it on any multi-second query), and the
+    protocol retries (bounded) keeping the attempt that ran stable."""
     from bench import remeasure_flagged
 
-    # attempt 1: gate 1.0 quiet, but 5.0 after the series -> not quiet;
-    # attempt 2: gate 1.0, after 1.0 -> quiet
-    seq = iter([1.0, 1.0, 5.0, 1.0, 1.0, 1.0])
+    # attempt 1: series inflates 2.0 -> 3.4 (spread 1.7 > 1.6) — a wave
+    # arrived mid-series; attempt 2: flat series -> quiet
+    vals = iter([2.0, 2.9, 3.4, 2.0, 2.0, 2.0])
     out = remeasure_flagged(
         flagged={"q": 2.1},
         base_warm={"q": 1.0},
-        run_query=lambda name: 2.0,
-        get_load1m=lambda: next(seq, 1.0),
+        run_query=lambda name: next(vals),
+        get_load1m=lambda: 1.0,
         sleep=lambda s: None,
     )
     assert len(out["q"]["attempts"]) == 2
     assert out["q"]["attempts"][0]["quiet"] is False
+    assert out["q"]["attempts"][0]["series_stable"] is False
     assert out["q"]["attempts"][1]["quiet"] is True
     assert out["q"]["outcome"] == "confirmed_regressed_quiet"
     assert out["q"]["still_regressed"] is True
+
+
+def test_remeasure_heavy_query_own_load_does_not_unconfirm():
+    """The r15 review finding: a multi-second query's own work raises
+    1-min loadavg past any threshold by the end of its series (x18
+    observed 1.73 -> 12.78 purely from itself).  With a quiet gate and
+    a stable series, the measurement must count as QUIET — heavy
+    queries would otherwise be permanently unconfirmable."""
+    from bench import remeasure_flagged
+
+    # gate reads quiet (wait-check + gate read); post-series load is
+    # self-inflated
+    seq = iter([1.5, 1.5, 12.78])
+    out = remeasure_flagged(
+        flagged={"q": 3.0},
+        base_warm={"q": 1.0},
+        run_query=lambda name: 9.0,  # stable heavy series
+        get_load1m=lambda: next(seq, 12.78),
+        sleep=lambda s: None,
+    )
+    assert out["q"]["measured_quiet"] is True
+    assert out["q"]["outcome"] == "confirmed_regressed_quiet"
+    assert out["q"]["still_regressed"] is True
+
+
+def test_remeasure_improvement_flag_cannot_clear_under_load():
+    """An IMPROVEMENT flag whose loaded re-measure reads in-band is
+    unconfirmed, not cleared: contention inflates the measurement, so
+    the quiet value could still be an improvement.  (Only a REGRESSION
+    flag can be cleared by an inflated in-band measurement.)"""
+    from bench import remeasure_flagged
+
+    out = remeasure_flagged(
+        flagged={"q": 0.2},
+        base_warm={"q": 1.0},
+        run_query=lambda name: 1.0,  # in-band under load
+        get_load1m=lambda: 9.0,
+        sleep=lambda s: None,
+        quiet_budget_sec=0.0,
+    )
+    assert out["q"]["outcome"] == "unconfirmed_no_quiet_window"
+    assert out["q"]["still_regressed"] is False
+    assert out["q"]["still_improved"] is False
 
 
 def test_remeasure_flagged_survives_a_broken_query():

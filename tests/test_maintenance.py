@@ -356,3 +356,34 @@ def test_maintain_stores_preserves_hive_layout(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "cell" in plan.split(
         "PartitionFilters: [", 1
     )[1].split("]", 1)[0]
+
+
+def test_require_cell_partitioned_guards_both_layout_hazards(tmp_path):
+    """r15 review findings: the flat-store refusal must name the
+    COMPLETE remedy (min_files_to_compact=1 — the default-2 call the
+    old message prescribed silently no-ops on a single-file store), and
+    a store hive-partitioned by a DIFFERENT column must be refused too
+    (e.g. an ann_store_dir pointed at a sem_cluster-partitioned
+    semdedup store would otherwise corrupt the tree)."""
+    import pytest
+
+    from jurimetria_etl_spark.sinks.maintenance import (
+        require_cell_partitioned,
+    )
+
+    d = tmp_path / "cellstore" / "sem_cluster=1"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"x")
+    # matching column: passes
+    require_cell_partitioned(str(tmp_path / "cellstore"), "sem_cluster", "op")
+    # foreign column: refused before the write
+    with pytest.raises(ValueError, match="hive-partitioned by"):
+        require_cell_partitioned(str(tmp_path / "cellstore"), "ivf_cell", "op")
+    # flat single-file store: remedy names min_files_to_compact=1
+    flat = tmp_path / "flatstore"
+    flat.mkdir()
+    (flat / "part-0.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="min_files_to_compact=1"):
+        require_cell_partitioned(str(flat), "sem_cluster", "op")
+    # missing dir (fresh store): passes
+    require_cell_partitioned(str(tmp_path / "nope"), "sem_cluster", "op")
