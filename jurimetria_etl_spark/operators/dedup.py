@@ -305,11 +305,47 @@ def minhash_near_duplicates(
     n: int = 3,
 ) -> DataFrame:
     """E2 — MinHash LSH candidates, then exact-Jaccard verification on the
-    candidate pairs only (the standard two-phase near-dup pipeline)."""
-    df = widen_partitions(df)  # shingle both branches at cluster width
-    cands = minhash_candidate_pairs(df, id_col, text_col, k, bands, n)
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, n).alias("__sh")
+    candidate pairs only (the standard two-phase near-dup pipeline).
+
+    One shingle pass (r15): the shingle table is built ONCE behind a
+    single repartition exchange that every consumer — the signature
+    derivation feeding both band-join sides AND both verify attach
+    sides — reads via ReusedExchange.  The previous shape computed
+    ``word_shingles`` in three independent subplans (the signature
+    barrier plus each verify side), so the tokenize+slide+concat pass
+    ran 3× per query and the verify sides each re-shuffled raw shingle
+    arrays; now the arrays cross exactly one exchange and the verify
+    joins read it back.  Verification arithmetic is unchanged — exact
+    Jaccard over the raw string shingle sets."""
+    df = widen_partitions(df)
+    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("__sh"))
+    # The ONE materialization barrier: signatures, both band-join sides,
+    # and both verify sides all hang off this exchange (identical
+    # subtree ⇒ one shuffle write, N reads).
+    sh = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism)
+    sig = sh.select(
+        F.col(id_col),
+        _minhash_from_base(
+            F.transform(F.col("__sh"), lambda s: hash60(s) % MINHASH_PRIME), k
+        ).alias("__sig"),
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs("__sig", k, bands)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .distinct()
     )
     lsh_ = sh.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
     rsh = sh.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
@@ -546,7 +582,10 @@ def near_dup_clusters(
     Clustering first, then keeping one doc per cluster, is the transitive
     fix real curation pipelines need.
 
-    Two exact paths, picked by the pair count (ONE count job up front):
+    Two exact paths, picked by ONE bounded fetch up front (a
+    ``limit(max_driver_pairs+1).toPandas()`` — when it comes back within
+    the bound it already IS the full edge set, so the common case pays a
+    single action over the pair lineage and no persist):
 
     - **Bounded union-find** when the pair graph fits
       ``max_driver_pairs`` (default 5×10⁵ pairs — fetched Arrow-batched
@@ -571,13 +610,20 @@ def near_dup_clusters(
     pinned against each other in tests.
     """
     spark = pairs.sparkSession
-    # The pair frame's lineage is typically the LSH join + jaccard verify
-    # — the costliest job in a dedup pipeline — and BOTH paths run two
-    # actions over it (count, then collect / edge materialization).
-    # Persist across them, release once the second action has consumed it.
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
-    if n_pairs <= max_driver_pairs:
+    # ONE action decides the path AND fetches the edges (r15): fetch up
+    # to max_driver_pairs+1 rows Arrow-batched.  When the fetch comes
+    # back complete (≤ max_driver_pairs rows), it IS the full pair set —
+    # the union-find path needs no second action and no persist at all,
+    # so the costliest job in a dedup pipeline (the LSH join + jaccard
+    # verify lineage) runs exactly once.  Only the rare over-bound case
+    # pays a second pass (persist + the label-prop rounds); the previous
+    # shape persisted + counted + collected on every call.
+    pdf = (
+        pairs.select(left_col, right_col)
+        .limit(max_driver_pairs + 1)
+        .toPandas()
+    )
+    if len(pdf) <= max_driver_pairs:
         parent: dict = {}
 
         def find(x):
@@ -588,12 +634,11 @@ def near_dup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        # Arrow-batched fetch: two flat columns, not 500k Row objects
-        # (a Row costs ~100+ bytes; the ~8 MB bound in the docstring is
-        # only honest with a columnar transfer).  .tolist() yields plain
-        # Python values, so id-type behavior matches the collect path.
-        pdf = pairs.select(left_col, right_col).toPandas()
-        pairs.unpersist()
+        # The fetch above is Arrow-batched: two flat columns, not 500k
+        # Row objects (a Row costs ~100+ bytes; the ~8 MB bound in the
+        # docstring is only honest with a columnar transfer).  .tolist()
+        # yields plain Python values, so id-type behavior matches the
+        # collect path.
         for a, b in zip(pdf[left_col].tolist(), pdf[right_col].tolist()):
             if a not in parent:
                 parent[a] = a
@@ -611,6 +656,9 @@ def near_dup_clusters(
         return spark.createDataFrame(
             rows, f"id {id_type}, {cluster_col} {id_type}"
         )
+    # Over-bound path: the pair plan is referenced twice below (both
+    # union branches), so persist it for the edge materialization only.
+    pairs = pairs.persist()
     edges = (
         pairs.select(
             F.col(left_col).alias("__src"), F.col(right_col).alias("__dst")
