@@ -97,14 +97,39 @@ def build_text_index(
     keeps everything (exact BM25 over the full vocabulary).
     ``fold_accents=True`` builds an accent-insensitive index; search it
     with the same flag."""
-    toks = docs.select(
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(F.col(text_col), fold_accents)).alias("term"),
+        _tokens(F.col(text_col), fold_accents).alias("__toks"),
     )
+    # Zero-token docs contribute nothing to any derived frame (explode
+    # yields no rows; the length contract emits no row) — dropping them
+    # up front keeps the size-based doc_lens below exact.  (No
+    # repartition barrier here: exchange reuse needs byte-identical
+    # optimized subtrees, and the per-branch inferred filters/pruning
+    # the consumers generate defeat it — measured, not assumed — so a
+    # staged exchange only adds stages.  The tokenize is parallel map
+    # work; the at-scale answer to repeated tokenization is the
+    # persisted index store, not an inline barrier.)
+    staged = staged.where(F.size("__toks") > 0)
+    toks = staged.select("doc_id", F.explode("__toks").alias("term"))
     postings = toks.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    doc_lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl from the array SIZE, not from exploding the token stream into
+    # a corpus-sized count aggregation (r15): sum-of-sizes per doc_id
+    # is identical to counting exploded tokens — including the
+    # duplicate-id edge, where both accumulate across rows, and the
+    # zero-token edge, where the staged filter preserves the
+    # no-length-row contract — but its map side is one narrow
+    # (doc_id, int) projection instead of the token explode, and
+    # doc_lens is consumed twice per search (the stats branch and the
+    # per-candidate dl attach), so the explode ran twice per call in
+    # the old shape.
+    doc_lens = (
+        staged.select("doc_id", F.size("__toks").alias("__n"))
+        .groupBy("doc_id")
+        .agg(F.sum("__n").cast("bigint").alias("dl"))
+    )
     stats = doc_lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

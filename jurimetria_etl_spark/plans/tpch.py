@@ -18,7 +18,7 @@ AQE re-plans it if skewed.  Each docstring notes the intended plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jurimetria_etl_spark.plans.corpus import Q, _fact, _t, dsum
@@ -633,17 +633,30 @@ def t12_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(late.cast("int")).alias("n_late_lines")
     )
-    stats = per_supp.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum((F.col("n_late_lines") > 0).cast("int")).alias("n_late_supp"),
+    # Per-order supplier stats as a WINDOW over the same rollup (r15):
+    # the former second aggregation + self-join re-executed the whole
+    # orders⨝lineitem spine and its (order, supplier) aggregation on the
+    # join's other side — one SortMergeJoin with the identical subtree
+    # under both inputs (2 lineitem scans, 2 spine joins, 2 rollup
+    # exchanges).  A count/sum over Window.partitionBy(l_orderkey)
+    # computes the identical n_supp/n_late_supp on the single rollup:
+    # one scan, one spine join, and the window's order-key exchange
+    # replaces the stats branch's aggregate + join exchanges.
+    w = Window.partitionBy("l_orderkey")
+    stats = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_late_lines",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum((F.col("n_late_lines") > 0).cast("int")).over(w).alias(
+            "n_late_supp"
+        ),
     )
     blamed = (
-        per_supp.where(F.col("n_late_lines") > 0)
-        .join(
-            stats,
-            (F.col("l_orderkey") == F.col("__ok"))
+        stats.where(
+            (F.col("n_late_lines") > 0)
             & (F.col("n_supp") >= 2)
-            & (F.col("n_late_supp") == 1),
+            & (F.col("n_late_supp") == 1)
         )
         .groupBy("l_suppkey")
         .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
