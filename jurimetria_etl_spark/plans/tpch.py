@@ -700,14 +700,18 @@ def t13_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the offer price; parts filter to PROMO/size≤10, suppliers to region
     AMERICA (nation keys ≡ 1 mod 5).
 
-    Spark-first decorrelation: the correlated MIN is a per-partkey
-    aggregate of the region-filtered offers, computed once (part-tail
-    sized after the broadcast part filter) and joined back; rows where the
-    offer price equals the per-part min survive — ties keep ALL minimal
-    suppliers, exactly like Q2.  Supplier, nation, region and the filtered
-    part list all ride broadcasts; the per-part MIN agg is the only
-    shuffle, and it happens AFTER the offers are pruned by both broadcast
-    filters.
+    Spark-first decorrelation: the correlated MIN is a ``min() OVER
+    (PARTITION BY l_partkey)`` window on the region-filtered offers —
+    rows where the offer price equals their partition's min survive, so
+    ties keep ALL minimal suppliers, exactly like Q2.  The r14 shape
+    (separate per-partkey MIN aggregate joined back on partkey+price)
+    planned the identical offers subtree under BOTH join inputs — two
+    lineitem scans, 13 exchanges, 1 SortMergeJoin; the window computes
+    the same min on the single offers pass with one partkey exchange
+    (the t12 rewrite, applied here in r15).  Supplier, nation, region
+    and the filtered part list all ride broadcasts; the window's
+    partkey exchange happens AFTER the offers are pruned by both
+    broadcast filters.
 
     Determinism: the price equality compares parquet-stored doubles with
     no arithmetic on either engine — bit-exact; final order by
@@ -740,15 +744,12 @@ def t13_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
     )
-    mins = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.min("l_extendedprice").alias("__min_price")
-    )
+    min_w = Window.partitionBy("l_partkey")
     return (
-        offers.join(
-            mins,
-            (F.col("l_partkey") == F.col("__pk"))
-            & (F.col("l_extendedprice") == F.col("__min_price")),
+        offers.withColumn(
+            "__min_price", F.min("l_extendedprice").over(min_w)
         )
+        .where(F.col("l_extendedprice") == F.col("__min_price"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
             F.col("l_extendedprice").alias("offer_price"),
@@ -930,7 +931,16 @@ def t17_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast attach, the equality filter keeps all maximal rows,
     and the supplier dim broadcasts into the tiny tail.  The decimal
     equality is exact on both engines — the reason the revenue stays
-    decimal until the final double render."""
+    decimal until the final double render.
+
+    The revenue frame is materialized (``localCheckpoint``) before its
+    two consumers (the scalar-max subtree and the equality filter) read
+    it: lazily it is supplier-cardinality — tiny — but its LINEAGE is
+    the full fact scan + aggregation, which both consumers would
+    otherwise re-execute (two lineitem scans, r14 plan).  A
+    dimension-sized checkpoint buys back a fact pass — the inverse of
+    the corpus-sized index checkpoint r15 measured and rejected in
+    operators/search.py."""
     li = _fact(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -940,7 +950,7 @@ def t17_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum(dec).cast("decimal(28,8)").alias("__r")
-    )
+    ).localCheckpoint()
     mx = rev.agg(F.max("__r").alias("__mx"))
     supp = _t(spark, sf_dir, "supplier")
     return (

@@ -64,7 +64,7 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # SortMergeJoin inputs (2 scans, 2 spine joins, 10 exchanges);
     # now 1 scan / 6 exchanges / 0 SMJ, warm 3.33 s → 1.87 s.
     "t12_waiting_suppliers": (0, 0, 6, 2),
-    "t13_min_cost_supplier": (0, 0, 13, 8),
+    "t13_min_cost_supplier": (0, 0, 6, 4),  # r15: correlated MIN as a window on the single offers pass (was 13 exch, 2 fact scans, 1 SMJ)
     # t14: orders per-custkey agg (partial+final), broadcast of the count
     # frame into customer's left join, distribution agg, final sort.
     "t14_customer_distribution": (0, 0, 5, 1),
@@ -75,7 +75,7 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "t16_important_parts": (1, 0, 6, 0),
     # t17: quarter-pruned per-supplier agg, 1-row max attach, equality
     # tail, broadcast supplier join.
-    "t17_top_supplier": (0, 0, 8, 2),
+    "t17_top_supplier": (0, 0, 4, 1),  # r15: rev localCheckpoint - one fact scan feeds both the max subtree and the equality tail
     # t18: broadcast ANTI exclusion + broadcast part + one distinct agg.
     "t18_supplier_cnt_by_part": (0, 0, 6, 2),
     # t19: two nation-pruned broadcast dims into the orders⨝lineitem
