@@ -357,14 +357,13 @@ def t08_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same part``).  The fixture carries no p_container, so the part
     filter is brand-only.
 
-    Spark-first decorrelation: the correlated avg is a per-partkey aggregate
-    of lineitem, computed once as a tiny (≤ #parts rows) frame and broadcast
-    back onto the pruned fact — the classic rewrite Catalyst itself applies
-    to scalar subqueries.  The fact is pruned FIRST by the broadcast part
-    filter, so at 100 TB both the stats pass and the probe pass scan only the
-    brand's slice (parquet PushedFilter on nothing, but partkey-pruned by the
-    broadcast hash join before any shuffle; the only exchange is the ≤ #parts
-    partial agg).
+    Spark-first decorrelation: the correlated avg is a ``sum/count OVER
+    (PARTITION BY l_partkey)`` window on the pruned fact — one pass, one
+    partkey exchange (r15; the r14 shape computed the per-partkey stats
+    as a separate aggregate joined back, which planned the pruned-fact
+    subtree under both join inputs: two lineitem scans, 7 exchanges).
+    The fact is pruned FIRST by the broadcast part filter, so at 100 TB
+    the window shuffles only the brand's slice.
 
     Determinism: the threshold compare is kept in EXACT arithmetic —
     ``5·qty·cnt < sum(qty)`` (decimals × bigint) instead of
@@ -380,11 +379,10 @@ def t08_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     qty_dec = F.col("l_quantity").cast("decimal(18,2)")
-    stats = pruned.groupBy("l_partkey").agg(
-        F.sum(qty_dec).alias("sum_q"), F.count("*").alias("cnt_q")
-    )
+    stats_w = Window.partitionBy("l_partkey")
     return (
-        pruned.join(F.broadcast(stats), "l_partkey")
+        pruned.withColumn("sum_q", F.sum(qty_dec).over(stats_w))
+        .withColumn("cnt_q", F.count(F.lit(1)).over(stats_w))
         .where(F.lit(5) * qty_dec * F.col("cnt_q") < F.col("sum_q"))
         .agg(
             F.round(
@@ -886,9 +884,13 @@ def t16_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue stands in for stocked value).
 
     Spark-first: one per-partkey decimal aggregation (the only data-sized
-    shuffle); the global total is a 1-row aggregate attached by broadcast
-    cross-join (the t10 scalar pattern) — NOT a second scan-heavy
-    subquery per group.  The threshold compare stays in EXACT decimal:
+    shuffle), materialized once (``localCheckpoint`` — part-cardinality,
+    the t17 dimension-sized-checkpoint pattern); the global total is
+    derived FROM the per-part sums (decimal addition is exact, so the
+    re-aggregated total is bit-identical to a direct fact aggregate) and
+    attached by broadcast cross-join (the t10 scalar pattern).  The r14
+    shape aggregated the fact separately for the total — a second full
+    lineitem scan.  The threshold compare stays in EXACT decimal:
     per-part sums are cast to decimal(28,8) then ×1000 (precision 33 ≤
     38, no rounding) against the cast total — a double comparison here is
     the canonical nondeterminism trap on near-threshold keys.
@@ -901,8 +903,8 @@ def t16_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = li.groupBy("l_partkey").agg(
         F.sum(dec).cast("decimal(28,8)").alias("__v")
-    )
-    total = li.agg(F.sum(dec).cast("decimal(28,8)").alias("__t"))
+    ).localCheckpoint()
+    total = per_part.agg(F.sum("__v").cast("decimal(28,8)").alias("__t"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("__v") * 1000 > F.col("__t"))

@@ -54,7 +54,7 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "t04_returned_items": (0, 0, 6, 3),
     "t06_late_shipments": (0, 0, 5, 1),
     "t07_promo_revenue": (0, 0, 3, 1),
-    "t08_small_qty_revenue": (0, 0, 7, 3),
+    "t08_small_qty_revenue": (0, 0, 4, 1),  # r15: correlated avg as a window on the single pruned pass (was 7 exch, 2 fact scans)
     "t09_promotion_suppliers": (0, 0, 6, 3),
     "t10_idle_rich_customers": (1, 0, 5, 1),  # 1-row global-avg attach
     "t11_big_orders": (0, 0, 4, 2),
@@ -72,7 +72,7 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "t15_disjunctive_pricing": (0, 0, 3, 1),
     # t16: per-part decimal agg + 1-row global-total broadcast attach
     # (the intended BNLJ) + exact-decimal threshold filter + sort.
-    "t16_important_parts": (1, 0, 6, 0),
+    "t16_important_parts": (1, 0, 3, 0),  # r15: per-part agg checkpointed once; global total derived from it (was 6 exch, 2 fact scans)
     # t17: quarter-pruned per-supplier agg, 1-row max attach, equality
     # tail, broadcast supplier join.
     "t17_top_supplier": (0, 0, 4, 1),  # r15: rev localCheckpoint - one fact scan feeds both the max subtree and the equality tail
