@@ -52,13 +52,13 @@ AUDITED = [
     ("t11_big_orders", "one rollup shuffle; HAVING tail joins un-hinted (AQE)"),
     (
         "t12_waiting_suppliers",
-        "EXISTS/NOT-EXISTS as one per-order agg; stats rejoin reuses the "
-        "order-key exchange",
+        "EXISTS/NOT-EXISTS as one per-order agg; stats via window on the "
+        "single rollup (r15)",
     ),
     (
         "t13_min_cost_supplier",
-        "correlated MIN as per-part agg over twice-broadcast-pruned "
-        "offers; no cartesian",
+        "correlated MIN as a window over the single broadcast-pruned "
+        "offers pass (r15); no cartesian",
     ),
     (
         "t14_customer_distribution",
@@ -72,11 +72,13 @@ AUDITED = [
     ),
     (
         "t16_important_parts",
-        "global total as 1-row broadcast attach; exact-decimal HAVING",
+        "per-part agg checkpointed once; total derived from it, 1-row "
+        "broadcast attach (r15); exact-decimal HAVING",
     ),
     (
         "t17_top_supplier",
-        "argmax join-back: 1-row max attach + decimal equality, ties kept",
+        "argmax join-back on the checkpointed rev frame (r15): 1-row max "
+        "attach + decimal equality, ties kept",
     ),
     (
         "t18_supplier_cnt_by_part",
