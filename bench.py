@@ -128,6 +128,7 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
     duck: dict[str, float] = {}
     errors: dict[str, str] = {}
     load_start = os.getloadavg()
+    steal_start = _read_steal_sec()
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem "
@@ -172,6 +173,7 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
         # measured under load without leaving the artifact
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "steal_sec_run": round(max(0.0, _read_steal_sec() - steal_start), 2),
         "skipped": sorted(sf1_skip),
         "skipped_why": (
             "deliberately-quadratic fixed-plane LSH contrast (exponent "
@@ -230,6 +232,20 @@ def _advance_warm_baseline(
     return by_sf, base_warm, base_round, base_sf, warm_delta, flagged
 
 
+def _read_steal_sec() -> float:
+    """Cumulative host KVM steal time in seconds (``/proc/stat`` cpu line,
+    field 8).  Steal is co-tenant CPU contention that loadavg does NOT
+    see: a sustained steal wave inflates every pass of a series equally,
+    so it defeats both the loadavg gate and the series-spread detector.
+    Returns 0.0 where /proc/stat is unavailable (non-Linux test hosts)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / float(os.sysconf("SC_CLK_TCK"))
+    except Exception:
+        return 0.0
+
+
 def remeasure_flagged(
     flagged: dict[str, float],
     base_warm: dict,
@@ -243,6 +259,9 @@ def remeasure_flagged(
     max_attempts: int = 3,
     poll_sec: float = 10.0,
     stable_ratio: float = 1.6,
+    get_steal_sec=None,
+    ncpus: int | None = None,
+    steal_frac_thresh: float = 0.05,
 ) -> dict:
     """Quiet-window re-measure of warm-delta-flagged queries (r13 verdict
     task 3, hardened per r14 task 2): the r13 driver run burned headroom
@@ -271,8 +290,25 @@ def remeasure_flagged(
       observed under load; ``still_regressed`` stays False and the
       stdout gate count must not include it.
 
+    The r15 t04 lesson: loadavg + a stable series is still blind to
+    SUSTAINED KVM steal — co-tenant contention that inflates every pass
+    of the series equally (t04_returned_items read
+    ``confirmed_regressed_quiet`` at loadavg 1.83 on a plan bit-identical
+    to the prior round).  Each attempt therefore also reads cumulative
+    host steal time around the series and derives
+    ``steal_frac = steal_sec / (sum(series) × ncpus)`` — the share of
+    the window's CPU capacity the hypervisor took back.  A window at or
+    above ``steal_frac_thresh`` is NOT quiet: the attempt is retried and
+    a regression observed only under steal reads
+    ``unconfirmed_no_quiet_window``.
+
     ``run_query(name)`` executes one warm pass and returns seconds;
-    ``get_load1m()``/``sleep(sec)`` are injected for unit tests."""
+    ``get_load1m()``/``sleep(sec)``/``get_steal_sec()`` are injected for
+    unit tests (``get_steal_sec=None`` reads zero — ``main()`` passes the
+    real ``/proc/stat`` reader)."""
+    if get_steal_sec is None:
+        get_steal_sec = lambda: 0.0  # noqa: E731 — hermetic default
+    ncpus = ncpus or os.cpu_count() or 1
     budget = quiet_budget_sec
     out: dict[str, dict] = {}
     for name in flagged:
@@ -285,6 +321,7 @@ def remeasure_flagged(
                 budget -= poll_sec
                 waited += poll_sec
             load_b = get_load1m()
+            steal_b = get_steal_sec()
             series: list[float] = []
             try:
                 for _ in range(passes):
@@ -293,6 +330,7 @@ def remeasure_flagged(
                 rec["error"] = f"{type(e).__name__}: {e}"[:200]
                 break
             load_a = get_load1m()
+            steal = max(0.0, get_steal_sec() - steal_b)
             m = statistics.median(series)
             # Quiet means quiet AT THE GATE plus a STABLE pass series.
             # The load reading after the series cannot gate quietness
@@ -308,13 +346,20 @@ def remeasure_flagged(
                 min(series) > 0
                 and max(series) / min(series) <= stable_ratio
             )
-            quiet = load_b < quiet_thresh and stable
+            # sum(series) is the series' own measured wall — deterministic
+            # for injected tests and ≈ the real window on the bench host
+            span = sum(series)
+            steal_frac = steal / (span * ncpus) if span > 0 else 0.0
+            low_steal = steal_frac < steal_frac_thresh
+            quiet = load_b < quiet_thresh and stable and low_steal
             rec["attempts"].append(
                 {
                     "warm": round(m, 3),
                     "loadavg_before": round(load_b, 2),
                     "loadavg_after": round(load_a, 2),
                     "series_stable": stable,
+                    "steal_sec": round(steal, 2),
+                    "steal_frac": round(steal_frac, 4),
                     "waited_sec": waited,
                     "quiet": quiet,
                 }
@@ -435,6 +480,7 @@ def main() -> None:
     total = 0.0
     warm_total = 0.0
     load_start = os.getloadavg()
+    steal_start = _read_steal_sec()
 
     # DuckDB denominator: same oracle SQL, same parquet, all local cores —
     # INTERLEAVED per query with the Spark passes (r12).  The seven-sample
@@ -630,6 +676,7 @@ def main() -> None:
             quiet_budget_sec=float(
                 os.environ.get("SPARK_GRAFT_QUIET_BUDGET", "600")
             ),
+            get_steal_sec=_read_steal_sec,
         )
 
     # Per-query warm/DuckDB detail rides in a file; only totals go to
@@ -653,6 +700,9 @@ def main() -> None:
         "warm_series": warm_series,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # host steal accumulated across the whole run — the loadavg-blind
+        # contention channel (see _read_steal_sec); 0.0 on non-KVM hosts
+        "steal_sec_run": round(max(0.0, _read_steal_sec() - steal_start), 2),
         "errors": errors,
         "duckdb_queries": duck,
         "warm_total_sec": round(warm_total, 3),

@@ -280,6 +280,61 @@ def test_remeasure_heavy_query_own_load_does_not_unconfirm():
     assert out["q"]["still_regressed"] is True
 
 
+def test_remeasure_steal_wave_is_not_quiet():
+    """The r15 t04 failure mode: sustained KVM steal inflates every pass
+    of the series EQUALLY, so loadavg reads quiet and the series reads
+    stable — yet the window is contended.  An attempt whose steal
+    fraction is at/above threshold must not count as quiet: the protocol
+    retries, and a regression observed only under steal reads
+    unconfirmed_no_quiet_window."""
+    from bench import remeasure_flagged
+
+    # attempt 1: 1.5 s of steal across a 6 s single-cpu series (frac
+    # 0.25); attempts 2-3: no steal but the "regression" persists
+    steals = iter([0.0, 1.5, 1.5, 1.5, 1.5, 1.5])
+    out = remeasure_flagged(
+        flagged={"q": 2.0},
+        base_warm={"q": 1.0},
+        run_query=lambda name: 2.0,  # stable series either way
+        get_load1m=lambda: 1.0,
+        sleep=lambda s: None,
+        get_steal_sec=lambda: next(steals, 1.5),
+        ncpus=1,
+    )
+    a = out["q"]["attempts"]
+    assert a[0]["quiet"] is False and a[0]["series_stable"] is True
+    assert a[0]["steal_sec"] == 1.5 and a[0]["steal_frac"] == 0.25
+    assert a[1]["quiet"] is True and a[1]["steal_frac"] == 0.0
+    # quiet attempt 2 confirmed the delta for real
+    assert out["q"]["outcome"] == "confirmed_regressed_quiet"
+
+
+def test_remeasure_steal_only_window_is_unconfirmed():
+    """A regression whose every attempt ran under steal must read
+    unconfirmed_no_quiet_window — same posture as the loadavg gate."""
+    from bench import remeasure_flagged
+
+    base = [0.0]
+
+    def steal():
+        base[0] += 3.0  # 3 s of steal around every reading
+        return base[0]
+
+    out = remeasure_flagged(
+        flagged={"q": 2.0},
+        base_warm={"q": 1.0},
+        run_query=lambda name: 2.0,
+        get_load1m=lambda: 1.0,
+        sleep=lambda s: None,
+        quiet_budget_sec=0.0,
+        get_steal_sec=steal,
+        ncpus=1,
+    )
+    assert out["q"]["measured_quiet"] is False
+    assert out["q"]["outcome"] == "unconfirmed_no_quiet_window"
+    assert out["q"]["still_regressed"] is False
+
+
 def test_remeasure_improvement_flag_cannot_clear_under_load():
     """An IMPROVEMENT flag whose loaded re-measure reads in-band is
     unconfirmed, not cleared: contention inflates the measurement, so
