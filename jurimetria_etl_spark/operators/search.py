@@ -77,40 +77,52 @@ class TextIndex:
     (term, doc_id, tf); ``doc_lens`` is (doc_id, dl); ``stats`` is one
     row (n_docs, avgdl).  All three persist as parquet — partition
     ``postings`` by a term-hash bucket at write time and the search
-    join prunes to the query's buckets."""
+    join prunes to the query's buckets.
+
+    The three optional fields are the PERSISTED-STORE statistics
+    sidecar (r16): when ``load_text_index`` finds the per-batch
+    ``stats``/``term_df`` sidecars a sidecar-born store maintains
+    (``append_text_index``), it resolves (n_docs, avgdl) to SCALARS on
+    the driver (``stats`` is then a literal one-row frame — no
+    doc_lens scan or global aggregate in any search plan) and exposes
+    the raw per-batch ``term_df`` frame (batch_key, term, df) so
+    ``bm25_search`` derives per-term document frequency from a tiny
+    sidecar scan instead of aggregating the query terms' full posting
+    lists.  ``None`` (inline builds, legacy stores, strict loads)
+    keeps the original derive-from-frames plan."""
 
     postings: DataFrame
     doc_lens: DataFrame
     stats: DataFrame
+    n_docs: int | None = None
+    avgdl: float | None = None
+    term_df: DataFrame | None = None
 
 
-def build_text_index(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_df_ratio: float | None = None,
-    fold_accents: bool = False,
-) -> TextIndex:
-    """Inverted-index statistics over ``docs``.  ``max_df_ratio`` (e.g.
-    0.5) drops terms occurring in more than that fraction of documents —
-    statistical stop-listing that bounds posting-list skew; ``None``
-    keeps everything (exact BM25 over the full vocabulary).
-    ``fold_accents=True`` builds an accent-insensitive index; search it
-    with the same flag."""
-    staged = docs.select(
+def _staged(
+    docs: DataFrame, id_col: str, text_col: str, fold_accents: bool
+) -> DataFrame:
+    """(doc_id, __toks) with zero-token docs dropped — the shared
+    tokenized base of every index frame.  Zero-token docs contribute
+    nothing to any derived frame (explode yields no rows; the length
+    contract emits no row) — dropping them up front keeps the
+    size-based doc_lens below exact.  (No repartition barrier here:
+    exchange reuse needs byte-identical optimized subtrees, and the
+    per-branch inferred filters/pruning the consumers generate defeat
+    it — measured, not assumed — so a staged exchange only adds
+    stages.  The tokenize is parallel map work; the at-scale answer to
+    repeated tokenization is the persisted index store, not an inline
+    barrier.)"""
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         _tokens(F.col(text_col), fold_accents).alias("__toks"),
-    )
-    # Zero-token docs contribute nothing to any derived frame (explode
-    # yields no rows; the length contract emits no row) — dropping them
-    # up front keeps the size-based doc_lens below exact.  (No
-    # repartition barrier here: exchange reuse needs byte-identical
-    # optimized subtrees, and the per-branch inferred filters/pruning
-    # the consumers generate defeat it — measured, not assumed — so a
-    # staged exchange only adds stages.  The tokenize is parallel map
-    # work; the at-scale answer to repeated tokenization is the
-    # persisted index store, not an inline barrier.)
-    staged = staged.where(F.size("__toks") > 0)
+    ).where(F.size("__toks") > 0)
+
+
+def _index_from_staged(staged: DataFrame) -> TextIndex:
+    """The three index frames from a (doc_id, __toks) staged frame —
+    shared by the inline build and the append path (which persists the
+    staged frame across its four actions)."""
     toks = staged.select("doc_id", F.explode("__toks").alias("term"))
     postings = toks.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
@@ -133,6 +145,25 @@ def build_text_index(
     stats = doc_lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    return TextIndex(postings=postings, doc_lens=doc_lens, stats=stats)
+
+
+def build_text_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float | None = None,
+    fold_accents: bool = False,
+) -> TextIndex:
+    """Inverted-index statistics over ``docs``.  ``max_df_ratio`` (e.g.
+    0.5) drops terms occurring in more than that fraction of documents —
+    statistical stop-listing that bounds posting-list skew; ``None``
+    keeps everything (exact BM25 over the full vocabulary).
+    ``fold_accents=True`` builds an accent-insensitive index; search it
+    with the same flag."""
+    staged = _staged(docs, id_col, text_col, fold_accents)
+    idx = _index_from_staged(staged)
+    postings, doc_lens, stats = idx.postings, idx.doc_lens, idx.stats
     if max_df_ratio is not None:
         dfs = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("__df")
@@ -183,21 +214,54 @@ def bm25_search(
     # rows.  With term-bucket-partitioned postings both this scan and the
     # candidate scan prune to the query's buckets.
     q_term_set = qterms.select("term").distinct()
-    dfs = (
-        index.postings.join(F.broadcast(q_term_set), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    if index.term_df is not None:
+        # Sidecar df (r16): one row per (batch, term) in a vocabulary-
+        # sized store instead of the query terms' full posting lists —
+        # at 100 TB a hot term's posting list is corpus-sized and this
+        # aggregation was the one remaining corpus-scale read per
+        # search.  Fold: byte-identical replayed rows collapse inside
+        # collect_set (full-row struct dedup), then the per-batch df
+        # deltas sum — exact under the append contract (doc-disjoint
+        # batches; see append_text_index).  Sum of bigints over a set:
+        # order-insensitive, exact.
+        dfs = (
+            index.term_df.join(F.broadcast(q_term_set), "term", "left_semi")
+            .groupBy("term")
+            .agg(
+                F.aggregate(
+                    F.collect_set(F.struct("batch_key", "df")),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x["df"],
+                ).alias("df")
+            )
+        )
+    else:
+        dfs = (
+            index.postings.join(F.broadcast(q_term_set), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
     matched = (
         F.broadcast(qterms)
         .join(index.postings, "term")
         .join(F.broadcast(dfs), "term")
         .join(index.doc_lens, "doc_id")
-        .join(F.broadcast(index.stats))
     )
+    if index.n_docs is not None and index.avgdl is not None:
+        # Sidecar stats (r16): (n_docs, avgdl) resolved to literals at
+        # load time — the doc_lens stats scan, its global aggregate
+        # exchange, and the one-row broadcast attach all leave the
+        # search plan.  Types mirror the frame path exactly (bigint
+        # count, double avg), so the scoring arithmetic is unchanged.
+        ndocs_c = F.lit(int(index.n_docs)).cast("bigint")
+        avgdl_c = F.lit(float(index.avgdl))
+    else:
+        matched = matched.join(F.broadcast(index.stats))
+        ndocs_c = F.col("n_docs")
+        avgdl_c = F.col("avgdl")
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        + (ndocs_c - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     tf_part = (
@@ -208,7 +272,7 @@ def bm25_search(
             + F.lit(k1)
             * (
                 F.lit(1.0 - b)
-                + F.lit(b) * F.col("dl") / F.col("avgdl")
+                + F.lit(b) * F.col("dl") / avgdl_c
             )
         )
     )
@@ -272,12 +336,62 @@ def append_text_index(
     guarantees it upstream); re-ingesting CHANGED text under an old id
     is a store-generation change, not an append.  Tokenization
     (``fold_accents`` included) is part of the store's generation
-    contract, like the span stores' strip lists."""
+    contract, like the span stores' strip lists.
+
+    STATISTICS SIDECARS (r16): a store born through this function also
+    appends two per-batch statistics frames — ``<index_dir>/stats``
+    (one row: batch_key, n_docs, sum_dl) and ``<index_dir>/term_df``
+    (batch_key, term, df) — so ``load_text_index`` can resolve
+    (n_docs, avgdl) without scanning doc_lens and ``bm25_search`` can
+    read a query term's document frequency from a vocabulary-sized
+    sidecar instead of aggregating its full posting list (posting
+    lists are corpus-sized per hot term at 100 TB; the sidecar row is
+    one per term per batch).  Exactness contract — the same one the
+    ``max`` fold rests on, stated one notch tighter: distinct batches
+    carry DISJOINT doc_id sets (the upstream exact-dedup gate), and a
+    replayed batch is byte-identical, so its sidecar rows repeat
+    exactly and the load-time fold (dedup per batch_key) removes them;
+    the batch_key derives deterministically from the batch's own
+    content (min/max doc_id + counters).  A same-text doc re-appended
+    in a DIFFERENT batch — tolerated by the postings ``max`` fold,
+    out of contract for the counters — double-counts in the sidecar;
+    ``load_text_index(strict_stats=True)`` bypasses the sidecars
+    entirely and re-derives everything from the folded frames (the
+    exactness valve, same posture as the orphan window).  A legacy
+    store (first appended before the sidecars existed) never starts
+    writing them mid-life — a partial sidecar would silently
+    undercount — and keeps the derive-at-load plan."""
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
-    idx = build_text_index(
-        docs, id_col, text_col, fold_accents=fold_accents
+    # Sidecars only on stores that have had them from birth: fresh
+    # store (no doc_lens yet) or a store whose stats sidecar exists.
+    sidecar = os.path.isdir(f"{index_dir}/stats") or not os.path.isdir(
+        f"{index_dir}/doc_lens"
     )
+    staged = _staged(docs, id_col, text_col, fold_accents)
+    if sidecar:
+        # four actions consume the tokenized batch (doc_lens, stats
+        # collect, term_df, postings) — persist it for the append's
+        # duration so the tokenize runs once per batch, not per action
+        staged = staged.persist()
+    idx = _index_from_staged(staged)
+    batch = None
+    if sidecar:
+        row = idx.doc_lens.agg(
+            F.min(F.col("doc_id").cast("string")).alias("mn"),
+            F.max(F.col("doc_id").cast("string")).alias("mx"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        ).collect()[0]
+        if row["n_docs"] > 0:
+            # deterministic content-derived batch identity: identical
+            # for a replay, distinct across doc-disjoint batches (the
+            # min doc_id belongs to exactly one batch)
+            batch = (
+                f"{row['mn']}|{row['mx']}|{row['n_docs']}|{row['sum_dl']}",
+                int(row["n_docs"]),
+                int(row["sum_dl"]),
+            )
     # doc_lens first: a crash in between leaves length-only docs that
     # cannot match any query term, and the retry restores postings;
     # postings-first would let a term match a doc whose dl is missing
@@ -287,12 +401,30 @@ def append_text_index(
     # every query) — scores stay well-defined, ranks can move.
     # ``load_text_index(strict_stats=True)`` excludes orphans at a
     # per-load semi-join cost when exactness in that window matters.
+    # Sidecars land between doc_lens and postings: a crash anywhere in
+    # the sequence leaves the same orphan window the two-write order
+    # always had (stats counted, postings pending), and the replay's
+    # byte-identical rows restore consistency under the folds.
     idx.doc_lens.write.mode("append").parquet(
         store_data_dir(f"{index_dir}/doc_lens")
     )
+    if batch is not None:
+        key, n_docs, sum_dl = batch
+        spark = docs.sparkSession
+        spark.createDataFrame(
+            [(key, n_docs, sum_dl)],
+            "batch_key string, n_docs bigint, sum_dl bigint",
+        ).write.mode("append").parquet(store_data_dir(f"{index_dir}/stats"))
+        idx.postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        ).select(F.lit(key).alias("batch_key"), "term", "df").write.mode(
+            "append"
+        ).parquet(store_data_dir(f"{index_dir}/term_df"))
     idx.postings.write.mode("append").parquet(
         store_data_dir(f"{index_dir}/postings")
     )
+    if sidecar:
+        staged.unpersist()
 
 
 _STOPLIST_META = "_STOPLIST.json"
@@ -449,9 +581,37 @@ def load_text_index(
         doc_lens = doc_lens.join(
             postings.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-    stats = doc_lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    # Statistics sidecar (r16): a sidecar-born store resolves
+    # (n_docs, avgdl) on the DRIVER from the tiny per-batch stats
+    # frame (one row per batch; replays deduped by batch_key) — the
+    # stats frame becomes a literal one-row plan and bm25_search skips
+    # the doc_lens stats scan + global aggregate + broadcast attach.
+    # avgdl = sum_dl / n_docs in IEEE double — identical to
+    # F.avg(dl) over bigint (Spark accumulates integral sums exactly
+    # in double below 2^53, then divides once).  strict_stats bypasses
+    # the sidecars (they cannot see orphaned doc_lens rows — the
+    # exactness valve re-derives everything from the folded frames),
+    # and a legacy store without them keeps the derive-at-load plan.
+    n_docs_sc: int | None = None
+    avgdl_sc: float | None = None
+    term_df = None
+    if not strict_stats:
+        side = _read_stats_sidecar(index_dir)
+        if side is not None and side[0] > 0:
+            n_docs_sc, sum_dl = side
+            avgdl_sc = sum_dl / n_docs_sc
+            term_df = spark.read.parquet(
+                store_data_dir(f"{index_dir}/term_df")
+            )
+    if n_docs_sc is not None:
+        stats = spark.range(1).select(
+            F.lit(n_docs_sc).cast("bigint").alias("n_docs"),
+            F.lit(avgdl_sc).alias("avgdl"),
+        )
+    else:
+        stats = doc_lens.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
     if max_df_ratio is not None:
         stop = _read_stop_list(spark, index_dir, max_df_ratio, strict_stats)
         if stop is not None:
@@ -468,7 +628,58 @@ def load_text_index(
                 .select("term")
             )
             postings = postings.join(keep, "term", "left_semi")
-    return TextIndex(postings=postings, doc_lens=doc_lens, stats=stats)
+    # term_df rows for stop-listed terms are harmless: scoring joins
+    # df INNER on the postings' matched terms, and a stop-listed term
+    # has no postings rows to match — its sidecar df never reaches a
+    # score.  Surviving terms' df values are unchanged by stop-listing
+    # (df counts the term's own documents), so the sidecar needs no
+    # ratio filtering of its own.
+    return TextIndex(
+        postings=postings,
+        doc_lens=doc_lens,
+        stats=stats,
+        n_docs=n_docs_sc,
+        avgdl=avgdl_sc,
+        term_df=term_df,
+    )
+
+
+def _read_stats_sidecar(index_dir: str) -> tuple[int, int] | None:
+    """Driver-side fold of the per-batch stats sidecar: (n_docs,
+    sum_dl) summed over DISTINCT batch_key rows (a replayed batch's
+    rows are byte-identical — dedup by key removes them), or ``None``
+    when the store has no sidecars (legacy / pre-r16) or the term_df
+    twin is missing (a partial sidecar must not be trusted).  The
+    frame is tiny by construction — one row per appended batch — and
+    is read with pyarrow directly: no Spark job in the load path."""
+    from jurimetria_etl_spark.sinks.maintenance import store_data_dir
+
+    stats_dir = store_data_dir(f"{index_dir}/stats")
+    if not os.path.isdir(stats_dir) or not os.path.isdir(
+        store_data_dir(f"{index_dir}/term_df")
+    ):
+        return None
+    import pyarrow.parquet as pq
+
+    seen: dict[str, tuple[int, int]] = {}
+    found = False
+    for root, _dirs, files in os.walk(stats_dir):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            found = True
+            tbl = pq.read_table(os.path.join(root, name))
+            for row in tbl.to_pylist():
+                seen[row["batch_key"]] = (
+                    int(row["n_docs"]),
+                    int(row["sum_dl"]),
+                )
+    if not found:
+        return None
+    return (
+        sum(v[0] for v in seen.values()),
+        sum(v[1] for v in seen.values()),
+    )
 
 
 def rrf_fuse(

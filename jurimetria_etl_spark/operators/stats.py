@@ -94,6 +94,214 @@ def profile_columns(
     )
 
 
+def percentile_cont_selection(
+    df: DataFrame,
+    group_col: str | list[str],
+    specs: dict[str, list[float]],
+    accuracy: int = 10_000,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Exact ``percentile_cont`` per group via TWO-PASS DISTRIBUTED
+    SELECTION — approx-bracket, then exact order statistics inside the
+    bracket (the classic distributed quickselect refinement).  The
+    third strategy next to the native ``F.percentile`` (per-group
+    value→count map merged through partial/final serialization — the
+    8.6 s/6M-row form) and ``percentile_cont_by_group`` (full
+    distinct-value histogram + per-group cumulative window: no buffer
+    to spill, but the window still sorts EVERY distinct value).
+
+    - **Pass A** (one aggregate, one driver action): per group and per
+      value column, the non-null count and a GK sketch bracket
+      (``percentile_approx`` at p ± 4/accuracy, rank error ≤
+      n/accuracy by the Greenwald–Khanna guarantee, so the bracket
+      provably contains the target order statistics; groups smaller
+      than 4×accuracy skip the bracket and scan whole — the sketch
+      bound needs εn ≫ 1).  The collected frame is |groups| rows —
+      ``max_groups`` guards the driver (one limit-bounded action, the
+      ``strip_boilerplate_bulk`` posture).
+    - **Pass B**: one melted scan; each row joins its group's
+      broadcast target (rank range + bracket), rows above the bracket
+      drop, rows below collapse to ONE below-bucket count per target
+      (map-side combinable — they only shift ranks), in-bracket
+      DISTINCT values get a cumulative-count window (bracket-sized:
+      ~8n/accuracy rows per target, NOT the full distinct-value set),
+      and the target ranks ``t = p·(n−1)`` interpolate exactly as the
+      native aggregate does (same ``(⌈t⌉−t)·v_lo + (t−⌊t⌋)·v_hi``
+      arithmetic as ``percentile_cont_by_group`` — bit-identical,
+      pinned in tests/test_percentile_hist.py).
+
+    At 100 TB: pass A is a sketch aggregate (bounded state per group),
+    pass B's only per-group serial step sorts ~8n/accuracy bracket
+    values instead of n (native) or |distinct| (histogram) — the
+    selection's classic win on near-continuous columns.  A bracket
+    miss cannot be silent: the target rank would find no in-bracket
+    row and the output value reads NULL (loud at any oracle), but the
+    GK bound plus the 4ε margin makes that unreachable.
+
+    ``specs`` maps value columns to their percentile lists; output is
+    LONG format — one row per (group, metric=value column, p, val),
+    NULL val for an all-NULL group (``percentile_cont`` semantics).
+    Values are compared/interpolated as doubles (exactly what the
+    native aggregate's final arithmetic does)."""
+    import math
+
+    from pyspark.sql import Window
+
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    spark = df.sparkSession
+    eps = 1.0 / accuracy
+    delta = 4.0 * eps
+    # per column: the bracket quantiles the sketch must report
+    qlists: dict[str, list[float]] = {}
+    for c, ps in specs.items():
+        qs: list[float] = []
+        for p in ps:
+            qs.append(max(0.0, p - delta))
+            qs.append(min(1.0, p + delta))
+        qlists[c] = sorted(set(qs))
+    aggs = []
+    for c in specs:
+        aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+        aggs.append(
+            F.percentile_approx(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(q) for q in qlists[c]]),
+                F.lit(accuracy),
+            ).alias(f"__b_{c}")
+        )
+    ga_rows = (
+        df.groupBy(*groups).agg(*aggs).limit(max_groups + 1).collect()
+    )
+    if len(ga_rows) > max_groups:
+        raise ValueError(
+            f"percentile_cont_selection: more than max_groups="
+            f"{max_groups} groups — the pass-A bracket table must fit "
+            "on the driver; raise max_groups deliberately or use "
+            "percentile_cont_by_group"
+        )
+    targets: list[tuple] = []
+    null_rows: list[tuple] = []
+    for row in ga_rows:
+        gvals = tuple(row[g] for g in groups)
+        for c, ps in specs.items():
+            n = int(row[f"__n_{c}"])
+            br = row[f"__b_{c}"]
+            for p in ps:
+                if n == 0:
+                    null_rows.append(gvals + (c, float(p)))
+                    continue
+                t = float(p) * (n - 1)
+                rlo = math.floor(t) + 1
+                rhi = math.ceil(t) + 1
+                blo = bhi = None
+                if n > 4 * accuracy:
+                    qlo = max(0.0, p - delta)
+                    qhi = min(1.0, p + delta)
+                    if qlo > 0.0:
+                        blo = float(br[qlists[c].index(qlo)])
+                    if qhi < 1.0:
+                        bhi = float(br[qlists[c].index(qhi)])
+                targets.append(
+                    gvals + (c, float(p), t, rlo, rhi, blo, bhi)
+                )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    gfields = [df.schema[g] for g in groups]
+    tschema = StructType(
+        gfields
+        + [
+            StructField("metric", StringType()),
+            StructField("p", DoubleType()),
+            StructField("__t", DoubleType()),
+            StructField("__rlo", LongType()),
+            StructField("__rhi", LongType()),
+            StructField("__blo", DoubleType()),
+            StructField("__bhi", DoubleType()),
+        ]
+    )
+    tdf = spark.createDataFrame(targets, tschema)
+    melted = df.select(
+        *groups,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"),
+                        F.col(c).cast("double").alias("__v"),
+                    )
+                    for c in specs
+                ]
+            )
+        ).alias("__m"),
+    ).select(*groups, "__m.metric", "__m.__v")
+    j = (
+        melted.where(F.col("__v").isNotNull())
+        .join(F.broadcast(tdf), [*groups, "metric"])
+        .where(F.col("__bhi").isNull() | (F.col("__v") <= F.col("__bhi")))
+    )
+    below = F.col("__blo").isNotNull() & (F.col("__v") < F.col("__blo"))
+    j = j.withColumn("__below", F.when(below, 1).otherwise(0)).withColumn(
+        "__bv",
+        F.when(below, F.lit(None).cast("double")).otherwise(F.col("__v")),
+    )
+    keys = [*groups, "metric", "p", "__t", "__rlo", "__rhi"]
+    hist = j.groupBy(*keys, "__below", "__bv").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(*groups, "metric", "p").orderBy(
+        F.col("__below").desc(), F.col("__bv")
+    )
+    cum = hist.withColumn("__hi", F.sum("__c").over(w)).withColumn(
+        "__lo", F.col("__hi") - F.col("__c") + 1
+    )
+    in_b = F.col("__below") == 0
+    vlo = F.max(
+        F.when(
+            in_b & F.col("__rlo").between(F.col("__lo"), F.col("__hi")),
+            F.col("__bv"),
+        )
+    )
+    vhi = F.max(
+        F.when(
+            in_b & F.col("__rhi").between(F.col("__lo"), F.col("__hi")),
+            F.col("__bv"),
+        )
+    )
+    out = cum.groupBy(*groups, "metric", "p", "__t").agg(
+        vlo.alias("__vlo"), vhi.alias("__vhi")
+    )
+    lo_i = F.floor("__t").cast("double")
+    hi_i = F.ceil("__t").cast("double")
+    interp = (hi_i - F.col("__t")) * F.col("__vlo") + (
+        F.col("__t") - lo_i
+    ) * F.col("__vhi")
+    result = out.select(
+        *groups,
+        "metric",
+        "p",
+        F.when(hi_i == lo_i, F.col("__vlo")).otherwise(interp).alias("val"),
+    )
+    if null_rows:
+        nschema = StructType(
+            gfields
+            + [
+                StructField("metric", StringType()),
+                StructField("p", DoubleType()),
+            ]
+        )
+        ndf = spark.createDataFrame(null_rows, nschema).withColumn(
+            "val", F.lit(None).cast("double")
+        )
+        result = result.unionByName(ndf)
+    return result
+
+
 def percentile_cont_by_group(
     df: DataFrame,
     group_col: str | list[str],

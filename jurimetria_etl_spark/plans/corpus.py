@@ -774,21 +774,43 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 def q32_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q32 — exact percentiles (linear interpolation — ``percentile_cont``
-    semantics) per group.  Exact, not ``approx_percentile``: the sort is
-    per-group inside the aggregate; at 100 TB prefer the approx variant
-    (q11's sketch pattern) unless exactness is contractual — and when it
-    is, prefer ``operators.stats.percentile_cont_by_group`` on
-    near-continuous columns: the native aggregate merges a value→count
-    map per group through partial/final serialization (measured 8.6 s at
-    sf1 on l_extendedprice), the histogram form shuffles distinct values
-    instead (1.1–1.4× at sf1, no per-group buffer to spill at 100 TB;
-    bit-identical — test_percentile_hist.py)."""
+    semantics) per group, via TWO-PASS DISTRIBUTED SELECTION
+    (``operators.stats.percentile_cont_selection``, r16): a GK-sketch
+    bracket pass bounds each target order statistic, then one melted
+    scan counts below-bracket rows and sorts ONLY the ~8n/accuracy
+    in-bracket values — output bit-identical to the native
+    ``F.percentile`` (same interpolation arithmetic, pinned in
+    tests/test_percentile_hist.py; the r12–r15 form measured 8.6 s at
+    sf1 on l_extendedprice merging a per-group value→count map through
+    partial/final serialization, vs DuckDB's 0.55 s vectorized
+    quickselect — this is the distributed analog of that quickselect).
+    Exact, not ``approx_percentile``: at 100 TB prefer the approx
+    variant (q11's sketch pattern) unless exactness is contractual —
+    and when it is, this selection form has no per-group buffer to
+    spill AND no full distinct-value sort (the
+    ``percentile_cont_by_group`` histogram's remaining serial step;
+    that form stays benched as q32b)."""
+    from jurimetria_etl_spark.operators.stats import (
+        percentile_cont_selection,
+    )
+
     li = _fact(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.25).alias("q25"),
-        F.percentile("l_quantity", 0.5).alias("q50"),
-        F.percentile("l_quantity", 0.9).alias("q90"),
-        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+    sel = percentile_cont_selection(
+        li,
+        "l_returnflag",
+        {"l_quantity": [0.25, 0.5, 0.9], "l_extendedprice": [0.5]},
+    )
+    qty = F.col("metric") == "l_quantity"
+    return sel.groupBy("l_returnflag").agg(
+        F.max(F.when(qty & (F.col("p") == 0.25), F.col("val"))).alias("q25"),
+        F.max(F.when(qty & (F.col("p") == 0.5), F.col("val"))).alias("q50"),
+        F.max(F.when(qty & (F.col("p") == 0.9), F.col("val"))).alias("q90"),
+        F.max(
+            F.when(
+                (F.col("metric") == "l_extendedprice") & (F.col("p") == 0.5),
+                F.col("val"),
+            )
+        ).alias("median_price"),
     )
 
 

@@ -2074,7 +2074,11 @@ def _text_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
         d = tempfile.mkdtemp(prefix="text_index_x37b_")
         append_text_index(_t(spark, sf_dir, "documents"), d)
-        for sub in ("postings", "doc_lens"):
+        # stats/term_df: the r16 per-batch statistics sidecars the
+        # append writes — compacted with the data frames (the generic
+        # rewrite preserves rows; the load-time batch_key fold is
+        # compaction-invariant)
+        for sub in ("postings", "doc_lens", "stats", "term_df"):
             compact_store(spark, f"{d}/{sub}")
         _TEXT_INDEX_CACHE[key] = d
     return _TEXT_INDEX_CACHE[key]

@@ -47,7 +47,16 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "q24_top_terms": (0, 0, 1, 0),
     "q27_asof_join": (0, 0, 1, 0),
     "q28_range_join": (0, 0, 2, 1),
-    "q32_percentile": (0, 0, 2, 0),
+    # q32 (r16 two-pass selection): the pinned plan is PASS B — melted
+    # scan → broadcast target attach (the |groups|·|ps|-row literal
+    # bracket table from pass A's sketch aggregate, a separate action)
+    # → below-bucket/in-bracket histogram agg → bracket-sized
+    # cumulative window → interpolation agg → final pivot agg + their
+    # partial/final pairs (6 exchanges over bracket-sized rows; the
+    # former 2-exchange native plan serialized a per-group value→count
+    # map through every partial).  Pass A adds 1 BHJ below (the target
+    # attach is a BroadcastHashJoin on the group+metric key).
+    "q32_percentile": (0, 0, 6, 1),
     "t01_pricing_summary": (0, 0, 3, 0),
     "t02_shipping_priority": (0, 0, 5, 2),
     "t03_local_supplier_volume": (0, 0, 9, 5),
@@ -180,20 +189,21 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     # (query, scan-partition) pre-rank spreads the sort and the final
     # window ranks only |partitions|·k survivors.
     "x37_hybrid_search": (2, 0, 19, 4),
-    # x37b (r12; r13 fully store-backed): the composed persisted-store
-    # retrieval path — the dense side is the ANN store probe (replay
-    # fold agg + broadcast probe-cell equi-join over the STATICALLY
-    # cell-pruned scan: the probes' cell union reaches the store scan
-    # as PartitionFilters INSET, pinned both in test_ann_store.py and
-    # on this fused plan below) + the BM25 side reading the persisted
-    # postings/doc_lens stores (r13: no corpus tokenization at query
-    # time; its one-row stats attach is the 1 BNLJ) + RRF fusion.  One
-    # fewer BNLJ than x37: the exact dense side's |probes|×|corpus|
-    # broadcast cross is replaced by the store's equi-join.  Zero
-    # python nodes.  The exchange count is unchanged from the inline
-    # form: the store loads' replay folds replace the tokenize-side
-    # aggregations one-for-one.
-    "x37b_hybrid_search_ann": (1, 0, 18, 5),
+    # x37b (r12; r13 fully store-backed; r16 statistics sidecars): the
+    # composed persisted-store retrieval path — the dense side is the
+    # ANN store probe (replay fold agg + broadcast probe-cell equi-join
+    # over the STATICALLY cell-pruned scan: the probes' cell union
+    # reaches the store scan as PartitionFilters INSET, pinned both in
+    # test_ann_store.py and on this fused plan below) + the BM25 side
+    # reading the persisted postings/doc_lens stores (no corpus
+    # tokenization at query time) + RRF fusion.  r16: (n_docs, avgdl)
+    # resolve to LITERALS from the per-batch stats sidecar (the former
+    # one-row stats attach — a BNLJ + broadcast + doc_lens stats
+    # scan/fold/global-agg — is gone: BNLJ 1→0) and per-term df folds
+    # from the tiny term_df sidecar instead of aggregating the query
+    # terms' posting lists (18→14 exchanges, parquet scans 5→4 with
+    # corpus-sized scans 4→2 — plans/r16/x37b_*_{before,after}.txt).
+    "x37b_hybrid_search_ann": (0, 0, 14, 5),
     # q32b (r11; r12 single-scan rewrite): the registered q32's
     # scale-path twin — both value columns melted to (metric, v) long
     # format so ONE lineitem scan feeds the whole query.  Widen

@@ -172,3 +172,123 @@ def test_property_bit_identical_to_native(spark, va, vb, ps):
         (r["g"], p): r["qs"][i] for r in want_rows for i, p in enumerate(ps)
     }
     assert got == want
+
+
+# ───────────── two-pass selection (percentile_cont_selection, r16) ─────────
+
+
+def _check_selection(spark, rows, accuracy, ps=PS):
+    from jurimetria_etl_spark.operators.stats import (
+        percentile_cont_selection,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["p"]): r["val"]
+        for r in percentile_cont_selection(
+            df, "g", {"v": ps}, accuracy=accuracy
+        ).collect()
+    }
+    want_rows = (
+        df.groupBy("g")
+        .agg(F.percentile("v", F.lit(ps)).alias("qs"))
+        .collect()
+    )
+    want = {
+        (r["g"], p): r["qs"][i] for r in want_rows for i, p in enumerate(ps)
+    }
+    assert set(got) == set(want) and got
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])  # bit-identical
+
+
+def test_selection_small_groups_full_bracket(spark):
+    # n <= 4*accuracy: the bracket is skipped, the whole group scans —
+    # must still be bit-identical (incl. single-row group, every p)
+    rng = np.random.default_rng(7)
+    rows = [
+        (g, float(v))
+        for g in ("a", "b")
+        for v in rng.normal(0, 11, 301)
+    ]
+    rows += [("one", 42.0)]
+    _check_selection(spark, rows, accuracy=10_000)
+
+
+def test_selection_bracketed_continuous_and_tied(spark):
+    # accuracy=50 makes the GK bracket ACTIVE at n>200 — continuous
+    # values, heavy ties (tie runs crossing the bracket edges), and the
+    # p=0/p=1 clamps (no below/above bucket) all land bit-identical
+    rng = np.random.default_rng(8)
+    rows = [("c", float(v)) for v in rng.normal(100, 37, 2000)]
+    rows += [("t", float(rng.integers(0, 4))) for _ in range(1500)]
+    rows += [("eq", 7.0) for _ in range(900)]  # all-equal group
+    _check_selection(spark, rows, accuracy=50)
+
+
+def test_selection_nulls_and_all_null_group(spark):
+    from jurimetria_etl_spark.operators.stats import (
+        percentile_cont_selection,
+    )
+
+    rows = [("a", 1.0), ("a", None), ("a", 3.0), ("z", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["g"], r["p"]): r["val"]
+        for r in percentile_cont_selection(df, "g", {"v": [0.5]}).collect()
+    }
+    # NULLs excluded; the all-NULL group yields a row with NULL val —
+    # exactly the native groupBy+percentile shape q32's pivot needs
+    assert out == {("a", 0.5): 2.0, ("z", 0.5): None}
+
+
+def test_selection_multi_metric_matches_native(spark):
+    from jurimetria_etl_spark.operators.stats import (
+        percentile_cont_selection,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (g, float(rng.normal(10, 3)), float(rng.integers(0, 50)))
+        for g in ("a", "b", "c")
+        for _ in range(700)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        (r["g"], r["metric"], r["p"]): r["val"]
+        for r in percentile_cont_selection(
+            df, "g", {"x": [0.25, 0.9], "y": [0.5]}, accuracy=100
+        ).collect()
+    }
+    want_rows = df.groupBy("g").agg(
+        F.percentile("x", F.lit([0.25, 0.9])).alias("xs"),
+        F.percentile("y", F.lit([0.5])).alias("ys"),
+    ).collect()
+    want = {}
+    for r in want_rows:
+        want[(r["g"], "x", 0.25)] = r["xs"][0]
+        want[(r["g"], "x", 0.9)] = r["xs"][1]
+        want[(r["g"], "y", 0.5)] = r["ys"][0]
+    assert got == want
+
+
+def test_selection_q32_rewire_matches_native_on_fixture(spark):
+    # the registered q32 now runs on the selection operator — pin its
+    # output against the direct native aggregate on the gate fixture
+    from jurimetria_etl_spark.plans.corpus import _fact, q32_percentile
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in q32_percentile(spark, sf).collect()}
+    li = _fact(spark, sf, "lineitem")
+    want = {
+        tuple(r)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.percentile("l_quantity", 0.5).alias("q50"),
+            F.percentile("l_quantity", 0.9).alias("q90"),
+            F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        )
+        .collect()
+    }
+    assert got == want and got

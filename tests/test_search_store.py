@@ -70,28 +70,52 @@ def test_replayed_append_is_idempotent(spark, tmp_path):
 
 def test_strict_stats_excludes_orphaned_doc_lens(spark, tmp_path):
     """r9 ADVICE: a crash between append_text_index's two writes leaves
-    doc_lens rows with no postings, inflating n_docs/avgdl until the
-    replay lands.  strict_stats=True derives stats from postings-backed
-    docs only; the default load reflects the orphans (documented)."""
+    doc_lens rows with no postings.  On a SIDECAR store (r16) the
+    default load serves stats from the per-batch counters — the orphan
+    window's half-written batch has no stats row yet, so loose stats
+    stay at the last complete batch; on a LEGACY store (no sidecars)
+    the orphans inflate n_docs/avgdl until the replay lands
+    (documented).  strict_stats=True derives stats from
+    postings-backed docs only in both worlds."""
+    import shutil
+
     from jurimetria_etl_spark.sinks.maintenance import store_data_dir
 
     idx_dir = str(tmp_path / "tindex")
     append_text_index(_docs(spark, BATCH0), idx_dir)
-    # simulate the crash window: doc_lens landed for BATCH1, postings did
-    # not (the append writes doc_lens first)
+    # simulate the crash window: doc_lens landed for BATCH1, postings
+    # (and the sidecar's stats row) did not (doc_lens writes first)
     build_text_index(_docs(spark, BATCH1)).doc_lens.write.mode(
         "append"
     ).parquet(store_data_dir(f"{idx_dir}/doc_lens"))
     loose = load_text_index(spark, idx_dir).stats.first()
     strict = load_text_index(spark, idx_dir, strict_stats=True).stats.first()
-    assert loose["n_docs"] == len(BATCH0) + len(BATCH1)  # inflated
+    # sidecar store: the orphans are invisible to the counters
+    assert loose["n_docs"] == len(BATCH0)
     assert strict["n_docs"] == len(BATCH0)
     clean = build_text_index(_docs(spark, BATCH0)).stats.first()
     assert abs(strict["avgdl"] - clean["avgdl"]) < 1e-9
+    # legacy store (pre-sidecar layout): the documented inflation window
+    shutil.rmtree(f"{idx_dir}/stats")
+    shutil.rmtree(f"{idx_dir}/term_df")
+    loose_legacy = load_text_index(spark, idx_dir).stats.first()
+    assert loose_legacy["n_docs"] == len(BATCH0) + len(BATCH1)  # inflated
+    strict_legacy = load_text_index(
+        spark, idx_dir, strict_stats=True
+    ).stats.first()
+    assert strict_legacy["n_docs"] == len(BATCH0)
     # on a healthy store the semi-join is the identity
     append_text_index(_docs(spark, BATCH1), idx_dir)  # the replay lands
     healed = load_text_index(spark, idx_dir, strict_stats=True).stats.first()
     assert healed["n_docs"] == len(BATCH0) + len(BATCH1)
+    # a legacy store never grows sidecars mid-life (a partial sidecar
+    # would silently undercount) — the replay above must not have
+    # started one
+    import os
+
+    assert not os.path.isdir(f"{idx_dir}/stats")
+    assert not os.path.isdir(f"{idx_dir}/term_df")
+    assert load_text_index(spark, idx_dir).n_docs is None
 
 
 def test_compaction_is_search_invisible(spark, tmp_path):
@@ -159,9 +183,12 @@ def test_materialized_stop_list_replaces_full_vocab_aggregate(
     fb_plan = (
         fallback.postings._jdf.queryExecution().executedPlan().toString()
     )
-    # ratio mismatch -> load-time form: df + stats aggregates return
+    # ratio mismatch -> load-time form: the full-vocab df aggregate
+    # returns (r16: stats ride the sidecar as a literal one-row frame —
+    # "Range" — so doc_lens is no longer scanned here)
     assert fb_plan.count("HashAggregate") > 2
-    assert fb_plan.count("FileScan") == 3  # postings x2 + doc_lens
+    assert fb_plan.count("FileScan") == 2  # postings x2
+    assert "Range" in fb_plan  # the sidecar's literal stats frame
     # search over the materialized-stop-list index still matches the
     # from-scratch build at the same ratio
     want = _search_rows(
@@ -281,10 +308,58 @@ def test_stop_list_strict_stats_is_part_of_identity(spark, tmp_path):
     )
     plan2 = strict2.postings._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("FileScan") == 2  # now served by the strict list
-    # and the non-strict flavor now falls back instead of reusing it
+    # and the non-strict flavor now falls back instead of reusing it:
+    # the full-vocab df aggregate returns (stats are the sidecar's
+    # literal frame, so the fallback is 2 postings scans, not 3)
     loose = load_text_index(spark, idx_dir, max_df_ratio=0.4)
     plan3 = loose.postings._jdf.queryExecution().executedPlan().toString()
-    assert plan3.count("FileScan") == 3
+    assert plan3.count("HashAggregate") > 2
+    assert plan3.count("FileScan") == 2
+
+
+def test_sidecar_serves_stats_and_df_without_corpus_aggregates(
+    spark, tmp_path
+):
+    """r16 statistics sidecars: a sidecar-born store resolves
+    (n_docs, avgdl) to scalars at load (identical to the frame-derived
+    values) and a search's executed plan derives per-term df from the
+    term_df sidecar — no doc_lens stats scan, no stats broadcast
+    attach (BNLJ), and no aggregation over the query terms' posting
+    lists; scores are byte-identical to the legacy derive-at-load
+    plan."""
+    import shutil
+
+    idx_dir = str(tmp_path / "tindex")
+    append_text_index(_docs(spark, BATCH0), idx_dir)
+    append_text_index(_docs(spark, BATCH1), idx_dir)
+    idx = load_text_index(spark, idx_dir)
+    frame_stats = build_text_index(
+        _docs(spark, BATCH0 + BATCH1)
+    ).stats.first()
+    assert idx.n_docs == frame_stats["n_docs"]
+    assert abs(idx.avgdl - frame_stats["avgdl"]) == 0.0  # same IEEE op
+    assert idx.term_df is not None
+    res = bm25_search(idx, _q(spark), k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 0  # stats attach gone
+    # scans: postings (match) + doc_lens (dl attach) + term_df (df) —
+    # the stats branch's doc_lens scan and the df-over-postings scan
+    # are gone
+    assert plan.count("FileScan") == 3
+    rows = sorted(map(tuple, res.collect()))
+    # the legacy plan (sidecars absent) scores identically
+    shutil.rmtree(f"{idx_dir}/stats")
+    shutil.rmtree(f"{idx_dir}/term_df")
+    legacy = load_text_index(spark, idx_dir)
+    assert legacy.n_docs is None and legacy.term_df is None
+    legacy_plan = (
+        bm25_search(legacy, _q(spark), k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert legacy_plan.count("FileScan") == 4  # the two scans return
+    assert rows == _search_rows(spark, legacy) and rows
 
 
 def test_stream_maintains_text_index(spark, tmp_path):
