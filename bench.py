@@ -174,6 +174,7 @@ def run_sf1_tier(spark, registry, sf1_dir: str) -> dict:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "steal_sec_run": round(max(0.0, _read_steal_sec() - steal_start), 2),
+        "steal_reader_ok": not _STEAL_READER_FAILED,
         "skipped": sorted(sf1_skip),
         "skipped_why": (
             "deliberately-quadratic fixed-plane LSH contrast (exponent "
@@ -232,17 +233,26 @@ def _advance_warm_baseline(
     return by_sf, base_warm, base_round, base_sf, warm_delta, flagged
 
 
+_STEAL_READER_FAILED = False
+
+
 def _read_steal_sec() -> float:
     """Cumulative host KVM steal time in seconds (``/proc/stat`` cpu line,
     field 8).  Steal is co-tenant CPU contention that loadavg does NOT
     see: a sustained steal wave inflates every pass of a series equally,
     so it defeats both the loadavg gate and the series-spread detector.
-    Returns 0.0 where /proc/stat is unavailable (non-Linux test hosts)."""
+    Returns 0.0 where /proc/stat is unavailable (non-Linux test hosts) —
+    and flips the module-level ``_STEAL_READER_FAILED`` marker (r15
+    ADVICE) so the artifacts can distinguish "measured zero steal" from
+    "the steal channel went blind" (a contended window would otherwise
+    read steal_frac=0 and pass the quiet gate with no indication)."""
+    global _STEAL_READER_FAILED
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         return int(parts[8]) / float(os.sysconf("SC_CLK_TCK"))
     except Exception:
+        _STEAL_READER_FAILED = True
         return 0.0
 
 
@@ -703,6 +713,10 @@ def main() -> None:
         # host steal accumulated across the whole run — the loadavg-blind
         # contention channel (see _read_steal_sec); 0.0 on non-KVM hosts
         "steal_sec_run": round(max(0.0, _read_steal_sec() - steal_start), 2),
+        # False when any /proc/stat read failed during the run: a zero
+        # steal reading is then NOT evidence of a quiet window (r15
+        # ADVICE — additive recording, no gate behavior change)
+        "steal_reader_ok": not _STEAL_READER_FAILED,
         "errors": errors,
         "duckdb_queries": duck,
         "warm_total_sec": round(warm_total, 3),

@@ -51,6 +51,22 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "2048"),
         )
+        # Let AQE optimize (and in particular COALESCE) the plans that
+        # materialize persisted/cached frames (r16).  Spark defaults this
+        # off so a cache's output partitioning stays predictable for
+        # downstream exchange reuse, but with the wide
+        # initialPartitionNum above that default makes every
+        # persist()-backed frame in the span/dedup/similarity operators
+        # execute its shuffles at the FULL initial width — measured:
+        # x28's candidate-id cache materialized through 2048-task
+        # stages on kilobytes of data, uncoalesced, at every scale.
+        # None of this repo's caches rely on cached output partitioning
+        # (each is consumed through joins/aggregations that plan their
+        # own exchanges), so the coalesce is pure win.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Arrow for the (few) pandas_udf paths — vectorized transfer.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Nested-schema pruning so struct projections reach the parquet scan.

@@ -30,17 +30,20 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
 
 def steal_jiffies() -> int:
-    """Cumulative host steal (``/proc/stat`` cpu line, field 8)."""
-    try:
-        with open("/proc/stat") as f:
-            return int(f.readline().split()[8])
-    except Exception:
-        return 0
+    """Cumulative host steal (``/proc/stat`` cpu line, field 8).
+
+    No fallback (r15 ADVICE): this is an interactive adjudication
+    instrument — a read failure must surface as an error, not as a
+    silent 0 that would turn one side of a per-pass delta into a wild
+    negative/inflated entry."""
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
 
 
 def main() -> None:
@@ -95,7 +98,9 @@ def main() -> None:
         "repo": args.repo,
         "query": args.query,
         "times": times,
-        "median": sorted(times)[len(times) // 2],
+        # statistics.median, not sorted()[n//2] (r15 ADVICE): the index
+        # form reads the upper-middle element on an even pass count
+        "median": round(statistics.median(times), 3),
         "steal_jiffies_per_pass": steals,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
