@@ -119,16 +119,19 @@ def percentile_cont_selection(
       bound needs εn ≫ 1).  The collected frame is |groups| rows —
       ``max_groups`` guards the driver (one limit-bounded action, the
       ``strip_boilerplate_bulk`` posture).
-    - **Pass B**: one melted scan; each row joins its group's
-      broadcast target (rank range + bracket), rows above the bracket
-      drop, rows below collapse to ONE below-bucket count per target
-      (map-side combinable — they only shift ranks), in-bracket
-      DISTINCT values get a cumulative-count window (bracket-sized:
-      ~8n/accuracy rows per target, NOT the full distinct-value set),
-      and the target ranks ``t = p·(n−1)`` interpolate exactly as the
-      native aggregate does (same ``(⌈t⌉−t)·v_lo + (t−⌊t⌋)·v_hi``
-      arithmetic as ``percentile_cont_by_group`` — bit-identical,
-      pinned in tests/test_percentile_hist.py).
+    - **Pass B**: ONE un-melted scan — each row broadcast-joins its
+      group's bracket row (all targets' brackets as plain columns, so
+      the row count never multiplies by |metrics| or |percentiles|),
+      below-bracket membership folds into per-target conditional-sum
+      AGGREGATE COLUMNS (map-side combinable narrow work — below rows
+      only shift ranks), and only the rare in-bracket hits explode
+      (~8n/accuracy rows per target).  The in-bracket DISTINCT values
+      get a cumulative-count window (bracket-sized, NOT the full
+      distinct-value set), ranks offset by the below counts, and the
+      target ranks ``t = p·(n−1)`` interpolate exactly as the native
+      aggregate does (same ``(⌈t⌉−t)·v_lo + (t−⌊t⌋)·v_hi`` arithmetic
+      as ``percentile_cont_by_group`` — bit-identical, pinned in
+      tests/test_percentile_hist.py).
 
     At 100 TB: pass A is a sketch aggregate (bounded state per group),
     pass B's only per-group serial step sorts ~8n/accuracy bracket
@@ -179,16 +182,27 @@ def percentile_cont_selection(
             "on the driver; raise max_groups deliberately or use "
             "percentile_cont_by_group"
         )
+    cols = list(specs)
+    # Per (group, metric mi, percentile pi) target rows for the final
+    # rank lookup, plus a WIDE one-row-per-group bracket frame whose
+    # plain columns the scan-side expressions read — joining the wide
+    # frame on the group key alone keeps the corpus row count constant
+    # (the former per-(metric, p) join multiplied every data row by the
+    # number of targets before the first aggregation — measured as the
+    # bulk of pass B's 4 s at sf1).
     targets: list[tuple] = []
     null_rows: list[tuple] = []
+    wide_rows: list[tuple] = []
     for row in ga_rows:
         gvals = tuple(row[g] for g in groups)
-        for c, ps in specs.items():
+        wrow: list = list(gvals)
+        for mi, c in enumerate(cols):
             n = int(row[f"__n_{c}"])
             br = row[f"__b_{c}"]
-            for p in ps:
+            for pi, p in enumerate(specs[c]):
                 if n == 0:
                     null_rows.append(gvals + (c, float(p)))
+                    wrow += [None, None]
                     continue
                 t = float(p) * (n - 1)
                 rlo = math.floor(t) + 1
@@ -202,10 +216,13 @@ def percentile_cont_selection(
                     if qhi < 1.0:
                         bhi = float(br[qlists[c].index(qhi)])
                 targets.append(
-                    gvals + (c, float(p), t, rlo, rhi, blo, bhi)
+                    gvals + (mi, pi, c, float(p), t, rlo, rhi)
                 )
+                wrow += [blo, bhi]
+        wide_rows.append(tuple(wrow))
     from pyspark.sql.types import (
         DoubleType,
+        IntegerType,
         LongType,
         StringType,
         StructField,
@@ -216,61 +233,118 @@ def percentile_cont_selection(
     tschema = StructType(
         gfields
         + [
+            StructField("mi", IntegerType()),
+            StructField("pi", IntegerType()),
             StructField("metric", StringType()),
             StructField("p", DoubleType()),
             StructField("__t", DoubleType()),
             StructField("__rlo", LongType()),
             StructField("__rhi", LongType()),
-            StructField("__blo", DoubleType()),
-            StructField("__bhi", DoubleType()),
         ]
     )
     tdf = spark.createDataFrame(targets, tschema)
-    melted = df.select(
+    tpairs = [(mi, pi) for mi, c in enumerate(cols) for pi in range(len(specs[c]))]
+    # column order in wrow is (blo, bhi) per target — match it
+    wschema = StructType(
+        gfields
+        + [
+            f
+            for mi, pi in tpairs
+            for f in (
+                StructField(f"__blo_{mi}_{pi}", DoubleType()),
+                StructField(f"__bhi_{mi}_{pi}", DoubleType()),
+            )
+        ]
+    )
+    wdf = spark.createDataFrame(wide_rows, wschema)
+    base = df.select(
+        *groups,
+        *[F.col(c).cast("double").alias(f"__v_{mi}") for mi, c in enumerate(cols)],
+    )
+    j = base.join(F.broadcast(wdf), groups)
+
+    def _v(mi: int):
+        return F.col(f"__v_{mi}")
+
+    def _blo(mi: int, pi: int):
+        return F.col(f"__blo_{mi}_{pi}")
+
+    def _bhi(mi: int, pi: int):
+        return F.col(f"__bhi_{mi}_{pi}")
+
+    # below-bracket membership folds to one conditional-sum column per
+    # target — narrow, map-side combinable, never multiplies rows
+    below_wide = j.groupBy(*groups).agg(
+        *[
+            F.sum(
+                F.when(
+                    _blo(mi, pi).isNotNull() & (_v(mi) < _blo(mi, pi)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias(f"__bl_{mi}_{pi}")
+            for mi, pi in tpairs
+        ]
+    )
+    below_long = below_wide.select(
         *groups,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("metric"),
-                        F.col(c).cast("double").alias("__v"),
+                        F.lit(mi).alias("mi"),
+                        F.lit(pi).alias("pi"),
+                        F.col(f"__bl_{mi}_{pi}").alias("__below"),
                     )
-                    for c in specs
+                    for mi, pi in tpairs
                 ]
             )
-        ).alias("__m"),
-    ).select(*groups, "__m.metric", "__m.__v")
-    j = (
-        melted.where(F.col("__v").isNotNull())
-        .join(F.broadcast(tdf), [*groups, "metric"])
-        .where(F.col("__bhi").isNull() | (F.col("__v") <= F.col("__bhi")))
-    )
-    below = F.col("__blo").isNotNull() & (F.col("__v") < F.col("__blo"))
-    j = j.withColumn("__below", F.when(below, 1).otherwise(0)).withColumn(
-        "__bv",
-        F.when(below, F.lit(None).cast("double")).otherwise(F.col("__v")),
-    )
-    keys = [*groups, "metric", "p", "__t", "__rlo", "__rhi"]
-    hist = j.groupBy(*keys, "__below", "__bv").agg(
+        ).alias("__b"),
+    ).select(*groups, "__b.mi", "__b.pi", "__b.__below")
+    # only the in-bracket hits explode: ~8n/accuracy rows per target
+    # (or the whole small group when the bracket is open)
+    hit = [
+        F.when(
+            _v(mi).isNotNull()
+            & (_blo(mi, pi).isNull() | (_v(mi) >= _blo(mi, pi)))
+            & (_bhi(mi, pi).isNull() | (_v(mi) <= _bhi(mi, pi))),
+            F.struct(
+                F.lit(mi).alias("mi"),
+                F.lit(pi).alias("pi"),
+                _v(mi).alias("__v"),
+            ),
+        )
+        for mi, pi in tpairs
+    ]
+    hits = j.select(
+        *groups,
+        F.explode(
+            F.filter(F.array(*hit), lambda x: x.isNotNull())
+        ).alias("__h"),
+    ).select(*groups, "__h.mi", "__h.pi", "__h.__v")
+    hist = hits.groupBy(*groups, "mi", "pi", "__v").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    w = Window.partitionBy(*groups, "metric", "p").orderBy(
-        F.col("__below").desc(), F.col("__bv")
+    w = Window.partitionBy(*groups, "mi", "pi").orderBy("__v")
+    cum = (
+        hist.withColumn("__hi0", F.sum("__c").over(w))
+        .withColumn("__lo0", F.col("__hi0") - F.col("__c") + 1)
+        .join(F.broadcast(below_long), [*groups, "mi", "pi"])
+        .join(F.broadcast(tdf), [*groups, "mi", "pi"])
+        .withColumn("__glo", F.col("__below") + F.col("__lo0"))
+        .withColumn("__ghi", F.col("__below") + F.col("__hi0"))
     )
-    cum = hist.withColumn("__hi", F.sum("__c").over(w)).withColumn(
-        "__lo", F.col("__hi") - F.col("__c") + 1
-    )
-    in_b = F.col("__below") == 0
     vlo = F.max(
         F.when(
-            in_b & F.col("__rlo").between(F.col("__lo"), F.col("__hi")),
-            F.col("__bv"),
+            F.col("__rlo").between(F.col("__glo"), F.col("__ghi")),
+            F.col("__v"),
         )
     )
     vhi = F.max(
         F.when(
-            in_b & F.col("__rhi").between(F.col("__lo"), F.col("__hi")),
-            F.col("__bv"),
+            F.col("__rhi").between(F.col("__glo"), F.col("__ghi")),
+            F.col("__v"),
         )
     )
     out = cum.groupBy(*groups, "metric", "p", "__t").agg(

@@ -772,29 +772,70 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+# q32's strategy crossover (bytes of lineitem input).  Measured (r16,
+# steal-matched probes): native 1.6–1.9 s vs selection 3.3–3.8 s at
+# sf0.1 (~10 MB — the two-job selection pays the stage floor twice on
+# ~0.3 s of real work); native 8.6–10 s vs selection ~5 s at sf1
+# (~110 MB — the native per-group value→count map merge dominates).
+# 32 MB sits between the measured points; derived from input size
+# (metadata only), not from core count, so the same rule holds on a
+# cluster where the native buffer merge degrades with group size while
+# the selection's bracket stays ~8n/accuracy.
+_Q32_SELECTION_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total bytes of a frame's input files (pure metadata — the
+    ``widen_partitions`` posture).  0 for non-file sources, which
+    routes them to the native strategy (they are small literal frames
+    in tests)."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = urlparse(f).path or f
+            total += _os.path.getsize(p)
+        return total
+    except Exception:
+        return 0
+
+
 def q32_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q32 — exact percentiles (linear interpolation — ``percentile_cont``
-    semantics) per group, via TWO-PASS DISTRIBUTED SELECTION
-    (``operators.stats.percentile_cont_selection``, r16): a GK-sketch
-    bracket pass bounds each target order statistic, then one melted
-    scan counts below-bracket rows and sorts ONLY the ~8n/accuracy
-    in-bracket values — output bit-identical to the native
+    semantics) per group, with the physical strategy CHOSEN FROM INPUT
+    SIZE (r16): below ``_Q32_SELECTION_MIN_BYTES`` of input the native
+    ``F.percentile`` aggregate runs (its per-group value→count buffer
+    is cheap when groups are small, and its single pass wins the
+    job-floor race — measured 1.6–1.9 s vs the selection's 3.3–3.8 s
+    at sf0.1); at or above it the TWO-PASS DISTRIBUTED SELECTION runs
+    (``operators.stats.percentile_cont_selection``: GK-sketch bracket
+    pass, then exact order statistics over only the ~8n/accuracy
+    in-bracket values — measured ~5 s vs the native 8.6–10 s at sf1,
+    and structurally the only form with neither a per-group
+    value→count buffer to spill nor a full distinct-value sort at
+    100-TB group sizes).  Both strategies are BIT-IDENTICAL to
     ``F.percentile`` (same interpolation arithmetic, pinned in
-    tests/test_percentile_hist.py; the r12–r15 form measured 8.6 s at
-    sf1 on l_extendedprice merging a per-group value→count map through
-    partial/final serialization, vs DuckDB's 0.55 s vectorized
-    quickselect — this is the distributed analog of that quickselect).
-    Exact, not ``approx_percentile``: at 100 TB prefer the approx
-    variant (q11's sketch pattern) unless exactness is contractual —
-    and when it is, this selection form has no per-group buffer to
-    spill AND no full distinct-value sort (the
-    ``percentile_cont_by_group`` histogram's remaining serial step;
-    that form stays benched as q32b)."""
+    tests/test_percentile_hist.py), so the declared output is
+    invariant to the switch — the same cost-based-strategy posture as
+    AQE's join-strategy choice, with the crossover measured instead of
+    estimated.  Exact, not ``approx_percentile``: at 100 TB prefer the
+    approx variant (q11's sketch pattern) unless exactness is
+    contractual.  The ``percentile_cont_by_group`` histogram stays
+    benched as q32b."""
     from jurimetria_etl_spark.operators.stats import (
         percentile_cont_selection,
     )
 
     li = _fact(spark, sf_dir, "lineitem")
+    if _input_bytes(li) < _Q32_SELECTION_MIN_BYTES:
+        return li.groupBy("l_returnflag").agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.percentile("l_quantity", 0.5).alias("q50"),
+            F.percentile("l_quantity", 0.9).alias("q90"),
+            F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        )
     sel = percentile_cont_selection(
         li,
         "l_returnflag",

@@ -47,16 +47,14 @@ EXPECT: dict[str, tuple[int, int, int, int]] = {
     "q24_top_terms": (0, 0, 1, 0),
     "q27_asof_join": (0, 0, 1, 0),
     "q28_range_join": (0, 0, 2, 1),
-    # q32 (r16 two-pass selection): the pinned plan is PASS B — melted
-    # scan → broadcast target attach (the |groups|·|ps|-row literal
-    # bracket table from pass A's sketch aggregate, a separate action)
-    # → below-bucket/in-bracket histogram agg → bracket-sized
-    # cumulative window → interpolation agg → final pivot agg + their
-    # partial/final pairs (6 exchanges over bracket-sized rows; the
-    # former 2-exchange native plan serialized a per-group value→count
-    # map through every partial).  Pass A adds 1 BHJ below (the target
-    # attach is a BroadcastHashJoin on the group+metric key).
-    "q32_percentile": (0, 0, 6, 1),
+    # q32 (r16 size-adaptive strategy): at this pin's sf0.001 the input
+    # is far below the 32 MB selection crossover, so the NATIVE
+    # percentile plan runs (2 exchanges — the single-pass value→count
+    # aggregate).  The ≥32 MB two-pass selection plan
+    # (plans/r16/q32_percentile_selection_sf1.txt) is pinned separately
+    # in tests/test_percentile_hist.py via the forced-threshold parity
+    # test.
+    "q32_percentile": (0, 0, 2, 0),
     "t01_pricing_summary": (0, 0, 3, 0),
     "t02_shipping_priority": (0, 0, 5, 2),
     "t03_local_supplier_volume": (0, 0, 9, 5),

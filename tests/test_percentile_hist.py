@@ -272,14 +272,18 @@ def test_selection_multi_metric_matches_native(spark):
     assert got == want
 
 
-def test_selection_q32_rewire_matches_native_on_fixture(spark):
-    # the registered q32 now runs on the selection operator — pin its
-    # output against the direct native aggregate on the gate fixture
-    from jurimetria_etl_spark.plans.corpus import _fact, q32_percentile
+def test_selection_q32_strategy_switch_is_output_invisible(
+    spark, monkeypatch
+):
+    # the registered q32 picks its strategy from input bytes (native
+    # below the crossover, two-pass selection above) — force BOTH
+    # paths on the gate fixture and pin them identical to the direct
+    # native aggregate, so the switch can never change the declared
+    # output
+    from jurimetria_etl_spark.plans import corpus as C
 
     sf = "/root/testdata/sf0.001"
-    got = {tuple(r) for r in q32_percentile(spark, sf).collect()}
-    li = _fact(spark, sf, "lineitem")
+    li = C._fact(spark, sf, "lineitem")
     want = {
         tuple(r)
         for r in li.groupBy("l_returnflag")
@@ -291,4 +295,8 @@ def test_selection_q32_rewire_matches_native_on_fixture(spark):
         )
         .collect()
     }
-    assert got == want and got
+    assert li.inputFiles()  # the size probe has real files to read
+    native = {tuple(r) for r in C.q32_percentile(spark, sf).collect()}
+    monkeypatch.setattr(C, "_Q32_SELECTION_MIN_BYTES", 0)
+    selection = {tuple(r) for r in C.q32_percentile(spark, sf).collect()}
+    assert native == want and selection == want and want
